@@ -1,0 +1,23 @@
+"""prql_spark — a PySpark-native analytics engine speaking PRQL.
+
+Public surface:
+- ``compile_prql(text, catalog)`` — PRQL → lazy Spark DataFrame.
+- ``Catalog`` — table name → DataFrame resolution (parquet dirs etc.).
+- ``build_spark`` — SparkSession with scale-appropriate defaults.
+- ``prql_spark.operators`` — training-data pipeline operators
+  (dedup, similarity search, text analysis, multimodal plumbing).
+"""
+
+from prql_spark.compiler import PrqlCompileError, compile_prql
+from prql_spark.parser import PrqlParseError, parse
+from prql_spark.session import build_spark
+from prql_spark.sources.catalog import Catalog
+
+__all__ = [
+    "Catalog",
+    "PrqlCompileError",
+    "PrqlParseError",
+    "build_spark",
+    "compile_prql",
+    "parse",
+]

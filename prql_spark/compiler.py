@@ -1,0 +1,765 @@
+"""PRQL → PySpark DataFrame compiler.
+
+Semantics parity target: /root/reference/prql-compiler/src/semantic/
+(transforms.prql declares the 10 transforms; transforms.rs resolves
+them) and src/sql/ (materializer.rs inlines functions; translator.rs
+emits SQL). The Spark-first difference: PRQL pipelines are already
+dataflow order, and so are DataFrame ops — so each transform lowers
+directly to a DataFrame operation and Catalyst does the planning
+(predicate pushdown, column pruning, join selection, whole-stage
+codegen). No SQL-text topology (CTE splitting / HAVING-vs-WHERE /
+un_group) is ever needed.
+
+Expression strategy: every PRQL expression compiles to a Spark SQL
+expression *string* used via ``F.expr`` — 100% JVM-side, codegen-
+eligible, zero Python UDFs in the core language.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from prql_spark.functions import stdlib
+from prql_spark.parser import PrqlParseError, parse
+from prql_spark.plans.nodes import (
+    Assign,
+    Binary,
+    ExprPipeline,
+    FString,
+    FuncCall,
+    FuncDef,
+    Ident,
+    Lit,
+    ListExpr,
+    Query,
+    RangeLit,
+    SString,
+    Unary,
+)
+from prql_spark.sources.catalog import Catalog
+
+
+class PrqlCompileError(Exception):
+    pass
+
+
+TRANSFORMS = {
+    "from",
+    "select",
+    "derive",
+    "filter",
+    "aggregate",
+    "sort",
+    "take",
+    "join",
+    "group",
+    "window",
+}
+
+_CMP_MAP = {"==": "=", "!=": "<>", "and": "AND", "or": "OR"}
+
+_NAME_SAFE = re.compile(r"[^A-Za-z0-9_]+")
+
+
+def _q(name: str) -> str:
+    """Backtick-quote a flat column name for Spark SQL."""
+    if name.startswith("`"):
+        return name
+    return f"`{name}`"
+
+
+def _esc_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+class CExpr:
+    """A compiled expression: Spark SQL text + aggregation kind."""
+
+    __slots__ = ("sql", "kind")
+
+    def __init__(self, sql: str, kind: str = "plain"):
+        self.sql = sql
+        self.kind = kind  # plain | agg | win
+
+
+class Compiler:
+    def __init__(self, catalog: Catalog):
+        self.catalog = catalog
+        self.funcs: dict[str, FuncDef] = {}
+        self.local_tables: dict[str, DataFrame] = {}
+        # pipeline state
+        self.df: DataFrame | None = None
+        self.scope: dict[str, str] = {}  # logical name -> flat column
+        self.sort: list[tuple[str, bool]] = []  # (sql, ascending)
+        self.group_keys: list[str] | None = None
+        self.frame: str | None = None
+        # 'wrap': agg/window funcs get OVER(...); 'agg': plain agg SQL
+        self.window_mode = "wrap"
+
+    # ------------------------------------------------------------ query
+
+    def compile_query(self, q: Query) -> DataFrame:
+        self.funcs = dict(q.func_defs)
+        for t in q.tables:
+            sub = Compiler(self.catalog)
+            sub.funcs = dict(self.funcs)
+            sub.local_tables = dict(self.local_tables)
+            self.local_tables[t.name] = sub.compile_pipeline(t.pipeline)
+        return self.compile_pipeline(q.pipeline)
+
+    def compile_pipeline(self, pipe: ExprPipeline) -> DataFrame:
+        for step in pipe.steps:
+            self.apply_transform(step)
+        if self.df is None:
+            raise PrqlCompileError("pipeline produced no table (missing from?)")
+        return self.df
+
+    # ------------------------------------------------------- transforms
+
+    def apply_transform(self, step):
+        if isinstance(step, Ident) and step.name in TRANSFORMS:
+            step = FuncCall(step.name, [], {})
+        if not isinstance(step, FuncCall):
+            raise PrqlCompileError(f"pipeline step is not a transform: {step}")
+        name = step.name
+        if name in TRANSFORMS:
+            getattr(self, f"t_{name}")(step)
+        elif name in self.funcs:
+            # user-defined table-level function — inline and re-apply
+            self.apply_transform(self._inline_user(name, step.args, step.named))
+        else:
+            raise PrqlCompileError(f"unknown transform or function {name!r}")
+
+    # -- from
+    def t_from(self, step: FuncCall):
+        alias, tname = self._table_ref(step)
+        df = self._load(tname)
+        self.df = df
+        self.scope = {}
+        for c in df.columns:
+            self.scope[c] = c
+            self.scope[f"{alias}.{c}"] = c
+            if alias != tname:
+                self.scope[f"{tname}.{c}"] = c
+
+    def _table_ref(self, step: FuncCall) -> tuple[str, str]:
+        assigns = step.named.get("_assigns") or []
+        if assigns:
+            a = assigns[0]
+            if not isinstance(a.expr, Ident):
+                raise PrqlCompileError("table alias must bind an identifier")
+            return a.name, a.expr.name
+        if not step.args or not isinstance(step.args[0], Ident):
+            raise PrqlCompileError(f"{step.name} needs a table name")
+        t = step.args[0].name
+        return t, t
+
+    def _load(self, name: str) -> DataFrame:
+        if name in self.local_tables:
+            return self.local_tables[name]
+        return self.catalog.load(name)
+
+    # -- derive
+    def t_derive(self, step: FuncCall):
+        items = self._items(step)
+        cols = {}
+        for it in items:
+            name, node = self._named_item(it)
+            cols[name] = F.expr(self.expr(node).sql)
+        self.df = self.df.withColumns(cols)
+        for name in cols:
+            self.scope[name] = name
+
+    # -- select
+    def t_select(self, step: FuncCall):
+        items = self._items(step)
+        out_cols = []
+        new_scope: dict[str, str] = {}
+        for it in items:
+            if isinstance(it, Ident) and it.name.endswith(".*"):
+                qual = it.name[:-2]
+                pref = qual + "."
+                seen = set()
+                for logical, flat in self.scope.items():
+                    if logical.startswith(pref) and flat not in seen:
+                        seen.add(flat)
+                        short = logical[len(pref):]
+                        out_cols.append(F.col(_q(flat)).alias(short))
+                        new_scope[short] = short
+                        new_scope[logical] = short
+                continue
+            name, node = self._named_item(it)
+            ce = self.expr(node)
+            out_cols.append(F.expr(ce.sql).alias(name))
+            new_scope[name] = name
+        self.df = self.df.select(*out_cols)
+        self.scope = new_scope
+
+    # -- filter
+    def t_filter(self, step: FuncCall):
+        if not step.args:
+            raise PrqlCompileError("filter needs a condition")
+        ce = self.expr(step.args[0])
+        self.df = self.df.where(F.expr(ce.sql))
+
+    # -- aggregate (top level; group-level handled in t_group)
+    def t_aggregate(self, step: FuncCall, keys: list[str] | None = None):
+        items = self._items(step)
+        prev_mode = self.window_mode
+        self.window_mode = "agg"
+        aggs = []
+        new_scope: dict[str, str] = {}
+        try:
+            for it in items:
+                name, node = self._named_item(it)
+                aggs.append(F.expr(self.expr(node).sql).alias(name))
+                new_scope[name] = name
+        finally:
+            self.window_mode = prev_mode
+        if keys:
+            gb = self.df.groupBy(*[F.expr(k) for k in keys])
+            self.df = gb.agg(*aggs)
+            for k in keys:
+                flat = k.strip("`")
+                new_scope[flat] = flat
+        else:
+            self.df = self.df.groupBy().agg(*aggs)
+        self.scope = new_scope
+        self.sort = []
+
+    # -- sort
+    def t_sort(self, step: FuncCall):
+        items = self._items(step)
+        sort_spec: list[tuple[str, bool]] = []
+        for it in items:
+            asc = True
+            node = it
+            if isinstance(node, Unary) and node.op in ("-", "+"):
+                asc = node.op == "+"
+                node = node.expr
+            sort_spec.append((self.expr(node).sql, asc))
+        self.sort = sort_spec
+        if self.group_keys is None:
+            self.df = self.df.orderBy(
+                *[
+                    F.expr(sql).asc() if asc else F.expr(sql).desc()
+                    for sql, asc in sort_spec
+                ]
+            )
+
+    # -- take
+    def t_take(self, step: FuncCall):
+        if not step.args:
+            raise PrqlCompileError("take needs a count or range")
+        node = step.args[0]
+        if isinstance(node, Lit) and node.kind == "int":
+            lo, hi = 1, node.value
+        elif isinstance(node, RangeLit):
+            lo = node.start.value if node.start is not None else 1
+            hi = node.end.value if node.end is not None else None
+        else:
+            raise PrqlCompileError(f"take: unsupported argument {node}")
+        if self.group_keys is not None:
+            self._take_in_group(lo, hi)
+            return
+        if lo > 1:
+            self.df = self.df.offset(lo - 1)
+        if hi is not None:
+            self.df = self.df.limit(hi - lo + 1)
+
+    def _take_in_group(self, lo: int, hi):
+        keys = self.group_keys
+        if lo == 1 and hi == 1 and not self.sort:
+            # distinct-on-keys fast path (PRQL's distinct idiom):
+            # arbitrary row per key, no window/sort shuffle beyond the agg
+            self.df = self.df.dropDuplicates([k.strip("`") for k in keys])
+            return
+        over = self._over_clause(need_order=True, with_frame=False)
+        rn = "__prql_rn"
+        self.df = self.df.withColumn(rn, F.expr(f"ROW_NUMBER() OVER ({over})"))
+        cond = f"{_q(rn)} <= {hi}" if lo == 1 else (
+            f"{_q(rn)} BETWEEN {lo} AND {hi}"
+            if hi is not None
+            else f"{_q(rn)} >= {lo}"
+        )
+        self.df = self.df.where(F.expr(cond)).drop(rn)
+
+    # -- join
+    def t_join(self, step: FuncCall):
+        ralias = rtable = None
+        conds = None
+        side = "inner"
+        for a in step.named.get("_assigns", []):
+            ralias, rtable = a.name, a.expr.name
+        if "side" in step.named:
+            s = step.named["side"]
+            side = s.name if isinstance(s, Ident) else str(s.value)
+        args = list(step.args)
+        for a in args:
+            if isinstance(a, Ident) and rtable is None:
+                ralias = rtable = a.name
+            elif isinstance(a, ListExpr):
+                conds = a.items
+            else:
+                conds = [a]
+        if rtable is None or conds is None:
+            raise PrqlCompileError("join needs a table and conditions")
+        how = {"inner": "inner", "left": "left", "right": "right", "full": "full"}[
+            side
+        ]
+        right = self._load(rtable)
+        if self.catalog.is_broadcast(rtable):
+            right = F.broadcast(right)
+        rcols = right.columns
+        using = all(
+            isinstance(c, Ident) and "." not in c.name for c in conds
+        ) and all(c.name in rcols for c in conds if isinstance(c, Ident))
+        left_flat = set(self.scope.values())
+
+        if using:
+            using_cols = [c.name for c in conds]
+            # de-conflict non-key duplicate columns from the right side
+            ren = {
+                c: f"{ralias}__{c}"
+                for c in rcols
+                if c in left_flat and c not in using_cols
+            }
+            for old, new in ren.items():
+                right = right.withColumnRenamed(old, new)
+            self.df = self.df.join(right, on=using_cols, how=how)
+            for c in rcols:
+                flat = ren.get(c, c)
+                self.scope.setdefault(c, flat)
+                self.scope[f"{ralias}.{c}"] = flat
+                if ralias != rtable:
+                    self.scope[f"{rtable}.{c}"] = flat
+            return
+
+        # expression join: flatten right-side name conflicts first
+        ren = {c: f"{ralias}__{c}" for c in rcols if c in left_flat}
+        for old, new in ren.items():
+            right = right.withColumnRenamed(old, new)
+        for c in rcols:
+            flat = ren.get(c, c)
+            self.scope.setdefault(c, flat)
+            self.scope[f"{ralias}.{c}"] = flat
+            if ralias != rtable:
+                self.scope[f"{rtable}.{c}"] = flat
+        cond_sqls = [self.expr(c).sql for c in conds]
+        cond = " AND ".join(f"({s})" for s in cond_sqls)
+        self.df = self.df.join(right, on=F.expr(cond), how=how)
+
+    # -- group
+    def t_group(self, step: FuncCall):
+        if len(step.args) < 2:
+            raise PrqlCompileError("group needs keys and a pipeline")
+        keys_node, pipe_node = step.args[0], step.args[1]
+        key_items = (
+            keys_node.items if isinstance(keys_node, ListExpr) else [keys_node]
+        )
+        keys = [self.expr(k).sql for k in key_items]
+        steps = (
+            pipe_node.steps
+            if isinstance(pipe_node, ExprPipeline)
+            else [pipe_node]
+        )
+        saved_sort = self.sort
+        self.sort = []
+        self.group_keys = keys
+        try:
+            for s in steps:
+                if isinstance(s, FuncCall) and s.name == "aggregate":
+                    self.t_aggregate(s, keys=keys)
+                    self.group_keys = None  # post-agg steps see flat table
+                else:
+                    self.apply_transform(s)
+        finally:
+            self.group_keys = None
+            self.sort = saved_sort
+
+    # -- window
+    def t_window(self, step: FuncCall):
+        frame = self._frame_clause(step.named)
+        steps = []
+        for a in step.args:
+            if isinstance(a, ExprPipeline):
+                steps.extend(a.steps)
+            else:
+                steps.append(a)
+        prev = self.frame
+        self.frame = frame
+        try:
+            for s in steps:
+                self.apply_transform(s)
+        finally:
+            self.frame = prev
+
+    def _frame_clause(self, named: dict) -> str | None:
+        def edge(node, default):
+            if node is None:
+                return default
+            v = node.value if isinstance(node, Lit) else None
+            if isinstance(node, Unary) and node.op == "-":
+                v = -node.expr.value
+            if v is None:
+                raise PrqlCompileError("window frame edges must be integers")
+            if v == 0:
+                return "CURRENT ROW"
+            return f"{-v} PRECEDING" if v < 0 else f"{v} FOLLOWING"
+
+        if "expanding" in named and getattr(named["expanding"], "value", False):
+            return "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        if "rolling" in named:
+            n = named["rolling"].value
+            return f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW"
+        for key, kw in (("rows", "ROWS"), ("range", "RANGE")):
+            if key in named:
+                r = named[key]
+                if not isinstance(r, RangeLit):
+                    raise PrqlCompileError(f"window {key}: expected a range")
+                lo = edge(r.start, "UNBOUNDED PRECEDING")
+                hi = edge(r.end, "UNBOUNDED FOLLOWING")
+                return f"{kw} BETWEEN {lo} AND {hi}"
+        return None
+
+    # ------------------------------------------------------ expressions
+
+    def expr(self, node) -> CExpr:
+        if isinstance(node, Lit):
+            return CExpr(self._lit(node))
+        if isinstance(node, Ident):
+            return self._ident(node)
+        if isinstance(node, Unary):
+            inner = self.expr(node.expr)
+            if node.op == "-":
+                return CExpr(f"(- {inner.sql})", inner.kind)
+            if node.op == "!":
+                return CExpr(f"(NOT {inner.sql})", inner.kind)
+            return inner
+        if isinstance(node, Binary):
+            return self._binary(node)
+        if isinstance(node, FuncCall):
+            return self._call(node.name, node.args, node.named)
+        if isinstance(node, SString):
+            return CExpr(self._interp(node.parts))
+        if isinstance(node, FString):
+            parts = []
+            for p in node.parts:
+                parts.append(_esc_str(p) if isinstance(p, str) else self.expr(p).sql)
+            return CExpr(f"CONCAT({', '.join(parts)})")
+        if isinstance(node, ExprPipeline):
+            return self._expr_pipeline(node)
+        if isinstance(node, RangeLit):
+            raise PrqlCompileError("range literal outside take/in")
+        raise PrqlCompileError(f"cannot compile expression {node!r}")
+
+    def _lit(self, node: Lit) -> str:
+        k = node.kind
+        if k == "int":
+            return str(node.value)
+        if k == "float":
+            return repr(node.value)
+        if k == "str":
+            return _esc_str(node.value)
+        if k == "bool":
+            return "TRUE" if node.value else "FALSE"
+        if k == "null":
+            return "NULL"
+        if k == "date":
+            return f"DATE '{node.value}'"
+        if k == "timestamp":
+            return f"TIMESTAMP '{node.value}'"
+        if k == "time":
+            return _esc_str(node.value)
+        if k == "interval":
+            n, unit = node.value
+            return f"INTERVAL {n} {unit.rstrip('s').upper()}"
+        raise PrqlCompileError(f"unknown literal kind {k}")
+
+    def _ident(self, node: Ident) -> CExpr:
+        name = node.name
+        if name in self.scope:
+            return CExpr(_q(self.scope[name]))
+        if name in stdlib.ZERO_ARG:
+            return self._call(name, [], {})
+        if name in self.funcs and not self.funcs[name].pos_params:
+            return self.expr(self._inline_user(name, [], {}))
+        # unresolved: pass through (Spark analyzes against the plan)
+        return CExpr(_q(name) if "." not in name else name)
+
+    def _binary(self, node: Binary) -> CExpr:
+        if node.op == "??":
+            l, r = self.expr(node.left), self.expr(node.right)
+            return CExpr(
+                f"COALESCE({l.sql}, {r.sql})", _max_kind(l.kind, r.kind)
+            )
+        # null comparisons
+        if node.op in ("==", "!=") and (
+            _is_null(node.right) or _is_null(node.left)
+        ):
+            operand = node.left if _is_null(node.right) else node.right
+            ce = self.expr(operand)
+            neg = " NOT" if node.op == "!=" else ""
+            return CExpr(f"({ce.sql} IS{neg} NULL)", ce.kind)
+        l, r = self.expr(node.left), self.expr(node.right)
+        op = _CMP_MAP.get(node.op, node.op)
+        return CExpr(f"({l.sql} {op} {r.sql})", _max_kind(l.kind, r.kind))
+
+    def _expr_pipeline(self, node: ExprPipeline) -> CExpr:
+        cur = node.steps[0]
+        for step in node.steps[1:]:
+            if isinstance(step, Ident):
+                step = FuncCall(step.name, [], {})
+            if not isinstance(step, FuncCall):
+                raise PrqlCompileError("cannot pipe into a non-function")
+            step = FuncCall(step.name, step.args + [cur], step.named)
+            cur = step
+        return self.expr(cur)
+
+    # -- function calls
+    def _call(self, name: str, args: list, named: dict) -> CExpr:
+        if name in self.funcs:
+            return self.expr(self._inline_user(name, args, named))
+
+        if name == "count":
+            inner = "*" if not args else self.expr(args[0]).sql
+            return self._agg_result(f"COUNT({inner})")
+        if name in stdlib.AGG_TEMPLATES:
+            a = [self.expr(x).sql for x in args]
+            return self._agg_result(stdlib.AGG_TEMPLATES[name].format(*a))
+        if name in ("lag", "lead"):
+            fn = name.upper()
+            if len(args) == 2:
+                off = self.expr(args[0]).sql
+                col = self.expr(args[1]).sql
+            else:
+                off, col = "1", self.expr(args[0]).sql
+            return self._win_result(f"{fn}({col}, {off})")
+        if name in stdlib.WIN_TEMPLATES:
+            return self._win_result(stdlib.WIN_TEMPLATES[name])
+        if name in stdlib.FIRST_LAST:
+            col = self.expr(args[-1]).sql
+            return self._win_result(
+                f"{stdlib.FIRST_LAST[name]}({col})", full_frame=True
+            )
+        if name == "round":
+            a = [self.expr(x).sql for x in args]
+            if len(a) == 1:
+                return CExpr(f"ROUND({a[0]})")
+            # v0 stdlib order: round column n_digits; accept either if
+            # one side is clearly the literal digit count
+            if isinstance(args[0], Lit) and not isinstance(args[1], Lit):
+                return CExpr(f"ROUND({a[1]}, {a[0]})")
+            return CExpr(f"ROUND({a[0]}, {a[1]})")
+        if name == "coalesce":
+            a = [self.expr(x).sql for x in args]
+            return CExpr(f"COALESCE({', '.join(a)})")
+        if name == "in":
+            if len(args) != 2:
+                raise PrqlCompileError("in expects (range, value)")
+            rng, value = args[0], args[1]
+            v = self.expr(value).sql
+            if isinstance(rng, RangeLit):
+                lo = self.expr(rng.start).sql if rng.start is not None else None
+                hi = self.expr(rng.end).sql if rng.end is not None else None
+                if lo is not None and hi is not None:
+                    return CExpr(f"({v} BETWEEN {lo} AND {hi})")
+                if lo is not None:
+                    return CExpr(f"({v} >= {lo})")
+                if hi is not None:
+                    return CExpr(f"({v} <= {hi})")
+                return CExpr("TRUE")
+            if isinstance(rng, ListExpr):
+                opts = ", ".join(self.expr(x).sql for x in rng.items)
+                return CExpr(f"({v} IN ({opts}))")
+            raise PrqlCompileError("in expects a range or list first arg")
+        if name == "as":
+            # v0 stdlib: `as column type`; tolerate either order
+            if len(args) != 2:
+                raise PrqlCompileError("as expects (column, type)")
+            t0 = (
+                args[0].name.lower()
+                if isinstance(args[0], Ident)
+                else None
+            )
+            t1 = (
+                args[1].name.lower()
+                if isinstance(args[1], Ident)
+                else None
+            )
+            if t1 in stdlib.SQL_TYPE_NAMES:
+                col, typ = self.expr(args[0]).sql, args[1].name
+            elif t0 in stdlib.SQL_TYPE_NAMES:
+                col, typ = self.expr(args[1]).sql, args[0].name
+            else:
+                raise PrqlCompileError("as: could not identify the type arg")
+            return CExpr(f"CAST({col} AS {typ.upper()})")
+        if name in stdlib.EXTRA_SCALAR:
+            a = [self.expr(x).sql for x in args]
+            return CExpr(f"{stdlib.EXTRA_SCALAR[name]}({', '.join(a)})")
+        raise PrqlCompileError(f"unknown function {name!r}")
+
+    def _agg_result(self, sql: str) -> CExpr:
+        if self.window_mode == "agg":
+            return CExpr(sql, "agg")
+        over = self._over_clause(need_order=False, with_frame=True)
+        return CExpr(f"{sql} OVER ({over})", "win")
+
+    def _win_result(self, sql: str, full_frame: bool = False) -> CExpr:
+        if self.window_mode == "agg":
+            # window funcs aren't valid inside aggregate
+            raise PrqlCompileError(f"window function in aggregate: {sql}")
+        over = self._over_clause(
+            need_order=True, with_frame=False, full_frame=full_frame
+        )
+        return CExpr(f"{sql} OVER ({over})", "win")
+
+    def _over_clause(
+        self,
+        need_order: bool,
+        with_frame: bool,
+        full_frame: bool = False,
+    ) -> str:
+        parts = []
+        if self.group_keys:
+            parts.append("PARTITION BY " + ", ".join(self.group_keys))
+        frame = self.frame if with_frame else None
+        order = self.sort
+        if (need_order or frame or full_frame) and not order:
+            order = [("monotonically_increasing_id()", True)]
+        if order and (need_order or frame or full_frame):
+            spec = ", ".join(
+                f"{sql}{'' if asc else ' DESC'}" for sql, asc in order
+            )
+            parts.append("ORDER BY " + spec)
+        if frame:
+            parts.append(frame)
+        elif full_frame:
+            parts.append(
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+            )
+        return " ".join(parts)
+
+    # -- s-string interpolation
+    def _interp(self, parts: list) -> str:
+        out = []
+        for p in parts:
+            out.append(p if isinstance(p, str) else self.expr(p).sql)
+        return "".join(out)
+
+    # -- user function inlining (reference: sql/materializer.rs)
+    def _inline_user(self, name: str, args: list, named: dict):
+        fd = self.funcs[name]
+        if len(args) > len(fd.pos_params):
+            raise PrqlCompileError(
+                f"{name}: too many args ({len(args)} > {len(fd.pos_params)})"
+            )
+        binding: dict = {}
+        for pname, arg in zip(fd.pos_params, args):
+            binding[pname] = arg
+        for pname, default in fd.named_params.items():
+            binding[pname] = named.get(pname, default)
+        missing = [p for p in fd.pos_params if p not in binding]
+        if missing:
+            raise PrqlCompileError(f"{name}: missing args {missing}")
+        return _substitute(fd.body, binding)
+
+    # ------------------------------------------------------ item helpers
+
+    def _items(self, step: FuncCall) -> list:
+        items: list = []
+        for a in step.args:
+            if isinstance(a, ListExpr):
+                items.extend(a.items)
+            else:
+                items.append(a)
+        for a in step.named.get("_assigns", []):
+            items.append(a)
+        if not items:
+            raise PrqlCompileError(f"{step.name}: no arguments")
+        return items
+
+    def _named_item(self, it) -> tuple[str, object]:
+        if isinstance(it, Assign):
+            return it.name, it.expr
+        return self._auto_name(it), it
+
+    def _auto_name(self, node) -> str:
+        if isinstance(node, Ident):
+            return node.name.split(".")[-1]
+        if isinstance(node, FuncCall):
+            bits = [node.name] + [
+                a.name.split(".")[-1] for a in node.args if isinstance(a, Ident)
+            ]
+            return _NAME_SAFE.sub("_", "_".join(bits)).strip("_")
+        sql = self.expr(node).sql
+        return _NAME_SAFE.sub("_", sql).strip("_").lower()[:40] or "expr"
+
+
+def _max_kind(a: str, b: str) -> str:
+    order = {"plain": 0, "win": 1, "agg": 2}
+    return a if order[a] >= order[b] else b
+
+
+def _is_null(node) -> bool:
+    return isinstance(node, Lit) and node.kind == "null"
+
+
+def _substitute(node, binding: dict):
+    """Replace parameter idents with bound argument ASTs (deep copy)."""
+    if isinstance(node, Ident):
+        return binding.get(node.name, node)
+    if isinstance(node, Lit):
+        return node
+    if isinstance(node, Unary):
+        return Unary(node.op, _substitute(node.expr, binding))
+    if isinstance(node, Binary):
+        return Binary(
+            node.op,
+            _substitute(node.left, binding),
+            _substitute(node.right, binding),
+        )
+    if isinstance(node, FuncCall):
+        return FuncCall(
+            node.name,
+            [_substitute(a, binding) for a in node.args],
+            {
+                k: (
+                    [_substitute(x, binding) for x in v]
+                    if isinstance(v, list)
+                    else _substitute(v, binding)
+                )
+                for k, v in node.named.items()
+            },
+        )
+    if isinstance(node, SString):
+        return SString(
+            [p if isinstance(p, str) else _substitute(p, binding) for p in node.parts]
+        )
+    if isinstance(node, FString):
+        return FString(
+            [p if isinstance(p, str) else _substitute(p, binding) for p in node.parts]
+        )
+    if isinstance(node, ListExpr):
+        return ListExpr([_substitute(i, binding) for i in node.items])
+    if isinstance(node, Assign):
+        return Assign(node.name, _substitute(node.expr, binding))
+    if isinstance(node, ExprPipeline):
+        return ExprPipeline([_substitute(s, binding) for s in node.steps])
+    if isinstance(node, RangeLit):
+        return RangeLit(
+            _substitute(node.start, binding) if node.start is not None else None,
+            _substitute(node.end, binding) if node.end is not None else None,
+        )
+    return node
+
+
+def compile_prql(text: str, catalog: Catalog) -> DataFrame:
+    """Compile PRQL source to a (lazy) Spark DataFrame."""
+    try:
+        q = parse(text)
+    except PrqlParseError as e:
+        raise PrqlParseError(f"{e}\n--- in query:\n{text}") from None
+    return Compiler(catalog).compile_query(q)

@@ -1,0 +1,94 @@
+"""Table catalog: name → lazily-planned Spark DataFrame.
+
+Scale posture: tables resolve to format readers (parquet by default)
+so Catalyst sees the scan directly — filters/projections push down to
+the file source. Tiny fixed-cardinality dims (region: 5 rows,
+nation: 25) are marked for broadcast so joins against them never
+shuffle the fact side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Dims that stay tiny at ANY scale factor (fixed cardinality in the
+# TPC-H-ish generator) — always broadcast-joinable. customer/part/
+# supplier GROW with SF, so they are left to AQE + the
+# autoBroadcastJoinThreshold rather than force-broadcast.
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+
+class Catalog:
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_dir: str | None = None,
+        fmt: str = "parquet",
+        broadcast: frozenset = ALWAYS_BROADCAST,
+    ):
+        self.spark = spark
+        self.data_dir = data_dir
+        self.fmt = fmt
+        self.broadcast_names = set(broadcast)
+        self._registered: dict[str, DataFrame] = {}
+
+    def register(self, name: str, df: DataFrame, broadcast: bool = False):
+        self._registered[name] = df
+        if broadcast:
+            self.broadcast_names.add(name)
+
+    def load(self, name: str) -> DataFrame:
+        if name in self._registered:
+            return self._registered[name]
+        if self.data_dir is None:
+            raise KeyError(f"table {name!r} not registered and no data_dir set")
+        path = os.path.join(self.data_dir, f"{name}.{self.fmt}")
+        if not os.path.exists(path):
+            # allow directory-style datasets (partitioned writes)
+            alt = os.path.join(self.data_dir, name)
+            if os.path.exists(alt):
+                path = alt
+            else:
+                raise KeyError(f"table {name!r}: no file at {path}")
+        df = self.spark.read.format(self.fmt).load(path)
+        if self.fmt == "parquet":
+            df = self._fix_nanos(df, path)
+        return df
+
+    def _fix_nanos(self, df: DataFrame, path: str):
+        """Spark rejects parquet TIMESTAMP(NANOS); with
+        ``spark.sql.legacy.parquet.nanosAsLong`` they surface as int64
+        nanos — convert those columns back to real timestamps (footer
+        inspection is driver-side metadata only, no data read)."""
+        try:
+            import pyarrow.parquet as pq
+
+            if os.path.isdir(path):
+                files = [
+                    os.path.join(path, f)
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                ]
+                if not files:
+                    return df
+                schema = pq.read_schema(files[0])
+            else:
+                schema = pq.read_schema(path)
+        except Exception:
+            return df
+        from pyspark.sql import functions as F
+
+        for field in schema:
+            if str(field.type) == "timestamp[ns]":
+                df = df.withColumn(
+                    field.name,
+                    F.timestamp_micros(
+                        (F.col(field.name) / F.lit(1000)).cast("long")
+                    ),
+                )
+        return df
+
+    def is_broadcast(self, name: str) -> bool:
+        return name in self.broadcast_names
