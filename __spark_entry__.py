@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented capability from
+SURVEY.md §2; each is a PRQL query compiled by prql_spark (or a
+DataFrame-API operator for the training-data ops). ``oracle_sql()``
+gives the DuckDB-equivalent SQL the driver cross-checks at sf0.01.
+
+Float note: aggregate outputs are rounded identically on both sides
+(Spark and DuckDB sum doubles in different orders; exact fp equality
+is not meaningful, the driver hashes values).
 """
 
 from __future__ import annotations
@@ -13,26 +16,374 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from prql_spark import Catalog, compile_prql
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _cat(spark: SparkSession, sf_dir: str) -> Catalog:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return Catalog(spark, sf_dir)
+
+
+def _prql(text: str) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return compile_prql(text, _cat(spark, sf_dir))
+
+    return fn
+
+
+# ----------------------------------------------------------- PRQL queries
+
+Q1_PRICING_SUMMARY = """
+from lineitem
+filter l_shipdate <= @1998-09-02
+derive [disc_price = l_extendedprice * (1 - l_discount)]
+group [l_returnflag, l_linestatus] (
+  aggregate [
+    sum_qty = round (sum l_quantity) 2,
+    sum_base_price = round (sum l_extendedprice) 2,
+    sum_disc_price = round (sum disc_price) 2,
+    avg_qty = round (avg l_quantity) 4,
+    avg_price = round (avg l_extendedprice) 4,
+    avg_disc = round (avg l_discount) 6,
+    count_order = count,
+  ]
+)
+sort [l_returnflag, l_linestatus]
+"""
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+Q3_SHIPPING_PRIORITY = """
+from c=customer
+join o=orders [o_custkey == c_custkey]
+join l=lineitem [l_orderkey == o_orderkey]
+filter c_mktsegment == "BUILDING" and o_orderdate < @1995-03-15 and l_shipdate > @1995-03-15
+group [l_orderkey, o_orderdate, o_orderpriority] (
+  aggregate [revenue = round (sum (l_extendedprice * (1 - l_discount))) 2]
+)
+sort [-revenue, l_orderkey]
+take 10
+select [l_orderkey, revenue, o_orderdate, o_orderpriority]
+"""
+
+Q3_SQL = """
+SELECT l_orderkey,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+Q5_LOCAL_SUPPLIER = """
+from c=customer
+join o=orders [o_custkey == c_custkey]
+join l=lineitem [l_orderkey == o_orderkey]
+join s=supplier [s_suppkey == l_suppkey]
+join n=nation [n_nationkey == s_nationkey]
+join r=region [r_regionkey == n_regionkey]
+filter r_name == "ASIA" and o_orderdate >= @1994-01-01
+group [n_name] (
+  aggregate [revenue = round (sum (l_extendedprice * (1 - l_discount))) 2]
+)
+sort [-revenue, n_name]
+"""
+
+Q5_SQL = """
+SELECT n_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1994-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+Q6_FORECAST_REVENUE = """
+from lineitem
+filter l_shipdate >= @1994-01-01 and l_shipdate < @1995-01-01
+filter (l_discount | in 0.05..0.07) and l_quantity < 24
+aggregate [revenue = round (sum (l_extendedprice * l_discount)) 2]
+"""
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+TOP_CUSTOMERS = """
+from c=customer
+join side:left o=orders [o_custkey == c_custkey]
+group [c_custkey, c_name] (
+  aggregate [
+    n_orders = s"COUNT({o.o_orderkey})",
+    total_spent = round (sum (o_totalprice ?? 0.0)) 2,
+  ]
+)
+sort [-total_spent, c_custkey]
+take 25
+"""
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+  round(sum(coalesce(o_totalprice, 0.0)), 2) AS total_spent
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey
+LIMIT 25
+"""
+
+DISTINCT_SEGMENTS = """
+from customer
+select [c_mktsegment]
+group [c_mktsegment] (take 1)
+sort [c_mktsegment]
+"""
+
+DISTINCT_SEGMENTS_SQL = """
+SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+"""
+
+RUNNING_TOTAL = """
+from orders
+group [o_custkey] (
+  sort [o_orderdate, o_orderkey]
+  window expanding:true (
+    derive [running_spend = round (sum o_totalprice) 2]
+  )
+)
+select [o_orderkey, o_custkey, running_spend]
+sort [o_orderkey]
+"""
+
+RUNNING_TOTAL_SQL = """
+SELECT o_orderkey, o_custkey,
+  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+    AS running_spend
+FROM orders ORDER BY o_orderkey
+"""
+
+MOVING_AVERAGE = """
+from orders
+sort [o_orderkey]
+window rolling:7 (
+  derive [sma7 = round (avg o_totalprice) 2]
+)
+select [o_orderkey, sma7]
+sort [o_orderkey]
+"""
+
+MOVING_AVERAGE_SQL = """
+SELECT o_orderkey,
+  round(avg(o_totalprice) OVER (ORDER BY o_orderkey
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS sma7
+FROM orders ORDER BY o_orderkey
+"""
+
+GROUP_TOPK = """
+from orders
+group [o_orderstatus] (
+  sort [-o_totalprice, o_orderkey]
+  take 3
+)
+select [o_orderstatus, o_orderkey, o_totalprice]
+sort [o_orderstatus, -o_totalprice]
+"""
+
+GROUP_TOPK_SQL = """
+SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+    ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t
+WHERE rn <= 3
+ORDER BY o_orderstatus, o_totalprice DESC
+"""
+
+LAG_LEAD = """
+from orders
+group [o_custkey] (
+  sort [o_orderdate, o_orderkey]
+  derive [
+    prev_price = lag 1 o_totalprice,
+    order_seq = row_number,
+  ]
+)
+select [o_orderkey, o_custkey, prev_price, order_seq]
+sort [o_orderkey]
+"""
+
+LAG_LEAD_SQL = """
+SELECT o_orderkey, o_custkey,
+  lag(o_totalprice, 1) OVER w AS prev_price,
+  row_number() OVER w AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+TAKE_RANGE = """
+from orders
+sort [-o_totalprice, o_orderkey]
+take 11..30
+select [o_orderkey, o_totalprice]
+"""
+
+TAKE_RANGE_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10
+"""
+
+NULL_HANDLING = """
+from events
+derive [
+  v = value ?? -1.0,
+  missing = value == null,
+]
+group [event_type, missing] (
+  aggregate [n = count, total_v = round (sum v) 2]
+)
+sort [event_type, missing]
+"""
+
+NULL_HANDLING_SQL = """
+SELECT event_type, value IS NULL AS missing, count(*) AS n,
+  round(sum(coalesce(value, -1.0)), 2) AS total_v
+FROM events
+GROUP BY event_type, missing
+ORDER BY event_type, missing
+"""
+
+FSTRING_CAST = """
+from nation
+join region [r_regionkey == n_regionkey]
+select [
+  nation_tag = f"{n_name}-{r_name}",
+  key_str = (n_nationkey | as string),
+]
+sort [nation_tag]
+"""
+
+FSTRING_CAST_SQL = """
+SELECT concat(n_name, '-', r_name) AS nation_tag,
+  CAST(n_nationkey AS VARCHAR) AS key_str
+FROM nation JOIN region ON r_regionkey = n_regionkey
+ORDER BY nation_tag
+"""
+
+USER_FUNC_CTE = """
+func discounted price disc -> price * (1 - disc)
+table cheap_parts = (
+  from part
+  filter p_retailprice < 1200
+)
+from l=lineitem
+join p=cheap_parts [p_partkey == l_partkey]
+derive [net = (discounted l_extendedprice l_discount)]
+group [p_brand] (
+  aggregate [n = count, net_total = round (sum net) 2]
+)
+sort [p_brand]
+"""
+
+USER_FUNC_CTE_SQL = """
+WITH cheap_parts AS (SELECT * FROM part WHERE p_retailprice < 1200)
+SELECT p_brand, count(*) AS n,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_total
+FROM lineitem JOIN cheap_parts ON p_partkey = l_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+EVENTS_SESSIONS = """
+from events
+derive [day = s"CAST(CAST({ts} AS DATE) AS STRING)"]
+group [user_id, day] (
+  aggregate [
+    n_events = count,
+    n_types = count_distinct event_type,
+    value_sum = round (sum (value ?? 0.0)) 2,
+  ]
+)
+sort [user_id, day]
+take 500
+"""
+
+EVENTS_SESSIONS_SQL = """
+SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+  count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+  round(sum(coalesce(value, 0.0)), 2) AS value_sum
+FROM events
+GROUP BY user_id, day
+ORDER BY user_id, day
+LIMIT 500
+"""
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary) on sf0.001."""
+    return compile_prql(Q1_PRICING_SUMMARY, _cat(spark, SF0001))
+
+
+_PRQL_QUERIES: dict[str, tuple[str, str]] = {
+    "q1_pricing_summary": (Q1_PRICING_SUMMARY, Q1_SQL),
+    "q3_shipping_priority": (Q3_SHIPPING_PRIORITY, Q3_SQL),
+    "q5_local_supplier": (Q5_LOCAL_SUPPLIER, Q5_SQL),
+    "q6_forecast_revenue": (Q6_FORECAST_REVENUE, Q6_SQL),
+    "top_customers_left_join": (TOP_CUSTOMERS, TOP_CUSTOMERS_SQL),
+    "distinct_idiom": (DISTINCT_SEGMENTS, DISTINCT_SEGMENTS_SQL),
+    "window_running_total": (RUNNING_TOTAL, RUNNING_TOTAL_SQL),
+    "window_moving_average": (MOVING_AVERAGE, MOVING_AVERAGE_SQL),
+    "group_topk": (GROUP_TOPK, GROUP_TOPK_SQL),
+    "window_lag_row_number": (LAG_LEAD, LAG_LEAD_SQL),
+    "take_range": (TAKE_RANGE, TAKE_RANGE_SQL),
+    "null_handling": (NULL_HANDLING, NULL_HANDLING_SQL),
+    "fstring_cast": (FSTRING_CAST, FSTRING_CAST_SQL),
+    "user_func_cte": (USER_FUNC_CTE, USER_FUNC_CTE_SQL),
+    "events_daily_rollup": (EVENTS_SESSIONS, EVENTS_SESSIONS_SQL),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (prql, _sql) in _PRQL_QUERIES.items():
+        out[name] = _prql(prql)
+    from prql_spark.operators import entry_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out.update(entry_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {name: sql for name, (_p, sql) in _PRQL_QUERIES.items()}
+    from prql_spark.operators import entry_oracles
+
+    out.update(entry_oracles())
+    return out

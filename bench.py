@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ...}
+
+Large results are drained with count() (keeps the measurement about
+the plan, not driver row transfer); small results are collected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from prql_spark import build_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# name -> drain mode ("collect" for small results, "count" for big)
+HEADLINE = {
+    "q1_pricing_summary": "collect",
+    "q3_shipping_priority": "collect",
+    "q5_local_supplier": "collect",
+    "q6_forecast_revenue": "collect",
+    "top_customers_left_join": "collect",
+    "window_running_total": "count",
+    "group_topk": "collect",
+    "events_hourly_rollup": "count",
+    "dedup_exact": "count",
+    "dedup_minhash_lsh": "count",
+    "text_quality_score": "count",
+    "ann_bruteforce_topk": "collect",
+}
+
+
+def main():
+    spark = build_spark("prql_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name, mode in HEADLINE.items():
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        if mode == "count":
+            df.count()
+        else:
+            df.collect()
+        times[name] = round(time.time() - t0, 3)
+    total = round(sum(times.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

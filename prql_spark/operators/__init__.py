@@ -1,0 +1,371 @@
+"""Training-data pipeline operators + driver entry wiring.
+
+``entry_queries()`` / ``entry_oracles()`` feed __spark_entry__.py:
+each operator gets a (spark, sf_dir) callable; oracle SQL is provided
+wherever the computation is DuckDB-expressible (everything except the
+xxhash64-based signatures and the mapInPandas multimodal stubs, which
+the driver checks rows-only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from prql_spark.operators import dedup, multimodal, similarity, text
+from prql_spark.sources.catalog import Catalog
+
+NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"  # duckdb
+WORDS_DD = f"string_split({NORM}, ' ')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Catalog(spark, sf_dir).load("documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Catalog(spark, sf_dir).load("embeddings")
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _embs(spark, sf_dir)
+        .where(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+    )
+
+
+# ------------------------------------------------------------- entries
+
+
+def q_dedup_exact(spark, sf_dir):
+    out = dedup.dedup_exact(_docs(spark, sf_dir))
+    return out.select("doc_id").orderBy("doc_id")
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT doc_id FROM (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5({NORM})) AS keeper
+  FROM documents) t
+WHERE doc_id = keeper ORDER BY doc_id
+"""
+
+
+def q_token_count(spark, sf_dir):
+    out = text.token_count(_docs(spark, sf_dir))
+    return out.select("doc_id", "ws_tokens", "bpe_tokens").orderBy("doc_id")
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+  len(regexp_extract_all(text, '{text.BPE_ISH}')) AS bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality(spark, sf_dir):
+    out = text.quality_score(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_chars_q",
+        F.expr("round(alpha_ratio, 6)").alias("alpha_ratio"),
+        F.expr("round(punct_ratio, 6)").alias("punct_ratio"),
+        "n_words",
+        F.expr("round(stopword_ratio, 6)").alias("stopword_ratio"),
+        "quality",
+    ).orderBy("doc_id")
+
+
+_STOP_RE = "\\b(" + "|".join(text.STOPWORDS_EN) + ")\\b"
+
+SQL_QUALITY = f"""
+WITH f AS (
+  SELECT doc_id,
+    length(text) AS n,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+    len({WORDS_DD}) AS n_words,
+    len(regexp_extract_all(lower(text), '{_STOP_RE}')) AS stops
+  FROM documents)
+SELECT doc_id,
+  n AS n_chars_q,
+  round(CASE WHEN n = 0 THEN 0.0 ELSE alpha / n END, 6) AS alpha_ratio,
+  round(CASE WHEN n = 0 THEN 0.0 ELSE punct / n END, 6) AS punct_ratio,
+  n_words,
+  round(CASE WHEN n_words = 0 THEN 0.0 ELSE stops / n_words END, 6)
+    AS stopword_ratio,
+  round(least(1.0, greatest(0.0,
+    0.25 * least(n / 500.0, 1.0)
+    + 0.35 * (CASE WHEN n = 0 THEN 0.0 ELSE alpha / n END)
+    + 0.25 * least((CASE WHEN n_words = 0 THEN 0.0
+                    ELSE stops / n_words END) * 4.0, 1.0)
+    + 0.15 * (1.0 - least((CASE WHEN n = 0 THEN 0.0
+                           ELSE punct / n END) * 10.0, 1.0)))), 6)
+    AS quality
+FROM f ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    out = text.lang_id(_docs(spark, sf_dir))
+    return out.select("doc_id", "lang_guess").orderBy("doc_id")
+
+
+def _lang_score_dd(lang: str) -> str:
+    pat = "\\b(" + "|".join(text.LANG_SIGNATURES[lang]) + ")\\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
+
+
+# tie-break mirrors Spark's array_max on (score, lang) structs:
+# highest score, then lexicographically greatest lang.
+SQL_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id,
+    {_lang_score_dd('en')} AS s_en, {_lang_score_dd('de')} AS s_de,
+    {_lang_score_dd('fr')} AS s_fr, {_lang_score_dd('es')} AS s_es
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       ELSE 'de' END AS lang_guess
+FROM s ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    out = text.fingerprint(_docs(spark, sf_dir))
+    return out.select("doc_id", "fp_md5").orderBy("doc_id")
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id, md5({NORM}) AS fp_md5 FROM documents ORDER BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(0, greatest(len({WORDS_DD}) - 3, 0) + 1),
+      i -> concat_ws(' ', list_slice({WORDS_DD}, i + 1, i + 3)))) AS grams,
+    concat({WORDS_DD}[1], '#',
+      CAST(CAST(floor(length({NORM}) / 100) AS INT) AS VARCHAR)) AS block
+  FROM documents)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+  round(len(list_intersect(l.grams, r.grams)) /
+        (len(l.grams) + len(r.grams)
+         - len(list_intersect(l.grams, r.grams))), 6) AS jaccard
+FROM g l JOIN g r
+  ON l.block = r.block AND l.doc_id < r.doc_id
+WHERE len(l.grams) > 0
+  AND round(len(list_intersect(l.grams, r.grams)) /
+        (len(l.grams) + len(r.grams)
+         - len(list_intersect(l.grams, r.grams))), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    out = dedup.dedup_minhash_lsh(
+        _docs(spark, sf_dir), threshold=0.5
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    sigs = dedup.simhash_signatures(_docs(spark, sf_dir))
+    return dedup.simhash_near_pairs(sigs, max_hamming=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---- embedding similarity
+
+_DOT_DD = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+
+def _cos_dd(a: str, b: str) -> str:
+    dot = _DOT_DD.format(a=a, b=b)
+    na = _DOT_DD.format(a=a, b=a)
+    nb = _DOT_DD.format(a=b, b=b)
+    return f"({dot} / (sqrt({na}) * sqrt({nb})))"
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    return similarity.brute_force_topk(
+        _embs(spark, sf_dir), _queries_df(spark, sf_dir), k=10
+    ).orderBy("query_id", "rk" if False else F.desc("cosine"), "vec_id")
+
+
+SQL_ANN_BRUTEFORCE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, d.vec_id,
+    round({_cos_dd('d.embedding', 'q.qvec')}, 6) AS cosine
+  FROM embeddings d CROSS JOIN q),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rk <= 10
+ORDER BY query_id, cosine DESC, vec_id
+"""
+
+
+def _planes_sql_dd(planes: list[list[float]]) -> list[str]:
+    return [
+        "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in p) + "]"
+        for p in planes
+    ]
+
+
+def _bucket_dd(vec: str, planes: list[list[float]]) -> str:
+    bits = []
+    for j, arr in enumerate(_planes_sql_dd(planes)):
+        dot = _DOT_DD.format(a=vec, b=arr)
+        bits.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def q_ann_lsh(spark, sf_dir):
+    return similarity.lsh_topk(
+        _embs(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        dim=64,
+        k=10,
+        n_planes=8,
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")
+
+
+def _sql_ann_lsh() -> str:
+    planes = similarity.hyperplanes(64, 8, seed=42)
+    bd = _bucket_dd("d.embedding", planes)
+    bq = _bucket_dd("q.qvec", planes)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, d.vec_id,
+    round({_cos_dd('d.embedding', 'q.qvec')}, 6) AS cosine
+  FROM embeddings d JOIN q ON {bd} = {bq}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rk <= 10
+ORDER BY query_id, cosine DESC, vec_id
+"""
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    return similarity.embedding_near_dups(
+        _embs(spark, sf_dir), dim=64, threshold=0.8, n_planes=8
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_embedding_near_dups() -> str:
+    planes = similarity.hyperplanes(64, 8, seed=42)
+    bl = _bucket_dd("l.embedding", planes)
+    br = _bucket_dd("r.embedding", planes)
+    cos = _cos_dd("l.embedding", "r.embedding")
+    return f"""
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+  round({cos}, 6) AS cosine
+FROM embeddings l JOIN embeddings r
+  ON {bl} = {br} AND l.vec_id < r.vec_id
+WHERE round({cos}, 6) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def q_multimodal_decode(spark, sf_dir):
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    out = multimodal.decode_features(media)
+    return out.select(
+        "media_id", "media_type", "width", "height", "n_bytes"
+    ).orderBy("media_id")
+
+
+def q_multimodal_frames(spark, sf_dir):
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    return (
+        multimodal.frame_sample(media)
+        .select("media_id", "frame_index", F.length("frame").alias("frame_bytes"))
+        .orderBy("media_id", "frame_index")
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window rollup — the batch twin of the streaming
+    pipeline in prql_spark.streaming (same plan under readStream)."""
+    ev = Catalog(spark, sf_dir).load("events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.expr("coalesce(value, 0.0)")), 2).alias("value_sum"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+  count(*) AS n, round(sum(coalesce(value, 0.0)), 2) AS value_sum
+FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type
+"""
+
+
+def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_exact": q_dedup_exact,
+        "text_token_count": q_token_count,
+        "text_quality_score": q_quality,
+        "text_lang_id": q_lang_id,
+        "text_fingerprint": q_fingerprint,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash,
+        "dedup_simhash_pairs": q_simhash_pairs,
+        "ann_bruteforce_topk": q_ann_bruteforce,
+        "ann_lsh_topk": q_ann_lsh,
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frame_sample": q_multimodal_frames,
+        "events_hourly_rollup": q_events_hourly,
+    }
+
+
+def entry_oracles() -> dict[str, str]:
+    return {
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "text_token_count": SQL_TOKEN_COUNT,
+        "text_quality_score": SQL_QUALITY,
+        "text_lang_id": SQL_LANG_ID,
+        "text_fingerprint": SQL_FINGERPRINT,
+        "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+        # dedup_minhash_lsh / dedup_simhash_pairs: xxhash64-based
+        # signatures aren't DuckDB-expressible → rows-only (tested
+        # against a pure-python reference in tests/test_operators.py)
+        "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE,
+        "ann_lsh_topk": _sql_ann_lsh(),
+        "embedding_near_dups": _sql_embedding_near_dups(),
+        # multimodal_*: mapInPandas stub plumbing → rows-only
+        "events_hourly_rollup": SQL_EVENTS_HOURLY,
+    }

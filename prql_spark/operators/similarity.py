@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, per SURVEY §2 #31/#32:
+- brute-force cosine top-k — exact baseline. The dot product is a
+  ``zip_with``/``aggregate`` higher-order expression (JVM-side); the
+  query set is broadcast, so the big side never shuffles: scan →
+  per-partition partial top-k → driver-side merge via TakeOrdered.
+- random-hyperplane LSH — the scale path: 16 seeded hyperplanes give
+  a 16-bit bucket; candidates come from matching buckets only, then
+  exact rerank. Hyperplanes are deterministic literals (seed 42), so
+  DuckDB can replay the same plan for the oracle.
+
+Embedding near-dup dedup (SURVEY §2 #30) reuses the same bucketing
+for a within-bucket self-join at cosine >= threshold.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> str:
+    return f"sqrt({_dot(a, a)})"
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return f"({_dot(a, b)} / ({_norm(a)} * {_norm(b)}))"
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    ``queries``: (query_id, qvec). Broadcast — the corpus side stays
+    put; Spark's rank-filter runs as a windowed partial top-k.
+    """
+    j = df.alias("d").join(F.broadcast(queries.alias("q")))
+    scored = j.select(
+        F.col(f"q.{query_id_col}").alias(query_id_col),
+        F.col(f"d.{id_col}").alias(id_col),
+        F.expr(f"round({cosine_expr('d.' + vec_col, 'q.qvec')}, 6)").alias(
+            "cosine"
+        ),
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.expr(
+                f"row_number() OVER (PARTITION BY {query_id_col} "
+                f"ORDER BY cosine DESC, {id_col})"
+            ),
+        )
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def _bucket_expr(vec: str, planes: list[list[float]]) -> str:
+    """16-bit LSH bucket id: sign bits of hyperplane dot products."""
+    bits = []
+    for j, p in enumerate(planes):
+        arr = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in p) + ")"
+        bits.append(f"IF({_dot(vec, arr)} > 0, {1 << j}, 0)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket,
+    then exact cosine rerank. One narrow map to bucket the corpus,
+    one broadcast-join on bucket id — no corpus shuffle."""
+    planes = hyperplanes(dim, n_planes, seed)
+    b = _bucket_expr(vec_col, planes)
+    bq = _bucket_expr("qvec", planes)
+    corpus = df.withColumn("__bucket", F.expr(b))
+    qs = queries.withColumn("__bucket", F.expr(bq))
+    j = corpus.alias("d").join(
+        F.broadcast(qs.alias("q")), on="__bucket", how="inner"
+    )
+    scored = j.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.expr(f"round({cosine_expr(vec_col, 'qvec')}, 6)").alias("cosine"),
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.expr(
+                f"row_number() OVER (PARTITION BY {query_id_col} "
+                f"ORDER BY cosine DESC, {id_col})"
+            ),
+        )
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, LSH-blocked.
+
+    8 planes → 256 buckets; only within-bucket pairs are scored.
+    (With random projections, cos >= 0.95 pairs collide on all 8
+    sign bits with p ≈ (1 - θ/π)^8 ≈ 0.87 — good recall while
+    cutting the pair space by ~256×.)
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    b = _bucket_expr(vec_col, planes)
+    base = df.select(
+        F.col(id_col), F.col(vec_col), F.expr(b).alias("__bucket")
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(
+            r,
+            on=F.expr(
+                f"l.__bucket = r.__bucket AND l.{id_col} < r.{id_col}"
+            ),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.expr(
+                f"round({cosine_expr('l.' + vec_col, 'r.' + vec_col)}, 6)"
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

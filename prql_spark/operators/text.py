@@ -1,0 +1,151 @@
+"""Text-analysis operators over a document corpus.
+
+All hot-path logic is built-in Spark SQL functions (regexp, arrays,
+higher-order lambdas) — JVM-side, whole-stage-codegen eligible, zero
+Python UDFs. Every operator is a narrow map over the documents scan:
+no shuffle, embarrassingly parallel, scales linearly with input
+splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# BPE-ish pre-tokenizer: letter runs, single digits, or single
+# non-alnum marks (GPT-2-style pre-tokenization shape).
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+STOPWORDS_EN = (
+    "the of and to in a is that it was for on are with as be at by this "
+    "have from or had not but what all were when we there can an your "
+    "which their said if do will each about how up out them she many "
+    "some so these would other into has more her two like him see time"
+).split()
+
+# tiny per-language stopword signatures for the n-gram/stopword
+# language-ID heuristic (documents tables carry en/de/fr/es).
+LANG_SIGNATURES = {
+    "en": "the and of to in is that it with for was on are this have".split(),
+    "de": "der die und das ist nicht von mit ein eine zu den dem auf".split(),
+    "fr": "le la les et des une est pour dans que qui sur pas vous".split(),
+    "es": "el la los las y una es para con que por del se como".split(),
+}
+
+
+def _words(col: str) -> str:
+    return f"split(lower(trim({col})), '\\\\s+')"
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per doc."""
+    ws = (
+        f"CASE WHEN trim({text_col}) = '' THEN 0 "
+        f"ELSE size(split(trim({text_col}), '\\\\s+')) END"
+    )
+    # Spark SQL string literals eat single backslashes — double them
+    # (the DuckDB oracle uses the raw pattern; DuckDB keeps '\s').
+    bpe_pat = BPE_ISH.replace("\\", "\\\\")
+    bpe = f"size(regexp_extract_all({text_col}, '{bpe_pat}', 0))"
+    return df.withColumns(
+        {
+            "ws_tokens": F.expr(ws),
+            "bpe_tokens": F.expr(bpe),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1].
+
+    Features follow common LLM-corpus filters (C4/Gopher-style):
+    length, alphabetic ratio, punctuation density, stopword ratio,
+    mean word length.
+    """
+    n = f"length({text_col})"
+    alpha = f"length(regexp_replace({text_col}, '[^A-Za-z]', ''))"
+    punct = f"length(regexp_replace({text_col}, '[^.,;:!?]', ''))"
+    stop_re = "\\\\b(" + "|".join(STOPWORDS_EN) + ")\\\\b"
+    words = _words(text_col)
+    out = df.withColumns(
+        {
+            "n_chars_q": F.expr(n),
+            "alpha_ratio": F.expr(
+                f"CASE WHEN {n} = 0 THEN 0.0 ELSE {alpha} / {n} END"
+            ),
+            "punct_ratio": F.expr(
+                f"CASE WHEN {n} = 0 THEN 0.0 ELSE {punct} / {n} END"
+            ),
+            "n_words": F.expr(f"size({words})"),
+            "stopword_ratio": F.expr(
+                f"CASE WHEN size({words}) = 0 THEN 0.0 ELSE "
+                f"size(regexp_extract_all(lower({text_col}), '{stop_re}', 0))"
+                f" / size({words}) END"
+            ),
+            "mean_word_len": F.expr(
+                f"CASE WHEN size({words}) = 0 THEN 0.0 ELSE "
+                f"aggregate({words}, 0, (a, w) -> a + length(w))"
+                f" / size({words}) END"
+            ),
+        }
+    )
+    # composite: reward mid-length docs, prose-like ratios
+    return out.withColumn(
+        "quality",
+        F.expr(
+            "round(least(1.0, greatest(0.0,"
+            " 0.25 * least(n_chars_q / 500.0, 1.0)"
+            " + 0.35 * alpha_ratio"
+            " + 0.25 * least(stopword_ratio * 4.0, 1.0)"
+            " + 0.15 * (1.0 - least(punct_ratio * 10.0, 1.0)))), 6)"
+        ),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword-signature language guess (en/de/fr/es).
+
+    Scores each language by signature-word hits per word, takes the
+    argmax via a struct array max — single projection, no shuffle.
+    """
+    scores = []
+    for lang, sig in LANG_SIGNATURES.items():
+        pat = "\\\\b(" + "|".join(sig) + ")\\\\b"
+        scores.append(
+            f"named_struct('score', "
+            f"size(regexp_extract_all(lower({text_col}), '{pat}', 0)), "
+            f"'lang', '{lang}')"
+        )
+    arr = "array(" + ", ".join(scores) + ")"
+    return df.withColumn(
+        "lang_guess",
+        F.expr(f"array_max({arr}).lang"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints.
+
+    - ``fp_md5``: md5 of whitespace-normalized lowercase text
+      (cross-engine stable → oracle-checkable).
+    - ``fp_winnow``: winnowing-style rolling fingerprint — min
+      xxhash64 over each window of 4 consecutive word-5-gram hashes,
+      distinct-sorted (robust to small edits; Schleimer et al. 2003).
+    """
+    norm = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
+    words = f"split({norm}, ' ')"
+    k, w = 5, 4
+    grams = (
+        f"transform(sequence(0, greatest(size({words}) - {k}, 0)), "
+        f"i -> xxhash64(concat_ws(' ', slice({words}, i + 1, {k}))))"
+    )
+    winnow = (
+        f"array_sort(array_distinct(transform("
+        f"sequence(0, greatest(size({grams}) - {w}, 0)), "
+        f"i -> array_min(slice({grams}, i + 1, {w})))))"
+    )
+    return df.withColumns(
+        {
+            "fp_md5": F.expr(f"md5({norm})"),
+            "fp_winnow": F.expr(winnow),
+        }
+    )

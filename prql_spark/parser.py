@@ -434,7 +434,19 @@ class Parser:
     def _parse_unary(self):
         if self.at_op("-", "+", "!"):
             op = self.next().value
-            return Unary(op, self._parse_unary())
+            inner = self._parse_unary()
+            # `-2..2` lexes as -(2..2); the minus belongs to the start edge
+            if (
+                op in "+-"
+                and isinstance(inner, RangeLit)
+                and isinstance(inner.start, Lit)
+                and inner.start.kind in ("int", "float")
+            ):
+                start = inner.start
+                if op == "-":
+                    start = Lit(-start.value, start.kind)
+                return RangeLit(start, inner.end)
+            return Unary(op, inner)
         return self._parse_postfix_range(self.parse_term())
 
     def _parse_postfix_range(self, node):

@@ -1,0 +1,17 @@
+from prql_spark.streaming import pipeline
+from prql_spark.streaming.pipeline import (
+    hourly_rollup,
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize,
+    sessionize_streaming,
+)
+
+__all__ = [
+    "hourly_rollup",
+    "pipeline",
+    "read_events_stream",
+    "run_stream_to_memory",
+    "sessionize",
+    "sessionize_streaming",
+]

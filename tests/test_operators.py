@@ -1,0 +1,224 @@
+"""Training-data operator correctness (SURVEY §2 #26-37).
+
+The xxhash64-based signatures (minhash/simhash) can't be oracled in
+DuckDB, so they are verified here against planted near-duplicates:
+the operators must find the planted pairs and not flood with false
+positives. Multimodal plumbing checks schema and batch-shape
+contracts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from prql_spark.operators import dedup, multimodal, similarity, text
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill and the birds sing in the "
+    "garden under a bright morning sun with soft wind in the trees"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """20 distinct docs + 3 near-dup variants of doc 0 + 1 exact dup."""
+    import random
+
+    rows = []
+    vocab = (BASE + " " + BASE.upper().lower()[::-1]).split() + [
+        f"w{i}" for i in range(200)
+    ]
+    for i in range(20):
+        rng = random.Random(1000 + i)
+        w = [rng.choice(vocab) for _ in range(40)]
+        rows.append(Row(doc_id=i, text=" ".join(w)))
+    rows[0] = Row(doc_id=0, text=BASE)
+    base_text = rows[0].text
+    rows.append(Row(doc_id=100, text=base_text))  # exact dup
+    rows.append(  # near dup: one word changed
+        Row(doc_id=101, text=base_text.replace("lazy", "sleepy"))
+    )
+    rows.append(  # near dup: word dropped
+        Row(doc_id=102, text=base_text.replace(" brown", ""))
+    )
+    return spark.createDataFrame(rows)
+
+
+def test_dedup_exact_keeps_min_id(planted_docs):
+    out = dedup.dedup_exact(planted_docs)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 0 in ids and 100 not in ids
+    assert len(ids) == 22  # 23 docs - 1 exact dup
+
+
+def test_minhash_finds_planted_near_dups(planted_docs):
+    sigs = dedup.minhash_signatures(planted_docs, shingle_k=3)
+    pairs = dedup.minhash_lsh_pairs(sigs, threshold=0.4).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 100) in found  # exact dup: jaccard 1.0
+    assert (0, 101) in found or (0, 102) in found
+    # rotations of each other shouldn't mass-collide at 0.4
+    assert len(found) < 60
+
+
+def test_minhash_est_jaccard_tracks_true_jaccard(planted_docs):
+    """Minhash estimate within ±0.25 of true shingle Jaccard."""
+    sigs = dedup.minhash_signatures(planted_docs, shingle_k=3)
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_lsh_pairs(sigs, threshold=0.3).collect()
+    }
+    rows = {
+        r.doc_id: r.text
+        for r in planted_docs.collect()
+    }
+
+    def true_jac(a, b):
+        def sh(t):
+            w = t.lower().split()
+            return {
+                " ".join(w[i : i + 3]) for i in range(max(len(w) - 3, 0) + 1)
+            }
+
+        sa, sb = sh(rows[a]), sh(rows[b])
+        return len(sa & sb) / len(sa | sb)
+
+    assert pairs[(0, 100)] == 1.0
+    for (a, b), est in pairs.items():
+        assert abs(est - true_jac(a, b)) < 0.25, (a, b, est, true_jac(a, b))
+
+
+def test_dedup_minhash_lsh_drops_dups(planted_docs):
+    out = dedup.dedup_minhash_lsh(planted_docs, threshold=0.5)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 0 in ids
+    assert 100 not in ids  # exact dup dropped
+    assert 101 not in ids  # near dup dropped
+
+
+def test_simhash_hamming_small_for_near_dups(planted_docs):
+    sigs = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_signatures(planted_docs).collect()
+    }
+
+    def ham(a, b):
+        return bin(sigs[a] ^ sigs[b]).count("1")
+
+    assert ham(0, 100) == 0  # identical text → identical simhash
+    assert ham(0, 101) < 20  # one-word edit flips few bits
+    assert ham(0, 102) < 20
+    # distinct random docs sit near the expected 32-bit distance
+    others = [ham(0, i) for i in range(5, 15)]
+    assert min(others) >= 20
+    # banded blocking surfaces the identical/near pairs
+    pairs = dedup.simhash_near_pairs(
+        dedup.simhash_signatures(planted_docs), max_hamming=10
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 100) in found and (0, 102) in found
+
+
+def test_ngram_jaccard_exact_pair_score(planted_docs):
+    pairs = dedup.ngram_jaccard_pairs(
+        planted_docs, n=3, threshold=0.5, block_expr="'all'"
+    ).collect()
+    scores = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert scores[(0, 100)] == 1.0
+    assert 0.5 <= scores[(0, 101)] < 1.0
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(spark):
+    """Random unit-ish vectors + a planted near-duplicate of vec 0."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        rows.append(
+            Row(vec_id=i, embedding=[rng.gauss(0, 1) for _ in range(16)])
+        )
+    dup = [x + rng.gauss(0, 0.01) for x in rows[0].embedding]
+    rows.append(Row(vec_id=200, embedding=dup))
+    df = spark.createDataFrame(rows)
+    return df.withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_brute_force_topk_exact(planted_vectors):
+    qs = planted_vectors.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.brute_force_topk(planted_vectors, qs, k=3).collect()
+    ranked = sorted(out, key=lambda r: -r.cosine)
+    assert ranked[0].vec_id == 0 and ranked[0].cosine == 1.0
+    assert ranked[1].vec_id == 200 and ranked[1].cosine > 0.99
+
+
+def test_embedding_near_dups_finds_planted(planted_vectors):
+    pairs = similarity.embedding_near_dups(
+        planted_vectors, dim=16, threshold=0.95, n_planes=6
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 200)}
+
+
+def test_lsh_topk_recall_on_near_dup(planted_vectors):
+    qs = planted_vectors.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.lsh_topk(
+        planted_vectors, qs, dim=16, k=5, n_planes=4
+    ).collect()
+    ids = [r.vec_id for r in sorted(out, key=lambda r: -r.cosine)]
+    # the planted near-dup collides on every plane → must be found
+    assert ids[:2] == [0, 200]
+
+
+def test_lang_id_on_real_snippets(spark):
+    # (the synthetic documents table uses one shared vocabulary for
+    # every lang label, so accuracy is only meaningful on real text)
+    samples = [
+        Row(doc_id=1, text="the cat is on the table and it is warm", want="en"),
+        Row(doc_id=2, text="der Hund ist nicht mit der Katze auf dem Sofa", want="de"),
+        Row(doc_id=3, text="le chat est dans la maison et il est content", want="fr"),
+        Row(doc_id=4, text="el perro es grande y la casa es blanca como una nube", want="es"),
+    ]
+    out = text.lang_id(spark.createDataFrame(samples)).collect()
+    for r in out:
+        assert r.lang_guess == r.want, (r.text, r.lang_guess, r.want)
+
+
+def test_multimodal_decode_schema_and_shape(spark, catalog):
+    media = multimodal.synthesize_media(catalog.load("documents").limit(50))
+    out = multimodal.decode_features(media)
+    assert [f.name for f in out.schema.fields] == [
+        "media_id",
+        "media_type",
+        "width",
+        "height",
+        "n_bytes",
+        "features",
+    ]
+    rows = out.collect()
+    assert len(rows) == 50  # decode: one row per input row
+    assert all(64 <= r.width < 256 and len(r.features) == 8 for r in rows)
+
+
+def test_multimodal_frame_sample_fanout(spark, catalog):
+    media = multimodal.synthesize_media(catalog.load("documents").limit(30))
+    vids = media.where(F.col("media_type") == "video/mp4")
+    n_vids = vids.count()
+    frames = multimodal.frame_sample(media).collect()
+    assert len(frames) >= n_vids  # ≥1 frame per video, none for others
+    assert {r.media_id % 3 for r in frames} == {2}
+
+
+def test_multimodal_resize_preserves_schema(spark, catalog):
+    media = multimodal.synthesize_media(catalog.load("documents").limit(10))
+    out = multimodal.resize(media, max_dim=64)
+    assert out.schema == media.schema
+    assert out.count() == 10

@@ -1,0 +1,87 @@
+"""Streaming pipeline tests (SURVEY §2 #38/#39).
+
+Strategy mirrors the reference's integration approach: run the real
+Structured Streaming query over a bounded replay of the events table
+and assert the stream result equals the batch twin.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from prql_spark.streaming import pipeline as sp
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Stage the events parquet as a multi-file directory so the
+    file-source stream sees several micro-batches."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    # nanos → micros normalization (same as Catalog)
+    from prql_spark.sources.catalog import Catalog
+
+    ev = Catalog(spark, SF_DIR).load("events")
+    ev.repartition(6).write.mode("overwrite").parquet(d)
+    assert len(glob.glob(os.path.join(d, "*.parquet"))) >= 2
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_hourly_rollup_equals_batch(spark, events_dir):
+    stream = sp.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    out = sp.run_stream_to_memory(
+        sp.hourly_rollup(stream), "hourly_rollup_t", "complete"
+    )
+    got = {
+        (r.bucket, r.event_type): (r.n, r.value_sum) for r in out.collect()
+    }
+    batch = sp.hourly_rollup(spark.read.parquet(events_dir))
+    want = {
+        (r.bucket, r.event_type): (r.n, r.value_sum) for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sessionize_batch_semantics(spark, events_dir):
+    ev = spark.read.parquet(events_dir)
+    out = sp.sessionize(ev, gap_minutes=30)
+    rows = out.select("user_id", "event_id", "ts", "session_id").collect()
+    assert len(rows) == ev.count()
+    # recompute sessions per user in python and compare
+    by_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rs in by_user.items():
+        seq, last = 0, None
+        for r in rs:
+            t = r.ts.timestamp()
+            if last is None or t - last > 1800:
+                seq += 1
+            last = t
+            assert r.session_id == f"{uid}#{seq}"
+
+
+def test_sessionize_streaming_matches_batch(spark, events_dir):
+    stream = sp.read_events_stream(spark, events_dir, max_files_per_trigger=100)
+    out = sp.run_stream_to_memory(
+        sp.sessionize_streaming(stream, gap_minutes=30),
+        "sessionize_t",
+        "append",
+    )
+    got = {r.event_id: r.session_id for r in out.collect()}
+    want = {
+        r.event_id: r.session_id
+        for r in sp.sessionize(
+            spark.read.parquet(events_dir), gap_minutes=30
+        ).collect()
+    }
+    # single micro-batch replay must agree exactly with batch
+    assert got == want
