@@ -27,10 +27,27 @@ class Catalog:
         data_dir: str | None = None,
         fmt: str = "parquet",
         broadcast: frozenset = ALWAYS_BROADCAST,
+        options: dict | None = None,
     ):
         self.spark = spark
+        # the events table carries TIMESTAMP(NANOS) parquet columns,
+        # which Spark rejects unless read as int64 nanos (converted
+        # back in _fix_nanos). Set here so ANY session — including a
+        # driver-provided one — can read the test tables.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
         self.data_dir = data_dir
         self.fmt = fmt
+        if options is None:
+            # csv needs these to be usable as a relational source
+            options = (
+                {"header": "true", "inferSchema": "true"}
+                if fmt == "csv"
+                else {}
+            )
+        self.options = options
         self.broadcast_names = set(broadcast)
         self._registered: dict[str, DataFrame] = {}
 
@@ -52,7 +69,7 @@ class Catalog:
                 path = alt
             else:
                 raise KeyError(f"table {name!r}: no file at {path}")
-        df = self.spark.read.format(self.fmt).load(path)
+        df = self.spark.read.format(self.fmt).options(**self.options).load(path)
         if self.fmt == "parquet":
             df = self._fix_nanos(df, path)
         return df

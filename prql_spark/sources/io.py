@@ -1,0 +1,90 @@
+"""Source/sink helpers (SURVEY §2 #24).
+
+Readers return lazy scans so Catalyst pushes filters/projections into
+the source. Writers expose the two layout levers that matter at
+100 TB: partitionBy (directory pruning for predicate-aligned reads)
+and bucketBy (pre-shuffled layout so later joins/aggs on the bucket
+key skip their exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    infer_schema: bool = True,
+    schema=None,
+    **options,
+) -> DataFrame:
+    r = spark.read.options(header=header, **options)
+    if schema is not None:
+        r = r.schema(schema)  # explicit schema: no inference scan
+    elif infer_schema:
+        r = r.option("inferSchema", True)
+    return r.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema=None, **options
+) -> DataFrame:
+    """JSON / JSONL reader (Spark's json source is line-delimited by
+    default; pass multiLine=True for document-per-file)."""
+    r = spark.read.options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+):
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    partition_by: list[str] | None = None,
+):
+    w = df.write.mode(mode).option("header", header)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.csv(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+):
+    """Persist as a bucketed managed table: joins/aggregations on
+    bucket_cols against another table bucketed the same way run
+    shuffle-free (Spark reuses the on-disk hash layout)."""
+    w = (
+        df.write.mode(mode)
+        .bucketBy(num_buckets, *bucket_cols)
+        .format("parquet")
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

@@ -1,0 +1,71 @@
+"""Source/sink round-trips + catalog behavior (SURVEY §2 #24/#25)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from prql_spark import Catalog, compile_prql
+from prql_spark.sources import io as pio
+
+
+def test_csv_roundtrip(spark, catalog, tmp_path):
+    d = str(tmp_path / "nation_csv")
+    nation = catalog.load("nation")
+    pio.write_csv(nation, d)
+    back = pio.read_csv(spark, d)
+    assert back.count() == 25
+    assert set(back.columns) == set(nation.columns)
+
+
+def test_json_roundtrip(spark, catalog, tmp_path):
+    d = str(tmp_path / "region_json")
+    region = catalog.load("region")
+    region.write.mode("overwrite").json(d)
+    back = pio.read_json(spark, d)
+    assert {tuple(sorted(r.asDict().items())) for r in back.collect()} == {
+        tuple(sorted(r.asDict().items())) for r in region.collect()
+    }
+
+
+def test_partitioned_parquet_prunes(spark, catalog, tmp_path):
+    d = str(tmp_path / "orders_part")
+    orders = catalog.load("orders")
+    pio.write_parquet(orders, d, partition_by=["o_orderstatus"])
+    # partition dirs exist
+    assert glob.glob(os.path.join(d, "o_orderstatus=*"))
+    back = spark.read.parquet(d)
+    sub = back.where(F.col("o_orderstatus") == "F")
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan (pruned read, no data filter)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    want = orders.where("o_orderstatus = 'F'").count()
+    assert sub.count() == want
+
+
+def test_catalog_over_csv_dir(spark, catalog, tmp_path):
+    """The PRQL front-end runs unchanged over a csv-backed catalog."""
+    d = str(tmp_path / "csvdata")
+    os.makedirs(d, exist_ok=True)
+    for t in ("nation", "region"):
+        catalog.load(t).coalesce(1).write.mode("overwrite").option(
+            "header", True
+        ).csv(os.path.join(d, f"{t}.csv"))
+    csv_cat = Catalog(spark, d, fmt="csv")
+    df = compile_prql(
+        "from nation\njoin region [r_regionkey == n_regionkey]\n"
+        "group [r_name] (aggregate [n = count])\nsort [r_name]",
+        csv_cat,
+    )
+    rows = df.collect()
+    assert len(rows) == 5 and all(r.n == 5 for r in rows)
+
+
+def test_catalog_register_and_broadcast_flag(spark, catalog):
+    df = catalog.load("region")
+    cat = Catalog(spark, None if False else "/root/testdata/sf0.001")
+    cat.register("dim", df, broadcast=True)
+    assert cat.is_broadcast("dim")
+    assert cat.load("dim") is df
