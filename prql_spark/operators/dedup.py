@@ -40,11 +40,14 @@ def dedup_exact(
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
-    # a < 2^29 and the shingle hash masked to 32 bits keep
-    # a*h + b < 2^63 — no overflow under Spark's ANSI mode.
+    # multiply-shift family: odd 64-bit multiplier + 64-bit offset,
+    # evaluated with wrapping uint64 arithmetic (numpy). Small
+    # multipliers would make (a*h + b) nearly order-preserving — every
+    # "permutation" then picks the same min shingle and similarity is
+    # overestimated.
     rng = random.Random(seed)
     return [
-        (rng.randrange(1, 1 << 29), rng.randrange(0, MERSENNE61))
+        (rng.randrange(1, 1 << 64) | 1, rng.randrange(0, 1 << 64))
         for _ in range(num_perm)
     ]
 
@@ -62,19 +65,16 @@ def minhash_signatures(
     minhash_j = min over shingles s of (a_j * h(s) + b_j) mod M61.
     """
     norm = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
-    words = f"split({norm}, ' ')"
-    shingles = (
-        f"array_distinct(transform("
-        f"sequence(0, greatest(size({words}) - {shingle_k}, 0)), "
-        f"i -> concat_ws(' ', slice({words}, i + 1, {shingle_k}))))"
-    )
     params = _perm_params(num_perm, seed)
-    # shingle strings are hashed ONCE, JVM-side (xxhash64, masked to
-    # 32 bits). The num_perm×n_shingles (a*h + b) mod M61 min-reduce
-    # is a vectorized Arrow-batched pandas UDF: numpy outer product
-    # beats interpreted higher-order lambdas ~50×, and the products
-    # (a < 2^29, h < 2^32 → < 2^61) are exact in uint64.
-    hashes = "transform(__shingles, s -> xxhash64(s) & 4294967295L)"
+
+    # Shingling + hashing + the num_perm-way min-reduce all run in ONE
+    # Arrow-batched pandas UDF: crc32 (zlib, C-speed, deterministic
+    # across executors — unlike Python's salted hash()) gives 32-bit
+    # shingle hashes; each permutation is a multiply-shift hash
+    # a*h + b over wrapping uint64 (numpy outer product). Replaces
+    # interpreted slice/concat_ws higher-order lambdas that dominated
+    # the profile ~10×.
+    import zlib
 
     import numpy as np
     import pandas as pd
@@ -82,18 +82,30 @@ def minhash_signatures(
 
     A = np.array([a for a, _ in params], dtype=np.uint64)[:, None]
     B = np.array([b for _, b in params], dtype=np.uint64)[:, None]
+    empty = np.array([], dtype=np.int64)
 
-    def _mh_fn(hs):
+    def _sig_fn(texts):
+        old = np.seterr(over="ignore")  # uint64 wrap is intentional
         out = []
-        for h in hs:
-            hv = np.asarray(h, dtype=np.uint64)[None, :]
-            sig = ((A * hv + B) % np.uint64(MERSENNE61)).min(axis=1)
-            out.append(sig.astype(np.int64))
+        for t in texts:
+            words = t.split(" ") if t else []
+            n = max(len(words) - shingle_k, 0) + 1
+            hs = {
+                zlib.crc32(" ".join(words[i : i + shingle_k]).encode())
+                for i in range(n)
+            } if words else set()
+            if not hs:
+                out.append(empty)
+                continue
+            hv = np.fromiter(hs, dtype=np.uint64, count=len(hs))[None, :]
+            sig = (A * hv + B).min(axis=1)
+            out.append(sig.view(np.int64))  # bit-reinterpret, no cast
+        np.seterr(**old)
         return pd.Series(out)
 
     # no inline type hints: `from __future__ import annotations`
     # stringifies them, which pandas_udf inference rejects
-    _mh = pandas_udf(_mh_fn, "array<long>")
+    _sig = pandas_udf(_sig_fn, "array<long>")
 
     # spread the compute-heavy signature map across all cores even
     # when the input is a single file (one scan partition); hash-
@@ -102,9 +114,8 @@ def minhash_signatures(
     return (
         df.select(id_col, F.col(text_col))
         .repartition(n_parts, id_col)
-        .select(id_col, F.expr(shingles).alias("__shingles"))
-        .where(F.expr("size(__shingles) > 0"))
-        .withColumn("minhash", _mh(F.expr(hashes)))
+        .select(id_col, _sig(F.expr(norm)).alias("minhash"))
+        .where(F.expr("size(minhash) > 0"))
     )
 
 
