@@ -13,7 +13,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from prql_spark.operators import dedup, multimodal, similarity, text
+from prql_spark.operators import (
+    asof,
+    dedup,
+    multimodal,
+    similarity,
+    splits,
+    text,
+)
 from prql_spark.sources.catalog import Catalog
 
 NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"  # duckdb
@@ -333,6 +340,111 @@ FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """Attribute each click to the user's most recent login."""
+    ev = Catalog(spark, sf_dir).load("events")
+    clicks = ev.where(F.col("event_type") == "click")
+    logins = (
+        ev.where(F.col("event_type") == "login")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("login_event_id"))
+    )
+    out = asof.asof_join(
+        clicks.select("event_id", "user_id", "ts"),
+        logins,
+        on="ts",
+        by="user_id",
+        value_cols=["login_event_id"],
+    )
+    return out.select("event_id", "user_id", "login_event_id").orderBy(
+        "event_id"
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+logins AS (
+  SELECT user_id, ts, max(event_id) AS login_event_id
+  FROM events WHERE event_type = 'login' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, l.login_event_id
+FROM clicks c ASOF LEFT JOIN logins l
+  ON c.user_id = l.user_id AND c.ts >= l.ts
+ORDER BY c.event_id
+"""
+
+
+def q_split_by_hash(spark, sf_dir):
+    out = splits.split_by_hash(_docs(spark, sf_dir), "doc_id", 0.8, 0.1)
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+SQL_SPLIT_BY_HASH = f"""
+SELECT doc_id,
+  CASE WHEN substr(md5(concat('', CAST(doc_id AS VARCHAR))), 1, 4)
+            < '{splits._cut(0.8)}' THEN 'train'
+       WHEN substr(md5(concat('', CAST(doc_id AS VARCHAR))), 1, 4)
+            < '{splits._cut(0.9)}' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_sample_by_hash(spark, sf_dir):
+    out = splits.sample_by_hash(_docs(spark, sf_dir), "doc_id", 0.25, "s1")
+    return out.select("doc_id").orderBy("doc_id")
+
+
+SQL_SAMPLE_BY_HASH = f"""
+SELECT doc_id FROM documents
+WHERE substr(md5(concat('s1', CAST(doc_id AS VARCHAR))), 1, 4)
+      < '{splits._cut(0.25)}'
+ORDER BY doc_id
+"""
+
+
+def q_redact_pii(spark, sf_dir):
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.expr(
+            "CASE WHEN doc_id % 5 = 0 THEN concat(text,"
+            " ' visit https://x.example/a?b=1 or mail a.b@c.io ref 12345678')"
+            " ELSE text END"
+        ),
+    )
+    out = splits.redact_pii(docs)
+    return out.select("doc_id", "text_redacted").orderBy("doc_id")
+
+
+SQL_REDACT_PII = f"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN concat(text,
+      ' visit https://x.example/a?b=1 or mail a.b@c.io ref 12345678')
+    ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{splits.URL_RE}', '<URL>', 'g'),
+    '{splits.EMAIL_RE}', '<EMAIL>', 'g'),
+    '{splits.DIGIT_RUN_RE}', '<NUM>', 'g') AS text_redacted
+FROM d ORDER BY doc_id
+"""
+
+
+def q_strip_boilerplate(spark, sf_dir):
+    out = splits.strip_boilerplate(_docs(spark, sf_dir))
+    return out.select("doc_id", "text_clean").orderBy("doc_id")
+
+
+SQL_STRIP_BOILERPLATE = """
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(text,
+    '[^\\x20-\\x7E\\n\\t]', '', 'g'), '\\s+', ' ', 'g')) AS text_clean
+FROM documents ORDER BY doc_id
+"""
+
+
 def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -349,6 +461,11 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frame_sample": q_multimodal_frames,
         "events_hourly_rollup": q_events_hourly,
+        "asof_join_attribution": q_asof_join,
+        "split_by_hash": q_split_by_hash,
+        "sample_by_hash": q_sample_by_hash,
+        "text_redact_pii": q_redact_pii,
+        "text_strip_boilerplate": q_strip_boilerplate,
     }
 
 
@@ -368,4 +485,9 @@ def entry_oracles() -> dict[str, str]:
         "embedding_near_dups": _sql_embedding_near_dups(),
         # multimodal_*: mapInPandas stub plumbing → rows-only
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
+        "asof_join_attribution": SQL_ASOF_JOIN,
+        "split_by_hash": SQL_SPLIT_BY_HASH,
+        "sample_by_hash": SQL_SAMPLE_BY_HASH,
+        "text_redact_pii": SQL_REDACT_PII,
+        "text_strip_boilerplate": SQL_STRIP_BOILERPLATE,
     }

@@ -1,0 +1,88 @@
+"""Deterministic dataset splits + corpus cleaning (SURVEY §2 #41/#42).
+
+Train/val/test assignment must be a pure function of content — stable
+across runs, cluster sizes, and engines — so it hashes a key column
+(md5, available and identical in Spark and DuckDB) and compares the
+hex prefix against quantile cut-points. No shuffle: a narrow map.
+
+Cleaning ops are regex projections (JVM-side, oracle-able).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# 4-hex-digit space = 65536 buckets; cut-points as hex strings keep
+# the comparison purely lexicographic (identical in any engine).
+_HEX_SPACE = 1 << 16
+
+
+def _cut(frac: float) -> str:
+    n = int(frac * _HEX_SPACE)
+    if n >= _HEX_SPACE:
+        # 'g' sorts after every hex digit, so `prefix < 'g'` is
+        # always true — a frac of 1.0 captures everything (a 5-char
+        # '10000' cut would lexicographically LOSE to 'ffff').
+        return "g"
+    return format(max(n, 0), "04x")
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "",
+) -> DataFrame:
+    """Adds a ``split`` column: train/val/test by md5(salt+key) hex
+    prefix — deterministic, content-addressed, engine-agnostic."""
+    h = f"substr(md5(concat('{salt}', CAST({key_col} AS STRING))), 1, 4)"
+    c1, c2 = _cut(train), _cut(train + val)
+    return df.withColumn(
+        "split",
+        F.expr(
+            f"CASE WHEN {h} < '{c1}' THEN 'train' "
+            f"WHEN {h} < '{c2}' THEN 'val' ELSE 'test' END"
+        ),
+    )
+
+
+def sample_by_hash(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic content-hash sample (repeatable across runs and
+    engines, unlike df.sample)."""
+    h = f"substr(md5(concat('{salt}', CAST({key_col} AS STRING))), 1, 4)"
+    return df.where(F.expr(f"{h} < '{_cut(fraction)}'"))
+
+
+# --- corpus cleaning -------------------------------------------------
+
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+DIGIT_RUN_RE = r"[0-9]{6,}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace URLs / emails / long digit runs with typed tags."""
+    # double the backslashes for Spark SQL literal parsing
+    def sp(p: str) -> str:
+        return p.replace("\\", "\\\\")
+
+    expr = (
+        f"regexp_replace(regexp_replace(regexp_replace({text_col}, "
+        f"'{sp(URL_RE)}', '<URL>'), "
+        f"'{sp(EMAIL_RE)}', '<EMAIL>'), "
+        f"'{sp(DIGIT_RUN_RE)}', '<NUM>')"
+    )
+    return df.withColumn("text_redacted", F.expr(expr))
+
+
+def strip_boilerplate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Collapse whitespace, drop non-printable chars, trim — the
+    cheap normalization pass before dedup/quality scoring."""
+    expr = (
+        f"trim(regexp_replace(regexp_replace({text_col}, "
+        f"'[^\\\\x20-\\\\x7E\\\\n\\\\t]', ''), '\\\\s+', ' '))"
+    )
+    return df.withColumn("text_clean", F.expr(expr))

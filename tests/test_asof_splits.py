@@ -1,0 +1,111 @@
+"""As-of join + deterministic splits + cleaning (SURVEY §2 #40-42)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row, functions as F
+
+from prql_spark.operators import asof, splits
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            Row(key="a", t=_ts(5), lid=1),
+            Row(key="a", t=_ts(10), lid=2),
+            Row(key="a", t=_ts(2), lid=3),   # before any right row
+            Row(key="b", t=_ts(30), lid=4),
+            Row(key="c", t=_ts(30), lid=5),  # key with no right rows
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(key="a", t=_ts(4), price=100.0),
+            Row(key="a", t=_ts(10), price=200.0),  # tie with left t=10
+            Row(key="a", t=_ts(11), price=300.0),  # after left rows
+            Row(key="b", t=_ts(1), price=999.0),
+        ]
+    )
+    out = {
+        r.lid: r.price
+        for r in asof.asof_join(
+            left, right, on="t", by="key", value_cols=["price"]
+        ).collect()
+    }
+    assert out[1] == 100.0  # t=5 → latest right at t=4
+    assert out[2] == 200.0  # tie: right row AT the timestamp included
+    assert out[3] is None   # nothing at or before t=2
+    assert out[4] == 999.0  # backward across a long gap
+    assert out[5] is None   # key never seen on the right
+
+
+def test_asof_join_keeps_left_rowcount(spark, catalog):
+    ev = catalog.load("events")
+    clicks = ev.where(F.col("event_type") == "click")
+    logins = ev.where(F.col("event_type") == "login").select(
+        "user_id", "ts", F.col("event_id").alias("login_id")
+    )
+    out = asof.asof_join(
+        clicks, logins, on="ts", by="user_id", value_cols=["login_id"]
+    )
+    assert out.count() == clicks.count()
+    assert set(out.columns) == set(clicks.columns) | {"login_id"}
+
+
+def test_split_by_hash_deterministic_and_disjoint(spark, catalog):
+    docs = catalog.load("documents")
+    a = splits.split_by_hash(docs, "doc_id").select("doc_id", "split")
+    b = splits.split_by_hash(docs, "doc_id").select("doc_id", "split")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    counts = dict(
+        (r.split, r.n)
+        for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()
+    )
+    total = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / total - 0.8) < 0.08
+    assert abs(counts["val"] / total - 0.1) < 0.06
+
+
+def test_split_salt_changes_assignment(spark, catalog):
+    docs = catalog.load("documents")
+    a = splits.split_by_hash(docs, "doc_id", salt="x").collect()
+    b = splits.split_by_hash(docs, "doc_id", salt="y").collect()
+    diffs = sum(
+        1 for ra, rb in zip(a, b) if ra.split != rb.split
+    )
+    assert diffs > 0
+
+
+def test_sample_by_hash_subset_stability(spark, catalog):
+    docs = catalog.load("documents")
+    s10 = {r.doc_id for r in splits.sample_by_hash(docs, "doc_id", 0.10).collect()}
+    s25 = {r.doc_id for r in splits.sample_by_hash(docs, "doc_id", 0.25).collect()}
+    assert s10 <= s25  # nested samples: smaller fraction is a subset
+    assert 0.03 < len(s10) / 500 < 0.20
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            Row(
+                doc_id=1,
+                text="see https://ex.com/p?q=1 mail bob.smith@corp.io id 123456789 ok",
+            )
+        ]
+    )
+    out = splits.redact_pii(df).collect()[0].text_redacted
+    assert out == "see <URL> mail <EMAIL> id <NUM> ok"
+
+
+def test_strip_boilerplate(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="  hello\t\tworld\x00\x07 café  ")]
+    )
+    out = splits.strip_boilerplate(df).collect()[0].text_clean
+    assert out == "hello world caf"
