@@ -322,6 +322,57 @@ FROM lineitem JOIN cheap_parts ON p_partkey = l_partkey
 GROUP BY p_brand ORDER BY p_brand
 """
 
+RANK_STATS = """
+from lineitem
+group [l_returnflag] (
+  aggregate [
+    sd_price = round (stddev l_extendedprice) 4,
+    mn = min l_quantity,
+    mx = max l_quantity,
+  ]
+)
+sort [l_returnflag]
+"""
+
+RANK_STATS_SQL = """
+SELECT l_returnflag,
+  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+  min(l_quantity) AS mn, max(l_quantity) AS mx
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+DENSE_RANK_WINDOW = """
+from orders
+group [o_orderstatus] (
+  sort [o_orderdate, o_orderkey]
+  derive [
+    dr = rank_dense,
+    nxt = lead 1 o_orderkey,
+    first_key = first o_orderkey,
+    last_key = last o_orderkey,
+  ]
+)
+select [o_orderkey, o_orderstatus, dr, nxt, first_key, last_key]
+sort [o_orderkey]
+"""
+
+DENSE_RANK_WINDOW_SQL = """
+SELECT o_orderkey, o_orderstatus,
+  dense_rank() OVER w AS dr,
+  lead(o_orderkey, 1) OVER w AS nxt,
+  first_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    AS first_key,
+  last_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    AS last_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_orderkey
+"""
+
 EVENTS_SESSIONS = """
 from events
 derive [day = s"CAST(CAST({ts} AS DATE) AS STRING)"]
@@ -368,6 +419,8 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
     "fstring_cast": (FSTRING_CAST, FSTRING_CAST_SQL),
     "user_func_cte": (USER_FUNC_CTE, USER_FUNC_CTE_SQL),
     "events_daily_rollup": (EVENTS_SESSIONS, EVENTS_SESSIONS_SQL),
+    "agg_stddev_minmax": (RANK_STATS, RANK_STATS_SQL),
+    "window_dense_rank_first_last": (DENSE_RANK_WINDOW, DENSE_RANK_WINDOW_SQL),
 }
 
 

@@ -159,7 +159,10 @@ class Compiler:
     def _load(self, name: str) -> DataFrame:
         if name in self.local_tables:
             return self.local_tables[name]
-        return self.catalog.load(name)
+        try:
+            return self.catalog.load(name)
+        except KeyError as e:
+            raise PrqlCompileError(f"unknown table {name!r}: {e}") from None
 
     # -- derive
     def t_derive(self, step: FuncCall):
@@ -260,7 +263,10 @@ class Compiler:
             lo = node.start.value if node.start is not None else 1
             hi = node.end.value if node.end is not None else None
         else:
-            raise PrqlCompileError(f"take: unsupported argument {node}")
+            raise PrqlCompileError(
+                "take expects a positive integer or an integer range "
+                "like `take 10` / `take 101..110`"
+            )
         if self.group_keys is not None:
             self._take_in_group(lo, hi)
             return

@@ -31,7 +31,8 @@ def dedup_exact(
 ) -> DataFrame:
     """Exact dedup on normalized text: keep the smallest id per key."""
     norm = f"md5(lower(regexp_replace(trim({text_col}), '\\\\s+', ' ')))"
-    key = df.withColumn("__key", F.expr(norm))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    key = df.repartition(n_parts, id_col).withColumn("__key", F.expr(norm))
     keep = key.groupBy("__key").agg(F.min(id_col).alias(id_col))
     return (
         key.join(keep, [id_col, "__key"], "leftsemi")

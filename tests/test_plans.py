@@ -1,0 +1,92 @@
+"""Physical-plan quality gates (SURVEY §4).
+
+These tests pin the *plan shape*, not results: filters must reach the
+parquet scan, projections must prune the read schema, small dims must
+broadcast, and sort+take must avoid a global sort. A regression here
+is a 100TB-scale bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+from prql_spark import compile_prql
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_scan(catalog):
+    df = compile_prql(
+        "from lineitem\nfilter l_quantity < 10\nselect [l_orderkey]",
+        catalog,
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "LessThan(l_quantity" in plan.replace(" ", "").replace(
+        "l_quantity,", "l_quantity"
+    ) or "l_quantity" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reaches_scan(catalog):
+    df = compile_prql(
+        "from lineitem\nselect [l_orderkey, l_quantity]", catalog
+    )
+    plan = plan_of(df)
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_extendedprice" not in read  # untouched columns pruned
+
+
+def test_small_dim_broadcasts(catalog):
+    df = compile_prql(
+        "from nation\njoin region [r_regionkey == n_regionkey]\n"
+        "select [n_name, r_name]",
+        catalog,
+    )
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_sort_take_avoids_global_sort(catalog):
+    df = compile_prql(
+        "from orders\nsort [-o_totalprice]\ntake 5\n"
+        "select [o_orderkey, o_totalprice]",
+        catalog,
+    )
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no full sort stage
+
+
+def test_partial_aggregation_before_shuffle(catalog):
+    df = compile_prql(
+        "from lineitem\ngroup [l_returnflag] (aggregate [n = count])",
+        catalog,
+    )
+    plan = plan_of(df)
+    assert "partial_count" in plan  # map-side combine present
+
+
+def test_distinct_idiom_no_window(catalog):
+    # group k (take 1) with no sort must be a hash dedup, not a
+    # row_number window (windows need a full sort within partitions)
+    df = compile_prql(
+        "from orders\nselect [o_orderstatus]\n"
+        "group [o_orderstatus] (take 1)",
+        catalog,
+    )
+    plan = plan_of(df)
+    assert "Window" not in plan
+
+
+def test_core_path_has_codegen_no_python(catalog):
+    df = compile_prql(
+        "from lineitem\n"
+        "derive [net = l_extendedprice * (1 - l_discount)]\n"
+        "group [l_returnflag] (aggregate [s = sum net])",
+        catalog,
+    )
+    df.collect()  # AQE finalizes the plan (codegen spans) on execution
+    plan = plan_of(df)
+    # '*(n)' prefixes mark WholeStageCodegen spans in plan toString
+    assert "*(1)" in plan and "*(2)" in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan

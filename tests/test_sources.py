@@ -69,3 +69,27 @@ def test_catalog_register_and_broadcast_flag(spark, catalog):
     cat.register("dim", df, broadcast=True)
     assert cat.is_broadcast("dim")
     assert cat.load("dim") is df
+
+
+def test_bucketed_tables_join_without_shuffle(spark, catalog, tmp_path):
+    """bucketBy layout lets a same-key join skip both exchanges."""
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    # forbid broadcast so the join exercises the bucketed exchange path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    orders = catalog.load("orders")
+    lineitem = catalog.load("lineitem")
+    pio.write_bucketed_table(
+        orders.withColumnRenamed("o_orderkey", "k"), "b_orders", ["k"], 8
+    )
+    pio.write_bucketed_table(
+        lineitem.withColumnRenamed("l_orderkey", "k"), "b_lineitem", ["k"], 8
+    )
+    j = spark.table("b_orders").join(spark.table("b_lineitem"), "k")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # bucket layout reused
+    assert j.count() == lineitem.count()
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
