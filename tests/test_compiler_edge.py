@@ -200,3 +200,126 @@ def test_error_on_window_in_aggregate(catalog):
         compile_prql(
             "from orders\naggregate [x = row_number]", catalog
         ).collect()
+
+
+def test_derive_items_reference_earlier_items(catalog, oracle):
+    # the reference README's flagship pattern (lateral aliases)
+    df = compile_prql(
+        "from lineitem\n"
+        "derive [\n"
+        "  net = l_extendedprice * (1 - l_discount),\n"
+        "  gross = net * (1 + l_tax),\n"
+        "]\n"
+        "select [l_orderkey, l_linenumber, net, gross]",
+        catalog,
+    )
+    assert_df_matches_sql(
+        df,
+        oracle,
+        "SELECT l_orderkey, l_linenumber,"
+        " l_extendedprice * (1 - l_discount) AS net,"
+        " l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross"
+        " FROM lineitem",
+        sort=True,
+    )
+
+
+def test_select_items_reference_earlier_items(catalog, oracle):
+    df = compile_prql(
+        "from lineitem\n"
+        "select [l_orderkey, l_linenumber, x = l_quantity + 1, y = x * 2]",
+        catalog,
+    )
+    assert_df_matches_sql(
+        df,
+        oracle,
+        "SELECT l_orderkey, l_linenumber, l_quantity + 1 AS x,"
+        " (l_quantity + 1) * 2 AS y FROM lineitem",
+        sort=True,
+    )
+
+
+def test_reference_readme_flagship(catalog, oracle):
+    """The reference README's headline example (README.md, second
+    code block), re-targeted: customer/orders as employees."""
+    df = compile_prql(
+        "from orders\n"
+        "filter o_orderdate > @1994-01-01\n"
+        "derive [\n"
+        "  gross = o_totalprice + (o_totalprice ?? 0),\n"
+        "  gross_cost = gross + 10,\n"
+        "]\n"
+        "filter gross_cost > 0\n"
+        "group [o_orderstatus, o_orderpriority] (\n"
+        "  aggregate [\n"
+        "    avg_gross = round (avg gross) 2,\n"
+        "    sum_gross_cost = round (sum gross_cost) 2,\n"
+        "  ]\n"
+        ")\n"
+        "filter sum_gross_cost > 100000\n"
+        'derive id = f"{o_orderstatus}_{o_orderpriority}"\n'
+        "sort [sum_gross_cost, -o_orderpriority]\n"
+        "take 1..20",
+        catalog,
+    )
+    assert_df_matches_sql(
+        df,
+        oracle,
+        """
+        WITH d AS (
+          SELECT o_orderstatus, o_orderpriority,
+            o_totalprice + coalesce(o_totalprice, 0) AS gross,
+            o_totalprice + coalesce(o_totalprice, 0) + 10 AS gross_cost
+          FROM orders WHERE o_orderdate > TIMESTAMP '1994-01-01'),
+        g AS (
+          SELECT o_orderstatus, o_orderpriority,
+            round(avg(gross), 2) AS avg_gross,
+            round(sum(gross_cost), 2) AS sum_gross_cost
+          FROM d WHERE gross_cost > 0
+          GROUP BY o_orderstatus, o_orderpriority)
+        SELECT o_orderstatus, o_orderpriority, avg_gross, sum_gross_cost,
+               concat(o_orderstatus, '_', o_orderpriority) AS id
+        FROM g WHERE sum_gross_cost > 100000
+        ORDER BY sum_gross_cost, o_orderpriority DESC
+        LIMIT 20
+        """,
+    )
+
+
+def test_reference_variables_example(catalog, oracle):
+    """book/src/examples/variables.md second example: agg → join →
+    re-agg → select-with-alias-arith → take → derive."""
+    df = compile_prql(
+        "from lineitem\n"
+        "group [l_orderkey] (\n"
+        "  aggregate [order_value = sum l_extendedprice]\n"
+        ")\n"
+        "join orders [o_orderkey == l_orderkey]\n"
+        "group [o_orderpriority] (\n"
+        "  aggregate [avg_value = avg order_value]\n"
+        ")\n"
+        "select [o_orderpriority, value_k = avg_value / 1000]\n"
+        "sort [o_orderpriority]\n"
+        "take 10\n"
+        "derive value = (round (value_k * 1000) 2)\n"
+        "derive [value_k2 = round value_k 4]\n"
+        "select [o_orderpriority, value_k2, value]",
+        catalog,
+    )
+    assert_df_matches_sql(
+        df,
+        oracle,
+        """
+        WITH ov AS (
+          SELECT l_orderkey, sum(l_extendedprice) AS order_value
+          FROM lineitem GROUP BY l_orderkey),
+        j AS (
+          SELECT o_orderpriority, avg(order_value) AS avg_value
+          FROM ov JOIN orders ON o_orderkey = l_orderkey
+          GROUP BY o_orderpriority)
+        SELECT o_orderpriority,
+               round(avg_value / 1000, 4) AS value_k2,
+               round(avg_value / 1000 * 1000, 2) AS value
+        FROM j ORDER BY o_orderpriority LIMIT 10
+        """,
+    )
