@@ -445,6 +445,76 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """30-min-gap sessionization (batch twin of the
+    applyInPandasWithState streaming pipeline)."""
+    from prql_spark.streaming import sessionize
+
+    ev = Catalog(spark, sf_dir).load("events")
+    out = sessionize(ev, gap_minutes=30)
+    return (
+        out.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.expr("coalesce(value, 0.0)")), 2).alias("v"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, value,
+    concat(user_id, '#', CAST(sum(new_s) OVER (PARTITION BY user_id
+      ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR))
+      AS session_id
+  FROM g)
+SELECT user_id, session_id, count(*) AS n_events,
+  round(sum(coalesce(value, 0.0)), 2) AS v
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+def q_salted_agg(spark, sf_dir):
+    from prql_spark.operators import skew
+
+    ev = Catalog(spark, sf_dir).load("events")
+    out = skew.salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "*"),
+            "total_v": ("sum", "coalesce(value, 0.0)"),
+            "mx": ("max", "value"),
+            "avg_v": ("avg", "coalesce(value, 0.0)"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.expr("round(total_v, 2)").alias("total_v"),
+        "mx",
+        F.expr("round(avg_v, 4)").alias("avg_v"),
+    ).orderBy("event_type")
+
+
+SQL_SALTED_AGG = """
+SELECT event_type, count(*) AS n,
+  round(sum(coalesce(value, 0.0)), 2) AS total_v,
+  max(value) AS mx,
+  round(sum(coalesce(value, 0.0)) / count(coalesce(value, 0.0)), 4)
+    AS avg_v
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -466,6 +536,8 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_by_hash": q_sample_by_hash,
         "text_redact_pii": q_redact_pii,
         "text_strip_boilerplate": q_strip_boilerplate,
+        "events_sessionize": q_sessionize,
+        "skew_salted_aggregate": q_salted_agg,
     }
 
 
@@ -490,4 +562,6 @@ def entry_oracles() -> dict[str, str]:
         "sample_by_hash": SQL_SAMPLE_BY_HASH,
         "text_redact_pii": SQL_REDACT_PII,
         "text_strip_boilerplate": SQL_STRIP_BOILERPLATE,
+        "events_sessionize": SQL_SESSIONIZE,
+        "skew_salted_aggregate": SQL_SALTED_AGG,
     }

@@ -222,3 +222,28 @@ def test_multimodal_resize_preserves_schema(spark, catalog):
     out = multimodal.resize(media, max_dim=64)
     assert out.schema == media.schema
     assert out.count() == 10
+
+
+def test_salted_aggregate_equals_direct(spark, catalog):
+    from prql_spark.operators import skew
+
+    ev = catalog.load("events")
+    salted = {
+        (r.event_type): (r.n, round(r.total, 4))
+        for r in skew.salted_aggregate(
+            ev,
+            ["event_type"],
+            {"n": ("count", "*"), "total": ("sum", "coalesce(value, 0.0)")},
+            salt_buckets=8,
+        ).collect()
+    }
+    direct = {
+        (r.event_type): (r.n, round(r.total, 4))
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("coalesce(value, 0.0)")).alias("total"),
+        )
+        .collect()
+    }
+    assert salted == direct
