@@ -44,9 +44,14 @@ def main():
     spark = build_spark("prql_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
-    # untimed warmup: JVM/codegen/parquet-footer costs are session
-    # constants, not per-query costs — standard benchmarking practice
+    # untimed warmup: JVM/codegen/parquet-footer costs and Python
+    # worker spin-up are session constants, not per-query costs
     qs["q6_forecast_revenue"](spark, SF_DIR).collect()
+    from pyspark.sql import functions as F
+
+    spark.range(100).select(
+        F.pandas_udf(lambda s: s + 1, "long")(F.col("id"))
+    ).count()
     times: dict[str, float] = {}
     for name, mode in HEADLINE.items():
         fn = qs[name]

@@ -30,13 +30,18 @@ def dedup_exact(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact dedup on normalized text: keep the smallest id per key."""
+    # single shuffle: min-id per key via window beats agg + semijoin
+    # (one exchange on __key instead of two plus a join)
     norm = f"md5(lower(regexp_replace(trim({text_col}), '\\\\s+', ' ')))"
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     key = df.repartition(n_parts, id_col).withColumn("__key", F.expr(norm))
-    keep = key.groupBy("__key").agg(F.min(id_col).alias(id_col))
     return (
-        key.join(keep, [id_col, "__key"], "leftsemi")
-        .drop("__key")
+        key.withColumn(
+            "__keep",
+            F.expr(f"min({id_col}) OVER (PARTITION BY __key)"),
+        )
+        .where(F.expr(f"{id_col} = __keep"))
+        .drop("__key", "__keep")
     )
 
 

@@ -323,3 +323,59 @@ def test_reference_variables_example(catalog, oracle):
         FROM j ORDER BY o_orderpriority LIMIT 10
         """,
     )
+
+
+def test_self_join_with_aliases(catalog, oracle):
+    df = compile_prql(
+        "from a=nation\n"
+        "join b=nation [a.n_regionkey == b.n_regionkey]\n"
+        "filter a.n_nationkey < b.n_nationkey\n"
+        "select [x = a.n_name, y = b.n_name]",
+        catalog,
+    )
+    assert_df_matches_sql(
+        df,
+        oracle,
+        "SELECT a.n_name AS x, b.n_name AS y FROM nation a"
+        " JOIN nation b ON a.n_regionkey = b.n_regionkey"
+        " WHERE a.n_nationkey < b.n_nationkey",
+        sort=True,
+    )
+
+
+def test_reference_employees_task1_shape(catalog, oracle):
+    """book/src/examples/employees.md Task 1 re-targeted: agg → two
+    joins (one left, named arg after positionals) → qualified group
+    keys → final join → select."""
+    df = compile_prql(
+        "from lineitem\n"
+        "group [l_orderkey] (\n"
+        "  aggregate [ov = average l_extendedprice]\n"
+        ")\n"
+        "join o=orders [o_orderkey == l_orderkey]\n"
+        "join c=customer [c_custkey == o_custkey] side:left\n"
+        "group [c.c_nationkey, o.o_orderpriority] (\n"
+        "  aggregate [avg_ov = round (average ov) 2]\n"
+        ")\n"
+        "join n=nation [n_nationkey == c_nationkey]\n"
+        "select [n_name, o_orderpriority, avg_ov]",
+        catalog,
+    )
+    assert_df_matches_sql(
+        df,
+        oracle,
+        """
+        WITH ov AS (
+          SELECT l_orderkey, avg(l_extendedprice) AS ov
+          FROM lineitem GROUP BY l_orderkey),
+        j AS (
+          SELECT c.c_nationkey, o.o_orderpriority,
+                 round(avg(ov.ov), 2) AS avg_ov
+          FROM ov JOIN orders o ON o_orderkey = l_orderkey
+          LEFT JOIN customer c ON c_custkey = o_custkey
+          GROUP BY c.c_nationkey, o.o_orderpriority)
+        SELECT n_name, o_orderpriority, avg_ov
+        FROM j JOIN nation n ON n_nationkey = c_nationkey
+        """,
+        sort=True,
+    )
