@@ -96,15 +96,28 @@ class Catalog:
         except Exception:
             return df
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         for field in schema:
-            if str(field.type) == "timestamp[ns]":
-                df = df.withColumn(
-                    field.name,
-                    F.timestamp_micros(
-                        (F.col(field.name) / F.lit(1000)).cast("long")
-                    ),
-                )
+            if str(field.type) != "timestamp[ns]":
+                continue
+            # Spark-written INT96 timestamps also read as
+            # timestamp[ns] in pyarrow but load as real TIMESTAMPs in
+            # Spark — only convert when Spark actually surfaced int64
+            # nanos (the nanosAsLong case).
+            spark_field = next(
+                (f for f in df.schema.fields if f.name == field.name), None
+            )
+            if spark_field is None or not isinstance(
+                spark_field.dataType, LongType
+            ):
+                continue
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(
+                    (F.col(field.name) / F.lit(1000)).cast("long")
+                ),
+            )
         return df
 
     def is_broadcast(self, name: str) -> bool:
