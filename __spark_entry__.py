@@ -193,21 +193,29 @@ SELECT o_orderkey, o_custkey,
 FROM orders ORDER BY o_orderkey
 """
 
+# moving average over an exact DECIMAL sum: engines' sliding-window
+# double accumulators drift in the last ulp, which flips round(.,2)
+# on boundary values; an exact decimal numerator makes the quotient
+# bit-identical in Spark and DuckDB.
 MOVING_AVERAGE = """
 from orders
+derive [dec_price = s"CAST({o_totalprice} AS DECIMAL(18,2))"]
 sort [o_orderkey]
 window rolling:7 (
-  derive [sma7 = round (avg o_totalprice) 2]
+  derive [s7 = sum dec_price, c7 = count]
 )
+derive [sma7 = round (s"CAST({s7} AS DOUBLE)" / c7) 2]
 select [o_orderkey, sma7]
 sort [o_orderkey]
 """
 
 MOVING_AVERAGE_SQL = """
 SELECT o_orderkey,
-  round(avg(o_totalprice) OVER (ORDER BY o_orderkey
-    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS sma7
-FROM orders ORDER BY o_orderkey
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        / count(*) OVER w, 2) AS sma7
+FROM orders
+WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
 """
 
 GROUP_TOPK = """

@@ -35,6 +35,12 @@ class PrqlParseError(Exception):
     pass
 
 
+def _line_col(src: str, pos: int) -> str:
+    line = src.count("\n", 0, pos) + 1
+    col = pos - (src.rfind("\n", 0, pos) + 1) + 1
+    return f"line {line}, col {col}"
+
+
 # ---------------------------------------------------------------- lexer
 
 _KEYWORDS = {"prql", "table", "func"}
@@ -214,9 +220,15 @@ _TERM_STARTS = {
 
 
 class Parser:
-    def __init__(self, toks: list[Tok]):
+    def __init__(self, toks: list[Tok], src: str = ""):
         self.toks = toks
+        self.src = src
         self.i = 0
+
+    def err(self, msg: str, tok=None) -> PrqlParseError:
+        pos = (tok or self.peek()).pos
+        loc = f" at {_line_col(self.src, pos)}" if self.src else f" at {pos}"
+        return PrqlParseError(msg + loc)
 
     # -- token helpers
     def peek(self, k=0) -> Tok:
@@ -234,7 +246,7 @@ class Parser:
 
     def eat_op(self, val):
         if not self.at_op(val):
-            raise PrqlParseError(f"expected {val!r}, got {self.peek()!r}")
+            raise self.err(f"expected {val!r}, got {self.peek().value!r}")
         return self.next()
 
     def skip_nl(self):
@@ -290,7 +302,7 @@ class Parser:
     def _ident_name(self) -> str:
         t = self.next()
         if t.kind != "IDENT":
-            raise PrqlParseError(f"expected identifier, got {t!r}")
+            raise self.err(f"expected identifier, got {t.value!r}", t)
         return t.value
 
     def _skip_type_annotation(self):
@@ -336,8 +348,9 @@ class Parser:
             if top and t.kind == "KEYWORD":
                 break
             if not saw_sep:
-                raise PrqlParseError(
-                    f"expected pipeline separator before {t!r} at {t.pos}"
+                raise self.err(
+                    f"expected a pipeline separator (newline or |) "
+                    f"before {t.value!r}", t
                 )
         return ExprPipeline(steps)
 
@@ -510,7 +523,8 @@ class Parser:
             if len(pipe.steps) == 1:
                 return pipe.steps[0]
             return pipe
-        raise PrqlParseError(f"unexpected token {t!r} at {t.pos}")
+        what = "end of input" if t.kind == "EOF" else repr(t.value)
+        raise self.err(f"unexpected {what}", t)
 
     def parse_list(self) -> ListExpr:
         self.eat_op("[")
@@ -581,4 +595,13 @@ def _matching_brace(s: str, i: int) -> int:
 
 def parse(src: str) -> Query:
     """Parse PRQL source into a Query AST."""
-    return Parser(tokenize(src)).parse_query()
+    try:
+        toks = tokenize(src)
+    except PrqlParseError as e:
+        m = re.search(r"at (\d+)$", str(e))
+        if m:
+            raise PrqlParseError(
+                f"{str(e)[: m.start()]}at {_line_col(src, int(m.group(1)))}"
+            ) from None
+        raise
+    return Parser(toks, src).parse_query()
