@@ -21,3 +21,15 @@ __all__ = [
     "compile_prql",
     "parse",
 ]
+
+
+def explain(text: str, catalog: "Catalog", mode: str = "formatted") -> str:
+    """Compile PRQL and return Spark's physical-plan explanation."""
+    import contextlib
+    import io
+
+    df = compile_prql(text, catalog)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()

@@ -58,6 +58,45 @@ TRANSFORMS = {
     "window",
 }
 
+
+def _extended_transforms() -> dict:
+    """df→df operators exposed as PRQL pipeline steps (lazy import to
+    keep parser-only use light)."""
+    from prql_spark.operators import dedup, splits, text
+    from prql_spark.streaming import sessionize
+
+    return {
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "token_count": text.token_count,
+        "quality_score": text.quality_score,
+        "lang_id": text.lang_id,
+        "fingerprint": text.fingerprint,
+        "split_by_hash": splits.split_by_hash,
+        "sample_by_hash": splits.sample_by_hash,
+        "redact_pii": splits.redact_pii,
+        "strip_boilerplate": splits.strip_boilerplate,
+        "sessionize": sessionize,
+    }
+
+
+class _LazyTransforms:
+    _cache: dict | None = None
+
+    def _load(self) -> dict:
+        if type(self)._cache is None:
+            type(self)._cache = _extended_transforms()
+        return type(self)._cache
+
+    def __contains__(self, name):
+        return name in self._load()
+
+    def __getitem__(self, name):
+        return self._load()[name]
+
+
+EXTENDED_TRANSFORMS = _LazyTransforms()
+
 _CMP_MAP = {"==": "=", "!=": "<>", "and": "AND", "or": "OR"}
 
 _NAME_SAFE = re.compile(r"[^A-Za-z0-9_]+")
@@ -119,7 +158,9 @@ class Compiler:
     # ------------------------------------------------------- transforms
 
     def apply_transform(self, step):
-        if isinstance(step, Ident) and step.name in TRANSFORMS:
+        if isinstance(step, Ident) and (
+            step.name in TRANSFORMS or step.name in EXTENDED_TRANSFORMS
+        ):
             step = FuncCall(step.name, [], {})
         if not isinstance(step, FuncCall):
             raise PrqlCompileError(f"pipeline step is not a transform: {step}")
@@ -129,8 +170,41 @@ class Compiler:
         elif name in self.funcs:
             # user-defined table-level function — inline and re-apply
             self.apply_transform(self._inline_user(name, step.args, step.named))
+        elif name in EXTENDED_TRANSFORMS:
+            self._apply_extended(name, step)
         else:
             raise PrqlCompileError(f"unknown transform or function {name!r}")
+
+    def _apply_extended(self, name: str, step: FuncCall):
+        """Training-data operators as pipeline transforms:
+        ``from documents | quality_score | filter quality > 0.5``.
+        Named args pass through as keyword arguments (literals only)."""
+        fn = EXTENDED_TRANSFORMS[name]
+        if step.args:
+            raise PrqlCompileError(
+                f"{name}: use named args (e.g. {name} key_col:doc_id)"
+            )
+        kwargs = {}
+        for k, v in step.named.items():
+            if k == "_assigns":
+                continue
+            if isinstance(v, Lit):
+                kwargs[k] = v.value
+            elif isinstance(v, Ident):
+                kwargs[k] = v.name
+            else:
+                raise PrqlCompileError(
+                    f"{name}: named arg {k} must be a literal or identifier"
+                )
+        self.df = fn(self.df, **kwargs)
+        # operators may add/drop columns — rebuild the bare-name scope,
+        # keeping qualified names that still resolve
+        cols = set(self.df.columns)
+        new_scope = {c: c for c in cols}
+        for logical, flat in self.scope.items():
+            if flat in cols:
+                new_scope.setdefault(logical, flat)
+        self.scope = new_scope
 
     # -- from
     def t_from(self, step: FuncCall):

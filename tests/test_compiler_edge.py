@@ -379,3 +379,60 @@ def test_reference_employees_task1_shape(catalog, oracle):
         """,
         sort=True,
     )
+
+
+def test_extended_transforms_in_prql(catalog, oracle):
+    """Training-data operators as PRQL pipeline steps."""
+    df = compile_prql(
+        "from documents\n"
+        "strip_boilerplate\n"
+        "token_count text_col:text_clean\n"
+        "split_by_hash key_col:doc_id\n"
+        "group [split] (\n"
+        "  aggregate [n = count, total_tokens = sum ws_tokens]\n"
+        ")\n"
+        "sort [split]",
+        catalog,
+    )
+    assert_df_matches_sql(
+        df,
+        oracle,
+        """
+        WITH c AS (
+          SELECT doc_id,
+            trim(regexp_replace(regexp_replace(text,
+              '[^\\x20-\\x7E\\n\\t]', '', 'g'), '\\s+', ' ', 'g'))
+              AS text_clean
+          FROM documents),
+        t AS (
+          SELECT doc_id,
+            CASE WHEN trim(text_clean) = '' THEN 0
+              ELSE len(string_split_regex(trim(text_clean), '\\s+'))
+              END AS ws_tokens,
+            CASE WHEN substr(md5(concat('', CAST(doc_id AS VARCHAR))),
+                        1, 4) < 'cccc' THEN 'train'
+                 WHEN substr(md5(concat('', CAST(doc_id AS VARCHAR))),
+                        1, 4) < 'e666' THEN 'val'
+                 ELSE 'test' END AS split
+          FROM c)
+        SELECT split, count(*) AS n, sum(ws_tokens) AS total_tokens
+        FROM t GROUP BY split ORDER BY split
+        """,
+    )
+
+
+def test_extended_transform_bad_args(catalog):
+    with pytest.raises(PrqlCompileError):
+        compile_prql("from documents\nsplit_by_hash doc_id", catalog)
+
+
+def test_user_func_shadows_extended(catalog):
+    # a user `func lang_id` must win over the built-in operator
+    df = compile_prql(
+        "func lang_id x -> x + 1\n"
+        "from nation\nderive [y = (lang_id n_nationkey)]\n"
+        "select [n_nationkey, y]\ntake 3",
+        catalog,
+    )
+    rows = df.collect()
+    assert all(r.y == r.n_nationkey + 1 for r in rows)
