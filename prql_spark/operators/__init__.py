@@ -316,6 +316,31 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def q_multimodal_meta(spark, sf_dir):
+    """The oracle-able half of the multimodal pipeline: typed
+    metadata + payload sizing (decode itself stays rows-only)."""
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    return media.select(
+        "media_id",
+        "media_type",
+        F.expr("length(media)").alias("n_bytes"),
+        F.col("meta.origin").alias("origin"),
+        F.col("meta.payload_hint").alias("payload_hint"),
+    ).orderBy("media_id")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+       ELSE 'video/mp4' END AS media_type,
+  octet_length(encode(text)) AS n_bytes,
+  source AS origin,
+  n_chars AS payload_hint
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window rollup — the batch twin of the streaming
     pipeline in prql_spark.streaming (same plan under readStream)."""
@@ -529,6 +554,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_metadata": q_multimodal_meta,
         "multimodal_frame_sample": q_multimodal_frames,
         "events_hourly_rollup": q_events_hourly,
         "asof_join_attribution": q_asof_join,
@@ -555,7 +581,8 @@ def entry_oracles() -> dict[str, str]:
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE,
         "ann_lsh_topk": _sql_ann_lsh(),
         "embedding_near_dups": _sql_embedding_near_dups(),
-        # multimodal_*: mapInPandas stub plumbing → rows-only
+        # multimodal_decode/frame_sample: mapInPandas stub → rows-only
+        "multimodal_metadata": SQL_MULTIMODAL_META,
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
         "split_by_hash": SQL_SPLIT_BY_HASH,

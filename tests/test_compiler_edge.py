@@ -436,3 +436,15 @@ def test_user_func_shadows_extended(catalog):
     )
     rows = df.collect()
     assert all(r.y == r.n_nationkey + 1 for r in rows)
+
+
+def test_take_open_range(catalog, oracle):
+    df = compile_prql(
+        "from orders\nsort [o_orderkey]\ntake 1496..\nselect [o_orderkey]",
+        catalog,
+    )
+    assert_df_matches_sql(
+        df,
+        oracle,
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey OFFSET 1495",
+    )
