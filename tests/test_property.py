@@ -1,0 +1,137 @@
+"""Property-based compiler testing (hypothesis).
+
+Random PRQL expression trees over lineitem columns are compiled by
+the engine and cross-checked against DuckDB evaluating the
+equivalent SQL — the same oracle strategy as the driver, but over a
+generated expression space instead of hand-picked queries.
+
+Numeric expressions avoid division (engine-identical NULL/inf
+semantics differ) and compare rounded to 4 decimals.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from prql_spark import compile_prql
+
+NUM_COLS = ["l_quantity", "l_discount", "l_tax", "l_linenumber"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+
+
+class E:
+    """Expression node that renders to both PRQL and DuckDB SQL."""
+
+    def __init__(self, prql, sql, kind):
+        self.prql = prql
+        self.sql = sql
+        self.kind = kind  # num | bool
+
+
+def leaf_num():
+    return st.one_of(
+        st.sampled_from([E(c, c, "num") for c in NUM_COLS]),
+        st.integers(-100, 100).map(
+            lambda n: E(f"({n})" if n < 0 else str(n), str(n), "num")
+        ),
+        st.floats(
+            -50, 50, allow_nan=False, allow_infinity=False
+        ).map(lambda f: E(f"({round(f,3)})" if f < 0 else str(round(f, 3)),
+                          str(round(f, 3)), "num")),
+    )
+
+
+def num_expr(depth=2):
+    if depth == 0:
+        return leaf_num()
+    sub = num_expr(depth - 1)
+    return st.one_of(
+        leaf_num(),
+        st.tuples(sub, st.sampled_from(["+", "-", "*"]), sub).map(
+            lambda t: E(
+                f"({t[0].prql} {t[1]} {t[2].prql})",
+                f"({t[0].sql} {t[1]} {t[2].sql})",
+                "num",
+            )
+        ),
+        sub.map(
+            lambda e: E(f"(- {e.prql})", f"(- {e.sql})", "num")
+        ),
+        st.tuples(sub, sub).map(
+            lambda t: E(
+                f"({t[0].prql} ?? {t[1].prql})",
+                f"coalesce({t[0].sql}, {t[1].sql})",
+                "num",
+            )
+        ),
+    )
+
+
+def bool_expr():
+    n = num_expr(1)
+    cmps = {"==": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+    base = st.one_of(
+        st.tuples(n, st.sampled_from(sorted(cmps)), n).map(
+            lambda t: E(
+                f"({t[0].prql} {t[1]} {t[2].prql})",
+                f"({t[0].sql} {cmps[t[1]]} {t[2].sql})",
+                "bool",
+            )
+        ),
+        st.tuples(
+            st.sampled_from(STR_COLS), st.sampled_from(["A", "N", "R", "O", "F"])
+        ).map(
+            lambda t: E(
+                f'({t[0]} == "{t[1]}")', f"({t[0]} = '{t[1]}')", "bool"
+            )
+        ),
+    )
+    return st.one_of(
+        base,
+        st.tuples(base, st.sampled_from(["and", "or"]), base).map(
+            lambda t: E(
+                f"({t[0].prql} {t[1]} {t[2].prql})",
+                f"({t[0].sql} {t[1].upper()} {t[2].sql})",
+                "bool",
+            )
+        ),
+    )
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 4)
+    return round(float(v), 4) if isinstance(v, int) else v
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(e=num_expr(2), cond=bool_expr())
+def test_random_expression_parity(spark, catalog, oracle, e, cond):
+    prql = (
+        "from lineitem\n"
+        f"filter {cond.prql}\n"
+        f"derive [v = {e.prql}]\n"
+        "aggregate [n = count, s = sum v, mx = max v]"
+    )
+    df = compile_prql(prql, catalog)
+    got = df.collect()[0]
+    want = oracle.execute(
+        f"SELECT count(*) AS n, sum(v) AS s, max(v) AS mx FROM ("
+        f"SELECT {e.sql} AS v FROM lineitem WHERE {cond.sql}) t"
+    ).fetchone()
+    assert got.n == want[0], (prql, got, want)
+    assert _norm(got.s) == _norm(want[1]), (prql, got, want)
+    assert _norm(got.mx) == _norm(want[2]), (prql, got, want)
