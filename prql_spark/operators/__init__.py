@@ -155,6 +155,38 @@ SELECT doc_id, md5({NORM}) AS fp_md5 FROM documents ORDER BY doc_id
 """
 
 
+def q_ngram_counts(spark, sf_dir):
+    return text.ngram_counts(_docs(spark, sf_dir), n=2, top_k=200)
+
+
+SQL_NGRAM_COUNTS = f"""
+WITH g AS (
+  SELECT unnest(list_transform(
+    range(0, greatest(len({WORDS_DD}) - 2, 0) + 1),
+    i -> array_to_string(list_slice({WORDS_DD}, i + 1, i + 2), ' '))) AS ngram
+  FROM documents)
+SELECT ngram, count(*) AS freq FROM g
+WHERE ngram != ''
+GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 200
+"""
+
+
+def q_doc_frequency(spark, sf_dir):
+    return text.doc_frequency(_docs(spark, sf_dir), min_df=5).orderBy(
+        "term"
+    )
+
+
+SQL_DOC_FREQUENCY = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({WORDS_DD})) AS term
+  FROM documents)
+SELECT term, count(*) AS df FROM t
+WHERE term != ''
+GROUP BY term HAVING count(*) >= 5 ORDER BY term
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         _docs(spark, sf_dir), n=3, threshold=0.5
@@ -548,6 +580,8 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_lang_id,
         "text_fingerprint": q_fingerprint,
         "dedup_ngram_jaccard": q_ngram_jaccard,
+        "text_ngram_counts": q_ngram_counts,
+        "text_doc_frequency": q_doc_frequency,
         "dedup_minhash_lsh": q_dedup_minhash,
         "dedup_simhash_pairs": q_simhash_pairs,
         "ann_bruteforce_topk": q_ann_bruteforce,
@@ -575,6 +609,8 @@ def entry_oracles() -> dict[str, str]:
         "text_lang_id": SQL_LANG_ID,
         "text_fingerprint": SQL_FINGERPRINT,
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
+        "text_ngram_counts": SQL_NGRAM_COUNTS,
+        "text_doc_frequency": SQL_DOC_FREQUENCY,
         # dedup_minhash_lsh / dedup_simhash_pairs: xxhash64-based
         # signatures aren't DuckDB-expressible → rows-only (tested
         # against a pure-python reference in tests/test_operators.py)

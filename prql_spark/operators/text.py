@@ -122,6 +122,55 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def ngram_counts(
+    df: DataFrame,
+    n: int = 2,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide word-n-gram frequency table (vocabulary builder).
+
+    explode → hash-agg with map-side combine → global top-k by
+    TakeOrdered: the shuffle carries only (ngram, partial_count)
+    pairs, never documents. Ties broken by ngram text for
+    determinism.
+    """
+    words = _words(text_col)
+    grams = (
+        f"transform(sequence(0, greatest(size({words}) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice({words}, i + 1, {n})))"
+    )
+    return (
+        df.select(F.explode(F.expr(grams)).alias("ngram"))
+        .where(F.expr("ngram != ''"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "ngram")
+        .limit(top_k)
+    )
+
+
+def doc_frequency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-term document frequency (the IDF denominator): number of
+    docs containing each distinct word, terms below min_df dropped."""
+    words = _words(text_col)
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.expr(f"array_distinct({words})")).alias("term"),
+        )
+        .where(F.expr("term != ''"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints.
 

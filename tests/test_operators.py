@@ -247,3 +247,17 @@ def test_salted_aggregate_equals_direct(spark, catalog):
         .collect()
     }
     assert salted == direct
+
+
+def test_ngram_counts_and_doc_frequency(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="big data big model"),
+            Row(doc_id=2, text="big data small model"),
+            Row(doc_id=3, text="tiny corpus"),
+        ]
+    )
+    top = text.ngram_counts(docs, n=2, top_k=3).collect()
+    assert (top[0].ngram, top[0].freq) == ("big data", 2)
+    dfq = {r.term: r.df for r in text.doc_frequency(docs, min_df=2).collect()}
+    assert dfq == {"big": 2, "data": 2, "model": 2}
