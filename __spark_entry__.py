@@ -381,6 +381,26 @@ WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_orderkey
 """
 
+TRAILING_7D = """
+from orders
+group [o_custkey] (
+  sort [o_orderdate]
+  window range:-7days..0days (
+    derive [trailing_7d = round (sum o_totalprice) 2]
+  )
+)
+select [o_orderkey, trailing_7d]
+sort [o_orderkey]
+"""
+
+TRAILING_7D_SQL = """
+SELECT o_orderkey, round(sum(o_totalprice) OVER (
+  PARTITION BY o_custkey ORDER BY o_orderdate
+  RANGE BETWEEN INTERVAL '7 days' PRECEDING
+  AND INTERVAL '0 days' FOLLOWING), 2) AS trailing_7d
+FROM orders ORDER BY o_orderkey
+"""
+
 EVENTS_SESSIONS = """
 from events
 derive [day = s"CAST(CAST({ts} AS DATE) AS STRING)"]
@@ -428,6 +448,7 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
     "user_func_cte": (USER_FUNC_CTE, USER_FUNC_CTE_SQL),
     "events_daily_rollup": (EVENTS_SESSIONS, EVENTS_SESSIONS_SQL),
     "agg_stddev_minmax": (RANK_STATS, RANK_STATS_SQL),
+    "window_interval_range": (TRAILING_7D, TRAILING_7D_SQL),
     "window_dense_rank_first_last": (DENSE_RANK_WINDOW, DENSE_RANK_WINDOW_SQL),
 }
 

@@ -480,11 +480,22 @@ class Compiler:
         def edge(node, default):
             if node is None:
                 return default
-            v = node.value if isinstance(node, Lit) else None
+            neg = False
             if isinstance(node, Unary) and node.op == "-":
-                v = -node.expr.value
+                node, neg = node.expr, True
+            if isinstance(node, Lit) and node.kind == "interval":
+                # `range:-7days..0` over a time-ordered window →
+                # RANGE BETWEEN INTERVAL 7 DAY PRECEDING ...
+                n, unit = node.value
+                sql = f"INTERVAL {n} {unit.rstrip('s').upper()}"
+                return f"{sql} {'PRECEDING' if neg else 'FOLLOWING'}"
+            v = node.value if isinstance(node, Lit) else None
             if v is None:
-                raise PrqlCompileError("window frame edges must be integers")
+                raise PrqlCompileError(
+                    "window frame edges must be integers or intervals"
+                )
+            if neg:
+                v = -v
             if v == 0:
                 return "CURRENT ROW"
             return f"{-v} PRECEDING" if v < 0 else f"{v} FOLLOWING"

@@ -310,6 +310,20 @@ ORDER BY query_id, cosine DESC, vec_id
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (k-means coarse quantizer + nprobe search) — rows-only:
+    iterative centroid training isn't single-statement SQL; recall vs
+    brute force is pinned in tests/test_operators.py."""
+    return similarity.ivf_topk(
+        _embs(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        dim=64,
+        k=10,
+        n_lists=8,
+        nprobe=4,
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")
+
+
 def q_embedding_near_dups(spark, sf_dir):
     return similarity.embedding_near_dups(
         _embs(spark, sf_dir), dim=64, threshold=0.8, n_planes=8
@@ -586,6 +600,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_simhash_pairs,
         "ann_bruteforce_topk": q_ann_bruteforce,
         "ann_lsh_topk": q_ann_lsh,
+        "ann_ivf_topk": q_ann_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_metadata": q_multimodal_meta,

@@ -127,6 +127,118 @@ def lsh_topk(
     )
 
 
+def ivf_train_centroids(
+    df: DataFrame,
+    dim: int,
+    n_lists: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd's k-means (few iterations) for an IVF coarse quantizer.
+
+    Deterministic seeding: the n_lists vectors with the smallest ids.
+    Each iteration is one broadcast-join assignment + one groupBy
+    average — the corpus never shuffles by more than (list_id).
+    Centroid lists are tiny (n_lists × dim) and live on the driver,
+    as a real IVF index's coarse quantizer would.
+    """
+    seed_rows = (
+        df.orderBy(id_col).limit(n_lists).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seed_rows]
+    for _ in range(iters):
+        assigned = df.select(
+            F.expr(_nearest_expr(vec_col, centroids)).alias("__list"),
+            F.col(vec_col),
+        )
+        # component-wise mean via posexplode + partial-sum: the
+        # shuffle carries only (list, pos, partial_sum) — never
+        # whole-vector collections per group
+        sums = (
+            assigned.select(
+                "__list", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("__list", "pos")
+            .agg(
+                F.sum(F.expr("CAST(val AS DOUBLE)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in sums:
+            new[r["__list"]][r.pos] = r.s / r.n
+        centroids = [c for c in new]
+    return centroids
+
+
+def _nearest_expr(vec: str, centroids: list[list[float]]) -> str:
+    """SQL expr: index of the max-cosine centroid for `vec`."""
+    structs = []
+    for i, c in enumerate(centroids):
+        arr = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in c) + ")"
+        structs.append(
+            f"named_struct('cos', {cosine_expr(vec, arr)}, 'i', {i})"
+        )
+    return f"array_max(array({', '.join(structs)})).i"
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus bucketed by nearest centroid
+    (one narrow map), queries probe their nprobe closest lists, exact
+    cosine rerank within probed lists only. Candidate volume is
+    ~nprobe/n_lists of the corpus."""
+    if centroids is None:
+        centroids = ivf_train_centroids(df, dim, n_lists, vec_col=vec_col,
+                                        id_col=id_col)
+    corpus = df.withColumn("__list", F.expr(_nearest_expr(vec_col, centroids)))
+    # per-query probe lists: indexes of the nprobe best centroids
+    probes = []
+    for i, c in enumerate(centroids):
+        arr = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in c) + ")"
+        probes.append(
+            f"named_struct('cos', {cosine_expr('qvec', arr)}, 'i', {i})"
+        )
+    probe_expr = (
+        f"transform(slice(reverse(array_sort(array({', '.join(probes)}))), "
+        f"1, {nprobe}), s -> s.i)"
+    )
+    qs = queries.select(
+        F.col(query_id_col),
+        F.col("qvec"),
+        F.explode(F.expr(probe_expr)).alias("__list"),
+    )
+    j = corpus.join(F.broadcast(qs), on="__list")
+    scored = j.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.expr(f"round({cosine_expr(vec_col, 'qvec')}, 6)").alias("cosine"),
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.expr(
+                f"row_number() OVER (PARTITION BY {query_id_col} "
+                f"ORDER BY cosine DESC, {id_col})"
+            ),
+        )
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,

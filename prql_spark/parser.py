@@ -453,11 +453,14 @@ class Parser:
                 op in "+-"
                 and isinstance(inner, RangeLit)
                 and isinstance(inner.start, Lit)
-                and inner.start.kind in ("int", "float")
+                and inner.start.kind in ("int", "float", "interval")
             ):
                 start = inner.start
                 if op == "-":
-                    start = Lit(-start.value, start.kind)
+                    if start.kind == "interval":
+                        start = Unary("-", start)
+                    else:
+                        start = Lit(-start.value, start.kind)
                 return RangeLit(start, inner.end)
             return Unary(op, inner)
         return self._parse_postfix_range(self.parse_term())

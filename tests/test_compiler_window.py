@@ -191,3 +191,29 @@ def test_invoice_totals_shape(catalog, oracle):
         """,
         sort=True,
     )
+
+
+def test_interval_range_window(catalog, oracle):
+    """range: with interval edges → RANGE BETWEEN INTERVAL over a
+    time-ordered window (7-day trailing revenue per customer)."""
+    df = compile_prql(
+        "from orders\n"
+        "group [o_custkey] (\n"
+        "  sort [o_orderdate]\n"
+        "  window range:-7days..0days (\n"
+        "    derive [trailing_7d = round (sum o_totalprice) 2]\n"
+        "  )\n"
+        ")\n"
+        "select [o_orderkey, trailing_7d]",
+        catalog,
+    )
+    assert_df_matches_sql(
+        df,
+        oracle,
+        "SELECT o_orderkey, round(sum(o_totalprice) OVER ("
+        " PARTITION BY o_custkey ORDER BY o_orderdate"
+        " RANGE BETWEEN INTERVAL '7 days' PRECEDING"
+        " AND INTERVAL '0 days' FOLLOWING), 2) AS trailing_7d"
+        " FROM orders",
+        sort=True,
+    )

@@ -261,3 +261,33 @@ def test_ngram_counts_and_doc_frequency(spark):
     assert (top[0].ngram, top[0].freq) == ("big data", 2)
     dfq = {r.term: r.df for r in text.doc_frequency(docs, min_df=2).collect()}
     assert dfq == {"big": 2, "data": 2, "model": 2}
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, catalog):
+    embs = catalog.load("embeddings")
+    qs = embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_topk(embs, qs, k=10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(
+            embs, qs, dim=64, k=10, n_lists=8, nprobe=4
+        ).collect()
+    }
+    # probing half the lists must recover most of the exact top-10
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall}"
+    # the query vector itself always lands in its own probed list
+    assert all((q, q) in approx for q in (0, 1, 2))
+
+
+def test_ivf_centroids_deterministic(spark, catalog):
+    embs = catalog.load("embeddings")
+    a = similarity.ivf_train_centroids(embs, dim=64, n_lists=4, iters=2)
+    b = similarity.ivf_train_centroids(embs, dim=64, n_lists=4, iters=2)
+    assert a == b
+    assert len(a) == 4 and all(len(c) == 64 for c in a)
