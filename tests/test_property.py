@@ -135,3 +135,49 @@ def test_random_expression_parity(spark, catalog, oracle, e, cond):
     assert got.n == want[0], (prql, got, want)
     assert _norm(got.s) == _norm(want[1]), (prql, got, want)
     assert _norm(got.mx) == _norm(want[2]), (prql, got, want)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    lo=st.integers(-5, 0),
+    hi=st.integers(0, 5),
+    fn=st.sampled_from(["sum", "min", "max", "count"]),
+    partitioned=st.booleans(),
+)
+def test_random_window_frames(spark, catalog, oracle, lo, hi, fn, partitioned):
+    """Random ROWS frames: engine vs DuckDB over orders."""
+    prql_fn = {"sum": "sum o_totalprice", "min": "min o_totalprice",
+               "max": "max o_totalprice", "count": "count"}[fn]
+    sql_fn = {"sum": "sum(o_totalprice)", "min": "min(o_totalprice)",
+              "max": "max(o_totalprice)", "count": "count(*)"}[fn]
+    grp = "group [o_orderstatus] (\n" if partitioned else ""
+    grp_end = ")\n" if partitioned else ""
+    part = "PARTITION BY o_orderstatus " if partitioned else ""
+    edge = lambda v: ("CURRENT ROW" if v == 0
+                      else f"{-v} PRECEDING" if v < 0 else f"{v} FOLLOWING")
+    prql = (
+        "from orders\n"
+        f"{grp}"
+        f"sort [o_orderkey]\n"
+        f"window rows:{lo}..{hi} (\n"
+        f"  derive [v = {prql_fn}]\n"
+        ")\n"
+        f"{grp_end}"
+        "derive [vr = round (v * 1.0) 2]\n"
+        "select [o_orderkey, vr]"
+    )
+    df = compile_prql(prql, catalog)
+    got = sorted((r.o_orderkey, _norm(r.vr)) for r in df.collect())
+    want = sorted(
+        (a, _norm(b))
+        for a, b in oracle.execute(
+            f"SELECT o_orderkey, round({sql_fn} OVER ({part}"
+            f"ORDER BY o_orderkey ROWS BETWEEN {edge(lo)} AND {edge(hi)})"
+            f" * 1.0, 2) AS vr FROM orders"
+        ).fetchall()
+    )
+    assert got == want, (prql, got[:3], want[:3])
