@@ -58,12 +58,20 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     src = events
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
-    return src.groupBy(
-        F.window("ts", "1 hour").getField("start").alias("bucket"),
-        "event_type",
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.expr("coalesce(value, 0.0)")), 2).alias("value_sum"),
+    # group on the window STRUCT itself — extracting .start before
+    # the aggregation severs watermark propagation (append mode then
+    # rejects the plan); project bucket = window.start afterwards.
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("__w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.expr("coalesce(value, 0.0)")), 2).alias(
+                "value_sum"
+            ),
+        )
+        .select(
+            F.col("__w.start").alias("bucket"), "event_type", "n", "value_sum"
+        )
     )
 
 

@@ -85,3 +85,62 @@ def test_sessionize_streaming_matches_batch(spark, events_dir):
     }
     # single micro-batch replay must agree exactly with batch
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a 1-hour watermark must drop an
+    event arriving hours after its window was finalized; the batch
+    twin keeps it."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import Row
+
+    d = str(tmp_path / "late_events")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minutes):
+        return Row(
+            event_id=eid,
+            ts=t0 + dt.timedelta(minutes=minutes),
+            user_id=1,
+            event_type="click",
+            value=1.0,
+            props="{}",
+        )
+
+    # batch 0: events up to t0+9.5h → watermark advances to 8.5h
+    on_time = [ev(i, i * 30) for i in range(20)]
+    spark.createDataFrame(on_time, schema=sp.EVENTS_SCHEMA).coalesce(
+        1
+    ).write.mode("overwrite").parquet(d)
+    time.sleep(1.1)  # mtime ordering → separate micro-batches
+    # batch 1: a current event; during this batch the watermark from
+    # batch 0 takes effect and hour-0 is finalized+emitted at its end
+    spark.createDataFrame(
+        [ev(500, 10 * 60)], schema=sp.EVENTS_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(d)
+    time.sleep(1.1)
+    # batch 2: a VERY late event for the already-emitted hour-0 window
+    late = [ev(999, 1)]
+    spark.createDataFrame(late, schema=sp.EVENTS_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(d)
+
+    stream = sp.read_events_stream(spark, d, max_files_per_trigger=1)
+    out = sp.run_stream_to_memory(
+        sp.hourly_rollup(stream, watermark="1 hour"),
+        "late_test",
+        "append",
+    )
+    got = {(r.bucket, r.n) for r in out.collect()}
+    # the very late event must NOT be double-counted into hour 0:
+    # hour 0 was emitted with the on-time counts only (2 events)
+    hour0 = [n for b, n in got if b == t0]
+    assert hour0 == [2], f"hour-0 counts {hour0} (late event not dropped?)"
+    # batch twin (no watermark) sees all 3 events in hour 0
+    batch = sp.hourly_rollup(spark.read.parquet(d))
+    b0 = [r.n for r in batch.collect() if r.bucket == t0]
+    assert b0 == [3]
+    # and no duplicate emission of the finalized window
+    assert len([1 for b, _ in got if b == t0]) == 1
