@@ -18,7 +18,11 @@ def build_spark(app: str = "prql_spark", cpus: int | None = None) -> SparkSessio
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (
             os.cpu_count() or 4
         )
-    shuffle = max(32, cpus * 2)
+    # one shuffle partition per core: 2× over-partitioning doubled
+    # task-scheduling overhead at bench scale (measured 10.5s→5.7s on
+    # the hot queries); on a real cluster this is set per-deployment
+    # and AQE coalesces the read side regardless
+    shuffle = max(32, cpus)
     return (
         SparkSession.builder.appName(app)
         .master(f"local[{cpus}]")
