@@ -126,7 +126,7 @@ ORDER BY revenue DESC, n_name
 
 Q6_FORECAST_REVENUE = """
 from lineitem
-filter l_shipdate >= @1994-01-01 and l_shipdate < @1995-01-01
+filter l_shipdate >= @1996-01-01 and l_shipdate < @1997-01-01
 filter (l_discount | in 0.05..0.07) and l_quantity < 24
 aggregate [revenue = round (sum (l_extendedprice * l_discount)) 2]
 """
@@ -134,9 +134,84 @@ aggregate [revenue = round (sum (l_extendedprice * l_discount)) 2]
 Q6_SQL = """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-  AND l_shipdate < TIMESTAMP '1995-01-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+Q4_ORDER_PRIORITY = """
+table late_orders = (
+  from lineitem
+  filter l_shipdate > @1995-06-01
+  select [l_orderkey]
+  group [l_orderkey] (take 1)
+)
+from o=orders
+join lo=late_orders [l_orderkey == o_orderkey]
+filter o_orderdate >= @1995-01-01 and o_orderdate < @1995-10-01
+group [o_orderpriority] (
+  aggregate [order_count = count]
+)
+sort [o_orderpriority]
+"""
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+JOIN (SELECT DISTINCT l_orderkey FROM lineitem
+      WHERE l_shipdate > TIMESTAMP '1995-06-01') lo
+  ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1995-10-01'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+Q12_SHIPMODE = """
+from l=lineitem
+join o=orders [o_orderkey == l_orderkey]
+filter l_shipdate >= @1996-01-01 and l_shipdate < @1997-01-01
+derive [
+  high = s"CASE WHEN {o.o_orderpriority} IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END",
+  low = s"CASE WHEN {o.o_orderpriority} NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END",
+]
+group [l_linestatus] (
+  aggregate [high_count = sum high, low_count = sum low]
+)
+sort [l_linestatus]
+"""
+
+Q12_SQL = """
+SELECT l_linestatus,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS high_count,
+  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS low_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+Q14_PROMO_REVENUE = """
+from l=lineitem
+join p=part [p_partkey == l_partkey]
+filter l_shipdate >= @1995-09-01 and l_shipdate < @1995-10-01
+derive [
+  net = l_extendedprice * (1 - l_discount),
+  promo = s"CASE WHEN {p.p_type} LIKE 'PROMO%' THEN {net} ELSE 0.0 END",
+]
+aggregate [
+  promo_revenue = round (s"100.0 * sum({promo}) / sum({net})") 4,
+]
+"""
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate < TIMESTAMP '1995-10-01'
 """
 
 TOP_CUSTOMERS = """
@@ -436,6 +511,9 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
     "q3_shipping_priority": (Q3_SHIPPING_PRIORITY, Q3_SQL),
     "q5_local_supplier": (Q5_LOCAL_SUPPLIER, Q5_SQL),
     "q6_forecast_revenue": (Q6_FORECAST_REVENUE, Q6_SQL),
+    "q4_order_priority": (Q4_ORDER_PRIORITY, Q4_SQL),
+    "q12_shipmode_priority": (Q12_SHIPMODE, Q12_SQL),
+    "q14_promo_revenue": (Q14_PROMO_REVENUE, Q14_SQL),
     "top_customers_left_join": (TOP_CUSTOMERS, TOP_CUSTOMERS_SQL),
     "distinct_idiom": (DISTINCT_SEGMENTS, DISTINCT_SEGMENTS_SQL),
     "window_running_total": (RUNNING_TOTAL, RUNNING_TOTAL_SQL),
