@@ -325,8 +325,11 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
+    # 0.35: the synthetic embeddings have no true near-dups (max
+    # cosine ~0.48), so a production-style 0.95 threshold would give
+    # a trivially-empty (hence meaningless) oracle match
     return similarity.embedding_near_dups(
-        _embs(spark, sf_dir), dim=64, threshold=0.8, n_planes=8
+        _embs(spark, sf_dir), dim=64, threshold=0.35, n_planes=8
     ).orderBy("id_a", "id_b")
 
 
@@ -340,7 +343,7 @@ SELECT l.vec_id AS id_a, r.vec_id AS id_b,
   round({cos}, 6) AS cosine
 FROM embeddings l JOIN embeddings r
   ON {bl} = {br} AND l.vec_id < r.vec_id
-WHERE round({cos}, 6) >= 0.8
+WHERE round({cos}, 6) >= 0.35
 ORDER BY id_a, id_b
 """
 

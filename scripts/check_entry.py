@@ -96,7 +96,8 @@ def main():
                 print(f"FAIL {name}: values differ, e.g. {diffs}")
                 ok = False
         if ok:
-            print(f"PASS {name}: {len(rows)} rows ({dt:.1f}s)")
+            flag = " [!] 0-row pass proves nothing" if not rows else ""
+            print(f"PASS {name}: {len(rows)} rows ({dt:.1f}s){flag}")
             n_pass += 1
         else:
             n_fail += 1
