@@ -214,6 +214,65 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01'
   AND l_shipdate < TIMESTAMP '1995-10-01'
 """
 
+Q10_RETURNED_ITEMS = """
+from c=customer
+join o=orders [o_custkey == c_custkey]
+join l=lineitem [l_orderkey == o_orderkey]
+join n=nation [n_nationkey == c_nationkey]
+filter l_returnflag == "R" and o_orderdate >= @1995-10-01 and o_orderdate < @1996-01-01
+group [c_custkey, c_name, c_acctbal, n_name] (
+  aggregate [revenue = round (sum (l_extendedprice * (1 - l_discount))) 2]
+)
+sort [-revenue, c_custkey]
+take 20
+select [c_custkey, c_name, revenue, c_acctbal, n_name]
+"""
+
+Q10_SQL = """
+SELECT c_custkey, c_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  c_acctbal, n_name
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-10-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+Q18_LARGE_ORDERS = """
+table big_orders = (
+  from lineitem
+  group [l_orderkey] (
+    aggregate [total_qty = sum l_quantity]
+  )
+  filter total_qty > 150
+)
+from o=orders
+join b=big_orders [l_orderkey == o_orderkey]
+join c=customer [c_custkey == o_custkey]
+select [c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty]
+sort [-o_totalprice, o_orderkey]
+take 100
+"""
+
+Q18_SQL = """
+WITH big_orders AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       total_qty
+FROM orders
+JOIN big_orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
 TOP_CUSTOMERS = """
 from c=customer
 join side:left o=orders [o_custkey == c_custkey]
@@ -514,6 +573,8 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
     "q4_order_priority": (Q4_ORDER_PRIORITY, Q4_SQL),
     "q12_shipmode_priority": (Q12_SHIPMODE, Q12_SQL),
     "q14_promo_revenue": (Q14_PROMO_REVENUE, Q14_SQL),
+    "q10_returned_items": (Q10_RETURNED_ITEMS, Q10_SQL),
+    "q18_large_orders": (Q18_LARGE_ORDERS, Q18_SQL),
     "top_customers_left_join": (TOP_CUSTOMERS, TOP_CUSTOMERS_SQL),
     "distinct_idiom": (DISTINCT_SEGMENTS, DISTINCT_SEGMENTS_SQL),
     "window_running_total": (RUNNING_TOTAL, RUNNING_TOTAL_SQL),
