@@ -182,10 +182,10 @@ sort [l_linestatus]
 
 Q12_SQL = """
 SELECT l_linestatus,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      THEN 1 ELSE 0 END) AS high_count,
-  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-      THEN 1 ELSE 0 END) AS low_count
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS low_count
 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
