@@ -2,12 +2,12 @@
 
 Scale design (100 TB posture):
 - exact: one hash-shuffle on a 16-byte key; map-side partial agg.
-- minhash LSH: the only shuffle is the band-bucket exchange; pairs
-  are generated *within* buckets (never O(n²) global), and the
-  candidate join re-fetches signatures by id instead of carrying
-  arrays through the explode. Bucket keys include the band id, so
-  hot buckets spread across 16× more reducers; AQE skew-join covers
-  residual hot spots.
+- minhash LSH: the only shuffle of the corpus is the band-bucket
+  group-by; pairs are generated *within* collected buckets (never
+  O(n²) global) and verified in-bucket from the carried signatures —
+  no self-join, no candidate re-join, no corpus-sized broadcast.
+  Bucket keys include the band id, so hot buckets spread across 16×
+  more reducers.
 - simhash: 64-bit signature, banded into 4×16-bit blocks — standard
   Hamming-distance blocking (Charikar 2002; Manku et al. 2007).
 
@@ -24,6 +24,20 @@ from pyspark.sql import DataFrame, functions as F
 MERSENNE61 = (1 << 61) - 1
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition only when the scan is under-parallel.
+
+    Local single-file parquet scans arrive as 1 partition and would
+    serialize compute-heavy maps; but a 100 TB input already has
+    thousands of splits, where an unconditional repartition is a
+    gratuitous extra full shuffle. Gate on the actual partition count.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n_parts:
+        return df
+    return df.repartition(n_parts, *cols) if cols else df.repartition(n_parts)
+
+
 def dedup_exact(
     df: DataFrame,
     text_col: str = "text",
@@ -33,8 +47,7 @@ def dedup_exact(
     # single shuffle: min-id per key via window beats agg + semijoin
     # (one exchange on __key instead of two plus a join)
     norm = f"md5(lower(regexp_replace(trim({text_col}), '\\\\s+', ' ')))"
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    key = df.repartition(n_parts, id_col).withColumn("__key", F.expr(norm))
+    key = _spread(df, id_col).withColumn("__key", F.expr(norm))
     return (
         key.withColumn(
             "__keep",
@@ -113,15 +126,23 @@ def minhash_signatures(
     # stringifies them, which pandas_udf inference rejects
     _sig = pandas_udf(_sig_fn, "array<long>")
 
-    # spread the compute-heavy signature map across all cores even
-    # when the input is a single file (one scan partition); hash-
-    # partitioning by id also pre-spreads the band explode.
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # Shingle-less docs (null/blank text) are dropped BEFORE the UDF,
+    # JVM-side: a post-UDF `where size(minhash) > 0` gets predicate-
+    # pushed below the projection, duplicating the UDF expression so
+    # the signature computes twice per row. The pre-filter is
+    # equivalent (a doc has >= 1 shingle iff its trimmed text is
+    # non-empty) and pushes to the scan.
+    # spread the compute-heavy signature map across all cores when
+    # the input is a single file (one scan partition); no-op on
+    # already-parallel inputs.
     return (
-        df.select(id_col, F.col(text_col))
-        .repartition(n_parts, id_col)
+        _spread(
+            df.select(id_col, F.col(text_col)).where(
+                F.expr(f"length(trim({text_col})) > 0")
+            ),
+            id_col,
+        )
         .select(id_col, _sig(F.expr(norm)).alias("minhash"))
-        .where(F.expr("size(minhash) > 0"))
     )
 
 
@@ -138,50 +159,67 @@ def minhash_lsh_pairs(
     Jaccard (fraction of matching minhash components) >= threshold.
     """
     rows_per_band = num_perm // bands
-    buckets = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"named_struct('band', b, 'h', "
-                f"xxhash64(concat_ws(',', slice(minhash, "
-                f"b * {rows_per_band} + 1, {rows_per_band})))))"
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.h")
-    left = buckets.alias("l")
-    right = buckets.alias("r")
-    cand = (
-        left.join(
-            right,
-            on=F.expr(f"l.band = r.band AND l.h = r.h AND l.{id_col} < r.{id_col}"),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
-    sa = sigs.select(
-        F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a")
-    )
-    sb = sigs.select(
-        F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b")
-    )
-    est = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.expr(
-                "size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), "
-                "v -> v)) / size(mh_a)"
+    # Bucket-combine, not self-join: group the banded rows by
+    # (band, h), collect each bucket's (id, signature) members, and
+    # generate the within-bucket pairs from the collected array. The
+    # corpus is exchanged exactly ONCE (the group-by), the signature
+    # UDF runs exactly once (no second scan for a join side, no
+    # corpus-sized broadcast, no cache), and the estimate is computed
+    # post-aggregation so no higher-order expression lands in a join
+    # condition. Mega-buckets (many exact dups sharing every band)
+    # are the residual skew risk — run dedup_exact first on corpora
+    # with heavy exact duplication.
+    # The band array is unrolled at compile time (bands is a plan
+    # constant): xxhash64 over the long elements directly. A
+    # transform() lambda with concat_ws/cast-to-string runs
+    # interpreted per row with per-band string allocations — measured
+    # ~4× slower than this codegen-able form at sf0.1.
+    structs = ", ".join(
+        "named_struct('band', %d, 'h', xxhash64(%s))"
+        % (
+            b,
+            ", ".join(
+                f"minhash[{b * rows_per_band + i}]"
+                for i in range(rows_per_band)
             ),
         )
-        .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        for b in range(bands)
     )
-    return est
+    buckets = sigs.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.explode(F.expr(f"array({structs})")).alias("bk"),
+    ).select(id_col, "minhash", "bk.band", "bk.h")
+    grouped = (
+        buckets.groupBy("band", "h")
+        .agg(
+            F.expr(
+                f"array_sort(collect_list(struct({id_col}, minhash)))"
+            ).alias("mem")
+        )
+        .where(F.expr("size(mem) >= 2"))
+    )
+    return (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(0, size(mem)-2), i -> "
+                    f"transform(sequence(i+1, size(mem)-1), j -> "
+                    f"named_struct("
+                    f"'id_a', mem[i].{id_col}, 'id_b', mem[j].{id_col}, "
+                    f"'est_jaccard', size(filter(zip_with("
+                    f"mem[i].minhash, mem[j].minhash, (x, y) -> x = y), "
+                    f"v -> v)) / size(mem[i].minhash)))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.est_jaccard")
+        .where(F.col("est_jaccard") >= threshold)
+        # a pair colliding in k bands appears k times; the group-by is
+        # the dedup (est_jaccard is identical for every occurrence)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+    )
 
 
 def dedup_minhash_lsh(
@@ -196,18 +234,16 @@ def dedup_minhash_lsh(
     """Docs surviving minhash-LSH dedup (drop the larger id of each
     near-dup pair — standard greedy keep-first policy).
 
-    The signature table is persisted: it feeds the band explode AND
-    both sides of the candidate verify join — without a persist the
-    (expensive) signature plan executes ~4×. At cluster scale this
-    is the step you'd checkpoint to storage.
+    Fully lazy: the signature table feeds a single group-by (the
+    bucket-combine in minhash_lsh_pairs), so the signature UDF runs
+    exactly once with no persist and no eager action — composing this
+    inside a larger pipeline triggers no job at build time.
     """
     sigs = minhash_signatures(
         df, text_col, id_col, num_perm, shingle_k
-    ).select(id_col, "minhash").persist()
+    ).select(id_col, "minhash")
     pairs = minhash_lsh_pairs(sigs, id_col, num_perm, bands, threshold)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct().persist()
-    losers.count()  # materialize while sigs is cached
-    sigs.unpersist(blocking=False)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 
@@ -230,10 +266,8 @@ def simhash_signatures(
         "aggregate(zip_with(__bits, sequence(0, 63), "
         "(bit, i) -> shiftleft(bit, i)), 0L, (acc, v) -> acc | v)"
     )
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(id_col, F.col(text_col))
-        .repartition(n_parts, id_col)
+        _spread(df.select(id_col, F.col(text_col)), id_col)
         .select(id_col, F.expr(bits).alias("__bits"))
         .select(id_col, F.expr(pack).alias("simhash"))
     )

@@ -78,6 +78,40 @@ def test_distinct_idiom_no_window(catalog):
     assert "Window" not in plan
 
 
+def test_ann_topk_partial_group_limit(catalog, spark):
+    # the per-query rank filter must compile to Spark's two-stage
+    # WindowGroupLimit (SPARK-37099): a *Partial* limit before the
+    # exchange so each scan partition forwards at most k rows per
+    # query — never the whole scored corpus to one reducer
+    from prql_spark.operators.similarity import brute_force_topk
+
+    corpus = catalog.load("embeddings")
+    queries = (
+        corpus.limit(3)
+        .selectExpr("vec_id AS query_id", "embedding AS qvec")
+    )
+    df = brute_force_topk(corpus, queries, k=5)
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[-1][:200]
+
+
+def test_dedup_exact_single_exchange_when_parallel(catalog, spark):
+    # on an already-parallel input the gate must skip the spreading
+    # repartition: exactly one exchange (the key window), no
+    # REPARTITION_BY_NUM
+    from pyspark.sql import functions as F
+
+    from prql_spark.operators.dedup import dedup_exact
+
+    docs = catalog.load("documents").repartition(8, "doc_id")
+    plan = plan_of(dedup_exact(docs))
+    assert "REPARTITION_BY_NUM" not in plan.split("ENSURE_REQUIREMENTS")[0]
+    # one ENSURE_REQUIREMENTS exchange for the window, plus the
+    # caller's explicit repartition — nothing else
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_core_path_has_codegen_no_python(catalog):
     df = compile_prql(
         "from lineitem\n"
