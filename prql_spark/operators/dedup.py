@@ -146,18 +146,17 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def _minhash_raw_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Near-dup candidate pairs from banded minhash signatures.
-
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b and estimated
-    Jaccard (fraction of matching minhash components) >= threshold.
-    """
+    """Within-bucket verified pairs, one row PER colliding band (a
+    pair agreeing in k bands appears k times). Callers dedup as fits:
+    pair-level group-by for the pairs API, id-level distinct for the
+    keep/drop dedup (one exchange cheaper)."""
     rows_per_band = num_perm // bands
     # Bucket-combine, not self-join: group the banded rows by
     # (band, h), collect each bucket's (id, signature) members, and
@@ -215,10 +214,26 @@ def minhash_lsh_pairs(
         )
         .select("p.id_a", "p.id_b", "p.est_jaccard")
         .where(F.col("est_jaccard") >= threshold)
-        # a pair colliding in k bands appears k times; the group-by is
-        # the dedup (est_jaccard is identical for every occurrence)
-        .groupBy("id_a", "id_b")
-        .agg(F.first("est_jaccard").alias("est_jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs from banded minhash signatures.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b and estimated
+    Jaccard (fraction of matching minhash components) >= threshold.
+    """
+    raw = _minhash_raw_pairs(sigs, id_col, num_perm, bands, threshold)
+    # a pair colliding in k bands appears k times; the group-by is the
+    # dedup (est_jaccard is identical for every occurrence)
+    return raw.groupBy("id_a", "id_b").agg(
+        F.first("est_jaccard").alias("est_jaccard")
     )
 
 
@@ -242,8 +257,10 @@ def dedup_minhash_lsh(
     sigs = minhash_signatures(
         df, text_col, id_col, num_perm, shingle_k
     ).select(id_col, "minhash")
-    pairs = minhash_lsh_pairs(sigs, id_col, num_perm, bands, threshold)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    raw = _minhash_raw_pairs(sigs, id_col, num_perm, bands, threshold)
+    # id-level distinct straight off the raw pair stream: the
+    # pair-level group-by would be a wasted extra exchange here
+    losers = raw.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 
