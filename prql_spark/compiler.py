@@ -448,16 +448,23 @@ class Compiler:
         saved_sort = self.sort
         self.sort = []
         self.group_keys = keys
+        ran_aggregate = False
         try:
             for s in steps:
                 if isinstance(s, FuncCall) and s.name == "aggregate":
                     self.t_aggregate(s, keys=keys)
                     self.group_keys = None  # post-agg steps see flat table
+                    ran_aggregate = True
                 else:
                     self.apply_transform(s)
         finally:
             self.group_keys = None
-            self.sort = saved_sort
+            # after an aggregate the pre-group sort refers to columns
+            # that no longer exist — a later window would emit ORDER BY
+            # on them and fail analysis; keep it only for the
+            # take/window-context form of group
+            if not ran_aggregate:
+                self.sort = saved_sort
 
     # -- window
     def t_window(self, step: FuncCall):

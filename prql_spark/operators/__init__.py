@@ -248,7 +248,7 @@ def _cos_dd(a: str, b: str) -> str:
 def q_ann_bruteforce(spark, sf_dir):
     return similarity.brute_force_topk(
         _embs(spark, sf_dir), _queries_df(spark, sf_dir), k=10
-    ).orderBy("query_id", "rk" if False else F.desc("cosine"), "vec_id")
+    ).orderBy("query_id", F.desc("cosine"), "vec_id")
 
 
 SQL_ANN_BRUTEFORCE = f"""

@@ -2,8 +2,10 @@
 
 Implemented as a composition of built-in DataFrame ops (the union
 trick): tag both sides, union on (key, time), and carry the most
-recent right-side value forward with last_value(... IGNORE NULLS)
-over (PARTITION BY key ORDER BY time). One shuffle on the join key —
+recent right-side ROW forward as one struct with
+last_value(struct, IGNORE NULLS) over (PARTITION BY key ORDER BY
+time) — struct-level, so NULL fields inside the matched row are
+carried verbatim. One shuffle on the join key —
 the same exchange a regular join would need — and no range-explosion,
 so it scales to arbitrarily dense time series.
 
@@ -44,39 +46,47 @@ def asof_join(
     lcols = left.columns
     carried = {c: f"__r_{c}" for c in value_cols}
 
+    from pyspark.sql.types import StructField, StructType
+
+    # The carried values travel as ONE nullable struct: the window's
+    # last_value(..., IGNORE NULLS) then skips rows where the struct
+    # itself is null (all left rows) but takes the matched right row's
+    # fields verbatim — a genuinely NULL value inside the latest right
+    # row stays NULL instead of falling back to an older non-null one
+    # (DuckDB ASOF JOIN semantics).
+    r_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l_tagged = left.select(
         F.col(by).alias("__key"),
         F.col(on).alias("__t"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(v)
-          for c, v in carried.items()],
+        F.lit(None).cast(r_type).alias("__r"),
     )
     r_tagged = right.select(
         F.col(right_by).alias("__key"),
         F.col(right_on).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(v) for c, v in carried.items()],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     # right rows sort before left rows at equal times (__is_left asc),
     # so a right row AT the left timestamp is visible to it.
-    filled = unioned.withColumns(
-        {
-            v: F.expr(
-                f"last_value({v}, true) OVER ("
-                f"PARTITION BY __key ORDER BY __t, __is_left "
-                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-            )
-            for v in carried.values()
-        }
+    filled = unioned.withColumn(
+        "__r",
+        F.expr(
+            "last_value(__r, true) OVER ("
+            "PARTITION BY __key ORDER BY __t, __is_left "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
     )
     out = filled.where(F.col("__is_left") == 1).select(
         *[F.col(c) for c in lcols],
         *[
-            F.col(v).alias(c if c not in lcols else f"{c}{suffix}")
-            for c, v in carried.items()
+            F.col(f"__r.{c}").alias(c if c not in lcols else f"{c}{suffix}")
+            for c in value_cols
         ],
     )
     return out

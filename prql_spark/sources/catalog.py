@@ -112,10 +112,14 @@ class Catalog:
                 spark_field.dataType, LongType
             ):
                 continue
+            # integer DIV, not float division: double's 53-bit
+            # mantissa loses sub-microsecond exactness for epoch-range
+            # nanos, giving occasional off-by-1µs vs an exact reader
             df = df.withColumn(
                 field.name,
-                F.timestamp_micros(
-                    (F.col(field.name) / F.lit(1000)).cast("long")
+                F.expr(
+                    f"timestamp_micros(CAST(`{field.name}` DIV 1000 "
+                    f"AS LONG))"
                 ),
             )
         return df

@@ -44,6 +44,25 @@ def test_asof_join_semantics(spark):
     assert out[5] is None   # key never seen on the right
 
 
+def test_asof_join_null_in_latest_right_row(spark):
+    # the latest matching right row's values are taken VERBATIM: a
+    # NULL value there must stay NULL, not fall back to an older
+    # non-null row (DuckDB ASOF JOIN semantics; was last_value-per-
+    # column IGNORE NULLS, which skipped it)
+    left = spark.createDataFrame([Row(key="a", t=_ts(20), lid=1)])
+    right = spark.createDataFrame(
+        [
+            Row(key="a", t=_ts(5), price=100.0, qty=7),
+            Row(key="a", t=_ts(10), price=None, qty=8),
+        ]
+    )
+    row = asof.asof_join(
+        left, right, on="t", by="key", value_cols=["price", "qty"]
+    ).collect()[0]
+    assert row.price is None  # latest row's NULL carried verbatim
+    assert row.qty == 8
+
+
 def test_asof_join_keeps_left_rowcount(spark, catalog):
     ev = catalog.load("events")
     clicks = ev.where(F.col("event_type") == "click")

@@ -140,6 +140,30 @@ def test_derive_group_agg_without_window(catalog, oracle):
     )
 
 
+def test_window_after_group_aggregate(catalog, oracle):
+    # a sort BEFORE a group-aggregate orders by pre-aggregation
+    # columns; a window AFTER the aggregate must not inherit that
+    # ORDER BY (those columns no longer exist post-agg)
+    df = compile_prql(
+        "from orders\n"
+        "sort [o_orderdate]\n"
+        "group [o_orderstatus] (\n"
+        "  aggregate [n = count]\n"
+        ")\n"
+        "derive [total = sum n]\n"
+        "select [o_orderstatus, n, total]",
+        catalog,
+    )
+    assert_df_matches_sql(
+        df,
+        oracle,
+        "WITH g AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n"
+        " FROM orders GROUP BY o_orderstatus)"
+        " SELECT o_orderstatus, n, sum(n) OVER () AS total FROM g",
+        sort=True,
+    )
+
+
 def test_invoice_totals_shape(catalog, oracle):
     """The reference's own integration query (invoice_totals.prql,
     prql-compiler/tests/integration) re-targeted at orders/lineitem."""
