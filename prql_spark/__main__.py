@@ -1,0 +1,86 @@
+"""Command-line entry point: compile / inspect / run PRQL from the
+shell (parity: /root/reference/prql-compiler/src/cli.rs, main.rs —
+the reference's `prql` binary compiles stdin to SQL; the Spark-native
+equivalent artifacts are the optimized plan and the result rows).
+
+    python -m prql_spark 'from orders | take 5' --data-dir DIR --run
+    echo 'from orders | take 5' | python -m prql_spark --explain
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="prql_spark",
+        description="Compile PRQL to a PySpark plan and inspect or run it.",
+    )
+    ap.add_argument(
+        "query",
+        nargs="?",
+        help="PRQL text (omit to read from stdin)",
+    )
+    ap.add_argument(
+        "--data-dir",
+        default=os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        ),
+        help="directory of <table>.parquet files (default: "
+        "$SPARK_GRAFT_SF_DIR or /root/testdata/sf0.001)",
+    )
+    ap.add_argument(
+        "--format", default="parquet", help="table file format"
+    )
+    mode = ap.add_mutually_exclusive_group()
+    mode.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the optimized physical plan (default mode)",
+    )
+    mode.add_argument(
+        "--run", action="store_true", help="execute and print rows"
+    )
+    mode.add_argument(
+        "--schema",
+        action="store_true",
+        help="print the result schema without executing",
+    )
+    ap.add_argument(
+        "-n", "--rows", type=int, default=20, help="rows to show with --run"
+    )
+    args = ap.parse_args(argv)
+
+    text = args.query if args.query else sys.stdin.read()
+    if not text.strip():
+        ap.error("empty query (pass as argument or on stdin)")
+
+    from prql_spark import Catalog, build_spark, compile_prql, explain
+    from prql_spark.compiler import PrqlCompileError
+    from prql_spark.parser import PrqlParseError
+
+    spark = build_spark("prql_spark-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = Catalog(spark, args.data_dir, fmt=args.format)
+    try:
+        if args.run:
+            df = compile_prql(text, catalog)
+            df.show(args.rows, truncate=False)
+        elif args.schema:
+            df = compile_prql(text, catalog)
+            print(df.schema.simpleString())
+        else:
+            print(explain(text, catalog))
+    except (PrqlParseError, PrqlCompileError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

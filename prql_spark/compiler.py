@@ -22,7 +22,7 @@ import re
 from pyspark.sql import DataFrame, functions as F
 
 from prql_spark.functions import stdlib
-from prql_spark.parser import PrqlParseError, parse
+from prql_spark.parser import PrqlParseError, _line_col, parse
 from prql_spark.plans.nodes import (
     Assign,
     Binary,
@@ -43,6 +43,11 @@ from prql_spark.sources.catalog import Catalog
 
 class PrqlCompileError(Exception):
     pass
+
+
+class PrqlPlanWarning(UserWarning):
+    """A compiled plan carries a known scale hazard (emitted via
+    ``warnings.warn`` so pipelines can escalate with -W error)."""
 
 
 TRANSFORMS = {
@@ -124,8 +129,9 @@ class CExpr:
 
 
 class Compiler:
-    def __init__(self, catalog: Catalog):
+    def __init__(self, catalog: Catalog, src: str = ""):
         self.catalog = catalog
+        self.src = src  # original PRQL text, for span-carrying errors
         self.funcs: dict[str, FuncDef] = {}
         self.local_tables: dict[str, DataFrame] = {}
         # pipeline state
@@ -139,10 +145,25 @@ class Compiler:
 
     # ------------------------------------------------------------ query
 
+    def _err(self, msg: str, node=None) -> PrqlCompileError:
+        """Compile error annotated with the PRQL source location
+        (parity: prql-compiler/src/error.rs span reporting)."""
+        pos = getattr(node, "pos", -1)
+        if pos is not None and pos >= 0 and self.src:
+            start = self.src.rfind("\n", 0, pos) + 1
+            end = self.src.find("\n", pos)
+            end = len(self.src) if end == -1 else end
+            return PrqlCompileError(
+                f"{msg} at {_line_col(self.src, pos)}\n"
+                f"  | {self.src[start:end]}\n"
+                f"  | {' ' * (pos - start)}^"
+            )
+        return PrqlCompileError(msg)
+
     def compile_query(self, q: Query) -> DataFrame:
         self.funcs = dict(q.func_defs)
         for t in q.tables:
-            sub = Compiler(self.catalog)
+            sub = Compiler(self.catalog, self.src)
             sub.funcs = dict(self.funcs)
             sub.local_tables = dict(self.local_tables)
             self.local_tables[t.name] = sub.compile_pipeline(t.pipeline)
@@ -245,9 +266,10 @@ class Compiler:
         for it in items:
             name, node = self._named_item(it)
             cols[name] = F.expr(self.expr(node).sql)
-        self.df = self.df.withColumns(cols)
-        for name in cols:
+            # lateral aliases: later items in the same derive may
+            # reference this one (withColumns resolves them in order)
             self.scope[name] = name
+        self.df = self.df.withColumns(cols)
 
     # -- select
     def t_select(self, step: FuncCall):
@@ -271,6 +293,9 @@ class Compiler:
             ce = self.expr(node)
             out_cols.append(F.expr(ce.sql).alias(name))
             new_scope[name] = name
+            # lateral aliases: later select items may reference this
+            # one (Spark resolves lateral column aliases in select)
+            self.scope[name] = name
         self.df = self.df.select(*out_cols)
         self.scope = new_scope
 
@@ -584,7 +609,27 @@ class Compiler:
             return self._call(name, [], {})
         if name in self.funcs and not self.funcs[name].pos_params:
             return self.expr(self._inline_user(name, [], {}))
-        # unresolved: pass through (Spark analyzes against the plan)
+        # eager resolution: an unknown name would otherwise surface
+        # later as a Catalyst analysis stack with no PRQL location
+        if self.df is not None:
+            bare = name.strip("`")
+            cols = set(self.df.columns)
+            if "." not in bare:
+                if bare not in cols:
+                    raise self._err(f"unknown column {name!r}", node)
+            else:
+                head = bare.split(".", 1)[0]
+                # allow struct-field access on a real struct column;
+                # anything else dotted must be a known alias.column
+                field = next(
+                    (f for f in self.df.schema.fields if f.name == head),
+                    None,
+                )
+                if field is None or not field.dataType.typeName() == "struct":
+                    raise self._err(
+                        f"unknown column or alias {name!r}", node
+                    )
+        # pass through (Spark analyzes against the plan)
         return CExpr(_q(name) if "." not in name else name)
 
     def _binary(self, node: Binary) -> CExpr:
@@ -727,6 +772,20 @@ class Compiler:
         order = self.sort
         if (need_order or frame or full_frame) and not order:
             order = [("monotonically_increasing_id()", True)]
+        if order and not self.group_keys:
+            # plan lint: an ORDER BY window with no PARTITION BY is a
+            # single-task total sort at scale — fine on a dim table,
+            # a straggler on a fact table. Surfaced as a warning so
+            # strict pipelines can fail on it (-W error).
+            import warnings
+
+            warnings.warn(
+                "window has ORDER BY without PARTITION BY — it will "
+                "execute as a single task at scale; wrap it in "
+                "group [...] to partition",
+                PrqlPlanWarning,
+                stacklevel=2,
+            )
         if order and (need_order or frame or full_frame):
             spec = ", ".join(
                 f"{sql}{'' if asc else ' DESC'}" for sql, asc in order
@@ -860,4 +919,4 @@ def compile_prql(text: str, catalog: Catalog) -> DataFrame:
         q = parse(text)
     except PrqlParseError as e:
         raise PrqlParseError(f"{e}\n--- in query:\n{text}") from None
-    return Compiler(catalog).compile_query(q)
+    return Compiler(catalog, src=text).compile_query(q)

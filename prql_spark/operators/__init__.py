@@ -194,24 +194,30 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 SQL_NGRAM_JACCARD = f"""
-WITH g AS (
+WITH g0 AS (
   SELECT doc_id,
     list_distinct(list_transform(
       range(0, greatest(len({WORDS_DD}) - 3, 0) + 1),
       i -> concat_ws(' ', list_slice({WORDS_DD}, i + 1, i + 3)))) AS grams,
-    concat({WORDS_DD}[1], '#',
-      CAST(CAST(floor(length({NORM}) / 100) AS INT) AS VARCHAR)) AS block
-  FROM documents)
+    list_distinct([
+      concat('f#', {WORDS_DD}[1], '#',
+        CAST(CAST(floor(length({NORM}) / 100) AS INT) AS VARCHAR)),
+      concat('l#', {WORDS_DD}[-1], '#',
+        CAST(CAST(floor(length({NORM}) / 100) AS INT) AS VARCHAR))
+    ]) AS blocks
+  FROM documents),
+g AS (SELECT doc_id, grams, unnest(blocks) AS block FROM g0)
 SELECT l.doc_id AS id_a, r.doc_id AS id_b,
-  round(len(list_intersect(l.grams, r.grams)) /
+  any_value(round(len(list_intersect(l.grams, r.grams)) /
         (len(l.grams) + len(r.grams)
-         - len(list_intersect(l.grams, r.grams))), 6) AS jaccard
+         - len(list_intersect(l.grams, r.grams))), 6)) AS jaccard
 FROM g l JOIN g r
   ON l.block = r.block AND l.doc_id < r.doc_id
 WHERE len(l.grams) > 0
   AND round(len(list_intersect(l.grams, r.grams)) /
         (len(l.grams) + len(r.grams)
          - len(list_intersect(l.grams, r.grams))), 6) >= 0.5
+GROUP BY l.doc_id, r.doc_id
 ORDER BY id_a, id_b
 """
 

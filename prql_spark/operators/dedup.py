@@ -333,14 +333,16 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    block_expr: str | None = None,
+    block_exprs: list[str] | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity between candidate pairs.
 
-    Blocking keeps this off O(n²): by default docs are compared only
-    within the same (first-word, length-bucket) block. This is also
-    fully expressible in DuckDB (list_distinct/list_intersect), so
-    it is oracle-checked.
+    Blocking keeps this off O(n²): docs are compared only when they
+    share at least one block key. Two keys by default —
+    (first-word, length-bucket) and (last-word, length-bucket) — so a
+    near-dup pair differing in its first word is still caught via the
+    last-word block. Fully expressible in DuckDB
+    (list_distinct/list_intersect), so it is oracle-checked.
     """
     norm = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
     words = f"split({norm}, ' ')"
@@ -349,18 +351,25 @@ def ngram_jaccard_pairs(
         f"sequence(0, greatest(size({words}) - {n}, 0)), "
         f"i -> concat_ws(' ', slice({words}, i + 1, {n}))))"
     )
-    if block_expr is None:
+    if block_exprs is None:
         # floor() explicitly: CAST(double AS INT) truncates in Spark
         # but rounds in DuckDB — floor agrees everywhere.
-        block_expr = (
-            f"concat(element_at({words}, 1), '#', "
-            f"CAST(CAST(floor(length({norm}) / 100) AS INT) AS STRING))"
+        bucket = f"CAST(CAST(floor(length({norm}) / 100) AS INT) AS STRING)"
+        block_exprs = [
+            f"concat('f#', element_at({words}, 1), '#', {bucket})",
+            f"concat('l#', element_at({words}, -1), '#', {bucket})",
+        ]
+    blocks = ", ".join(block_exprs)
+    base = (
+        df.select(
+            F.col(id_col),
+            F.expr(grams).alias("__grams"),
+            F.explode(
+                F.expr(f"array_distinct(array({blocks}))")
+            ).alias("__block"),
         )
-    base = df.select(
-        F.col(id_col),
-        F.expr(grams).alias("__grams"),
-        F.expr(block_expr).alias("__block"),
-    ).where(F.expr("size(__grams) > 0"))
+        .where(F.expr("size(__grams) > 0"))
+    )
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(
@@ -376,4 +385,7 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        # a pair can share both block keys — dedup to one row
+        .groupBy("id_a", "id_b")
+        .agg(F.first("jaccard").alias("jaccard"))
     )

@@ -515,7 +515,7 @@ class Parser:
             return FString(_parse_interpolation(t.value))
         if t.kind == "IDENT":
             self.next()
-            return Ident(t.value)
+            return Ident(t.value, pos=t.pos)
         if t.kind == "OP" and t.value == "[":
             return self.parse_list()
         if t.kind == "OP" and t.value == "(":

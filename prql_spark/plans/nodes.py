@@ -26,9 +26,15 @@ class Lit(Node):
 
 @dataclass
 class Ident(Node):
-    """Possibly-dotted identifier, e.g. ``ii.quantity`` or ``e.*``."""
+    """Possibly-dotted identifier, e.g. ``ii.quantity`` or ``e.*``.
+
+    ``pos`` is the source offset of the token (-1 when synthesized),
+    so compile-time resolution errors can report PRQL line/col —
+    parity with the reference's span-annotated errors
+    (prql-compiler/src/error.rs)."""
 
     name: str
+    pos: int = field(default=-1, compare=False)
 
 
 @dataclass

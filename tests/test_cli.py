@@ -1,0 +1,42 @@
+"""CLI smoke tests (parity: reference `prql` binary, cli.rs)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(*args, stdin=None):
+    return subprocess.run(
+        [sys.executable, "-m", "prql_spark", *args],
+        cwd=REPO,
+        input=stdin,
+        capture_output=True,
+        text=True,
+        timeout=180,
+    )
+
+
+def test_cli_schema_mode():
+    r = _cli(
+        "from orders | select [o_orderkey, o_totalprice] | take 5",
+        "--schema",
+        "--data-dir",
+        "/root/testdata/sf0.001",
+    )
+    assert r.returncode == 0, r.stderr
+    assert "o_orderkey" in r.stdout and "o_totalprice" in r.stdout
+
+
+def test_cli_stdin_and_span_error():
+    r = _cli(
+        "--run",
+        "--data-dir",
+        "/root/testdata/sf0.001",
+        stdin="from orders\nfilter nope_col > 1\n",
+    )
+    assert r.returncode == 1
+    assert "nope_col" in r.stderr and "line 2" in r.stderr

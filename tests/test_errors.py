@@ -1,0 +1,70 @@
+"""Span-carrying compile errors (parity target:
+/root/reference/prql-compiler/src/error.rs — errors annotated with
+source spans instead of surfacing as downstream engine stacks)."""
+
+from __future__ import annotations
+
+import pytest
+
+from prql_spark import compile_prql
+from prql_spark.compiler import PrqlCompileError
+
+
+def test_unknown_column_reports_prql_line_col(catalog):
+    q = (
+        "from orders\n"
+        "derive [a = o_totalprice * 2]\n"
+        "derive [b = a + 1]\n"
+        "filter b > 0\n"
+        "derive [c = b * 2]\n"
+        "derive [d = c + 1]\n"
+        "derive [e = d * 2]\n"
+        "derive [f = e + 1]\n"
+        "derive [bad = o_totalpricee + 1]\n"
+        "select [bad]\n"
+    )
+    with pytest.raises(PrqlCompileError) as ei:
+        compile_prql(q, catalog)
+    msg = str(ei.value)
+    assert "o_totalpricee" in msg
+    assert "line 9" in msg  # PRQL location, not a Catalyst stack
+    assert "^" in msg  # caret points into the source line
+    assert "AnalysisException" not in msg
+
+
+def test_unknown_alias_reports_span(catalog):
+    with pytest.raises(PrqlCompileError) as ei:
+        compile_prql(
+            "from o=orders\nselect [x.o_orderkey]", catalog
+        )
+    assert "x.o_orderkey" in str(ei.value)
+    assert "line 2" in str(ei.value)
+
+
+def test_unpartitioned_window_warns(catalog):
+    import warnings
+
+    from prql_spark.compiler import PrqlPlanWarning
+
+    with pytest.warns(PrqlPlanWarning, match="without PARTITION BY"):
+        compile_prql(
+            "from orders\nsort [o_orderdate]\n"
+            "derive [rt = sum o_totalprice]",
+            catalog,
+        )
+    # the partitioned form must stay silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", PrqlPlanWarning)
+        compile_prql(
+            "from orders\nsort [o_orderdate]\n"
+            "group [o_custkey] (derive [rt = sum o_totalprice])",
+            catalog,
+        )
+
+
+def test_known_alias_still_resolves(catalog):
+    df = compile_prql(
+        "from o=orders\nselect [o.o_orderkey]\ntake 3", catalog
+    )
+    assert df.columns == ["o_orderkey"]
+    assert len(df.collect()) == 3

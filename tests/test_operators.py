@@ -123,11 +123,26 @@ def test_simhash_hamming_small_for_near_dups(planted_docs):
 
 def test_ngram_jaccard_exact_pair_score(planted_docs):
     pairs = dedup.ngram_jaccard_pairs(
-        planted_docs, n=3, threshold=0.5, block_expr="'all'"
+        planted_docs, n=3, threshold=0.5, block_exprs=["'all'"]
     ).collect()
     scores = {(r.id_a, r.id_b): r.jaccard for r in pairs}
     assert scores[(0, 100)] == 1.0
     assert 0.5 <= scores[(0, 101)] < 1.0
+
+
+def test_ngram_jaccard_catches_first_word_edit(spark, planted_docs):
+    # a near-dup whose FIRST word differs lands in a different
+    # first-word block; the default last-word block must still pair it
+    extra = spark.createDataFrame(
+        [Row(doc_id=103, text="a" + BASE[BASE.index(" ") :])]
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        planted_docs.unionByName(extra), n=3, threshold=0.5
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 103) in found
+    # and each surviving pair appears exactly once despite two blocks
+    assert len(found) == len(pairs)
 
 
 @pytest.fixture(scope="module")
