@@ -87,6 +87,93 @@ def test_sessionize_streaming_matches_batch(spark, events_dir):
     assert got == want
 
 
+def test_sessionize_streaming_state_and_restart(spark, tmp_path):
+    """applyInPandasWithState under a real multi-micro-batch replay:
+
+    - events arrive out-of-order WITHIN each micro-batch (fn must sort);
+    - session state (last_ts, seq) carries ACROSS micro-batches;
+    - the query is stopped and restarted from its checkpoint; correct
+      numbering of post-restart sessions is only possible if the state
+      store was recovered (a fresh query would restart seq at 1).
+    """
+    import datetime as dt
+    import random
+    import time
+
+    from pyspark.sql import Row
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, minutes):
+        return Row(
+            event_id=eid,
+            ts=t0 + dt.timedelta(minutes=minutes),
+            user_id=uid,
+            event_type="click",
+            value=1.0,
+            props="{}",
+        )
+
+    def write_file(rows, seed):
+        rows = rows[:]
+        random.Random(seed).shuffle(rows)  # disorder within the batch
+        spark.createDataFrame(rows, schema=sp.EVENTS_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes → stable micro-batch order
+
+    users = (1, 2, 3)
+    # file 1: minutes 0..20 (5-min spacing) → session 1 per user
+    write_file([ev(uid * 100 + i, uid, i * 5) for uid in users
+                for i in range(5)], seed=1)
+    # file 2: minutes 60..80 — 40-min gap → session 2 (state from
+    # micro-batch 1 must supply last_ts/seq)
+    write_file([ev(uid * 100 + 10 + i, uid, 60 + i * 5) for uid in users
+                for i in range(5)], seed=2)
+
+    def run_available():
+        q = (
+            sp.sessionize_streaming(
+                sp.read_events_stream(spark, src, max_files_per_trigger=1),
+                gap_minutes=30,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_available()  # two micro-batches, then stops
+
+    # file 3 arrives while the query is DOWN: minutes 200..220 → a
+    # 120-min gap → session 3, but only if (last_ts=80min, seq=2) is
+    # recovered from the checkpointed state store on restart
+    write_file([ev(uid * 100 + 20 + i, uid, 200 + i * 5) for uid in users
+                for i in range(5)], seed=3)
+    run_available()  # restart from checkpoint
+
+    got = {
+        r.event_id: r.session_id for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.event_id: r.session_id
+        for r in sp.sessionize(
+            spark.read.parquet(src), gap_minutes=30
+        ).collect()
+    }
+    assert got == want
+    for uid in users:
+        assert got[uid * 100 + 20] == f"{uid}#3"  # post-restart session
+    # exactly-once sink: no duplicate emission across the restart
+    assert spark.read.parquet(out).count() == len(want)
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Append-mode windowed agg with a 1-hour watermark must drop an
     event arriving hours after its window was finalized; the batch
