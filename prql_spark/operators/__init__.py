@@ -340,15 +340,21 @@ def q_embedding_near_dups(spark, sf_dir):
 
 
 def _sql_embedding_near_dups() -> str:
+    # mirrors the asymmetric Hamming-1 multiprobe: left side joins on
+    # bucket XOR each single-bit mask (plus 0), right side exact
     planes = similarity.hyperplanes(64, 8, seed=42)
-    bl = _bucket_dd("l.embedding", planes)
-    br = _bucket_dd("r.embedding", planes)
+    b = _bucket_dd("embedding", planes)
     cos = _cos_dd("l.embedding", "r.embedding")
+    masks = ", ".join(f"({m})" for m in [0] + [1 << j for j in range(8)])
     return f"""
+WITH b AS (SELECT vec_id, embedding, {b} AS bucket FROM embeddings),
+probes AS (
+  SELECT vec_id, embedding, xor(bucket, m.mask) AS probe
+  FROM b, (VALUES {masks}) AS m(mask))
 SELECT l.vec_id AS id_a, r.vec_id AS id_b,
   round({cos}, 6) AS cosine
-FROM embeddings l JOIN embeddings r
-  ON {bl} = {br} AND l.vec_id < r.vec_id
+FROM probes l JOIN b r
+  ON l.probe = r.bucket AND l.vec_id < r.vec_id
 WHERE round({cos}, 6) >= 0.35
 ORDER BY id_a, id_b
 """

@@ -97,6 +97,8 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
 
 def _bucket_expr(vec: str, planes: list[list[float]]) -> str:
     """16-bit LSH bucket id: sign bits of hyperplane dot products."""
+    if not planes:
+        return "(0)"
     bits = []
     for j, p in enumerate(planes):
         arr = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in p) + ")"
@@ -244,25 +246,45 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine, LSH-blocked.
 
-    8 planes → 256 buckets; only within-bucket pairs are scored.
-    (With random projections, cos >= 0.95 pairs collide on all 8
-    sign bits with p ≈ (1 - θ/π)^8 ≈ 0.87 — good recall while
-    cutting the pair space by ~256×.)
+    8 planes → 256 buckets; only bucket-colliding pairs are scored.
+    With ``multiprobe`` the LEFT side of the self-join also probes the
+    n_planes Hamming-1 neighbor buckets (one sign bit flipped), so
+    pairs whose signatures differ in one bit are still compared —
+    at cos≈0.95 exact-collision recall is already (1-θ/π)^8 ≈ 0.87,
+    but at looser thresholds (θ≈70°) it is ~2% and Hamming-1 probing
+    lifts it ~6×. Probing is asymmetric (right side keeps its exact
+    bucket) and each left row's probe set has distinct buckets, so
+    with the ``id_a < id_b`` constraint every candidate pair is
+    produced exactly once — no dedup stage, candidate volume is
+    (n_planes+1)× the exact-collision count, not (n_planes+1)².
     """
     planes = hyperplanes(dim, n_planes, seed)
     b = _bucket_expr(vec_col, planes)
     base = df.select(
         F.col(id_col), F.col(vec_col), F.expr(b).alias("__bucket")
     )
-    l, r = base.alias("l"), base.alias("r")
+    if multiprobe:
+        masks = [0] + [1 << j for j in range(n_planes)]
+        probe_arr = "array(" + ", ".join(
+            f"__bucket ^ {m}" for m in masks
+        ) + ")"
+        left = base.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(F.expr(probe_arr)).alias("__probe"),
+        )
+    else:
+        left = base.withColumnRenamed("__bucket", "__probe")
+    l, r = left.alias("l"), base.alias("r")
     return (
         l.join(
             r,
             on=F.expr(
-                f"l.__bucket = r.__bucket AND l.{id_col} < r.{id_col}"
+                f"l.__probe = r.__bucket AND l.{id_col} < r.{id_col}"
             ),
         )
         .select(

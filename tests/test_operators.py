@@ -181,6 +181,42 @@ def test_embedding_near_dups_finds_planted(planted_vectors):
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 200)}
 
 
+def test_embedding_near_dups_multiprobe_lifts_recall(planted_vectors):
+    """Hamming-1 probing must find every pair whose 8-bit signatures
+    differ in at most one bit; exact-collision mode only finds the
+    identical-signature subset. Each pair exactly once, either way."""
+    def pairs(multiprobe):
+        rows = similarity.embedding_near_dups(
+            planted_vectors, dim=16, threshold=0.2, n_planes=8,
+            multiprobe=multiprobe,
+        ).collect()
+        keys = [(r.id_a, r.id_b) for r in rows]
+        assert len(keys) == len(set(keys))  # exactly-once per pair
+        return set(keys)
+
+    exact, probed = pairs(False), pairs(True)
+    assert exact <= probed
+    assert len(probed) > len(exact)  # Hamming-1 pairs only via probe
+    # verify against signatures: probed == all pairs within Hamming 1
+    # of each other that clear the cosine threshold
+    planes = similarity.hyperplanes(16, 8, seed=42)
+    sig_df = planted_vectors.select(
+        "vec_id",
+        F.expr(similarity._bucket_expr("embedding", planes)).alias("b"),
+    )
+    sigs = {r.vec_id: r.b for r in sig_df.collect()}
+    scored = similarity.embedding_near_dups(
+        planted_vectors, dim=16, threshold=0.2, n_planes=0,
+        multiprobe=False,
+    )  # n_planes=0 → single bucket → all pairs scored
+    want = {
+        (r.id_a, r.id_b)
+        for r in scored.collect()
+        if bin(sigs[r.id_a] ^ sigs[r.id_b]).count("1") <= 1
+    }
+    assert probed == want
+
+
 def test_lsh_topk_recall_on_near_dup(planted_vectors):
     qs = planted_vectors.where(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
