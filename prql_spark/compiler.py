@@ -18,6 +18,7 @@ eligible, zero Python UDFs in the core language.
 from __future__ import annotations
 
 import re
+import warnings
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -777,8 +778,6 @@ class Compiler:
             # single-task total sort at scale — fine on a dim table,
             # a straggler on a fact table. Surfaced as a warning so
             # strict pipelines can fail on it (-W error).
-            import warnings
-
             warnings.warn(
                 "window has ORDER BY without PARTITION BY — it will "
                 "execute as a single task at scale; wrap it in "
@@ -919,4 +918,12 @@ def compile_prql(text: str, catalog: Catalog) -> DataFrame:
         q = parse(text)
     except PrqlParseError as e:
         raise PrqlParseError(f"{e}\n--- in query:\n{text}") from None
+    if q.dialect is not None and q.dialect not in ("generic", "ansi", "hive"):
+        warnings.warn(
+            f"query requests dialect:{q.dialect}, but prql_spark always "
+            "compiles to Spark semantics — dialect-specific SQL quirks "
+            "are not emulated",
+            PrqlPlanWarning,
+            stacklevel=2,
+        )
     return Compiler(catalog, src=text).compile_query(q)

@@ -44,6 +44,11 @@ def _line_col(src: str, pos: int) -> str:
 # ---------------------------------------------------------------- lexer
 
 _KEYWORDS = {"prql", "table", "func"}
+# parity: prql-compiler/src/ast/dialect.rs:6 (strum-serialized names)
+_DIALECTS = {
+    "ansi", "bigquery", "clickhouse", "generic", "hive",
+    "mssql", "mysql", "postgres", "sqlite", "snowflake",
+}
 _INTERVAL_KINDS = (
     "microseconds milliseconds seconds minutes hours days weeks months years"
 ).split()
@@ -260,10 +265,33 @@ class Parser:
         pipelines: list[ExprPipeline] = []
         self.skip_nl()
         # optional `prql dialect:... version:...` header
+        # (validated against the reference's dialect enum,
+        # prql-compiler/src/ast/dialect.rs:6 — unknown names fail there
+        # too, via strum::EnumString)
+        dialect = version = None
         if self.peek().kind == "KEYWORD" and self.peek().value == "prql":
             self.next()
             while self.peek().kind not in ("NL", "EOF"):
+                t = self.next()
+                if t.kind != "IDENT":
+                    raise self.err("bad prql header item", t)
+                key = t.value
+                if not self.at_op(":"):
+                    raise self.err(f"expected : after header key {key!r}")
                 self.next()
+                val = self.next()
+                if key == "dialect":
+                    dialect = str(val.value)
+                    if dialect not in _DIALECTS:
+                        raise self.err(
+                            f"unknown dialect {dialect!r}; expected one "
+                            f"of {sorted(_DIALECTS)}",
+                            val,
+                        )
+                elif key == "version":
+                    version = str(val.value)
+                else:
+                    raise self.err(f"unknown prql header key {key!r}", t)
         self.skip_nl()
         while self.peek().kind != "EOF":
             t = self.peek()
@@ -277,7 +305,7 @@ class Parser:
             self.skip_nl()
         if not pipelines:
             raise PrqlParseError("query has no main pipeline")
-        return Query(func_defs, tables, pipelines[-1])
+        return Query(func_defs, tables, pipelines[-1], dialect, version)
 
     def parse_func_def(self) -> FuncDef:
         self.next()  # func

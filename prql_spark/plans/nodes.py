@@ -116,3 +116,5 @@ class Query(Node):
     func_defs: dict  # {name: FuncDef}
     tables: list  # [TableDef]
     pipeline: ExprPipeline
+    dialect: str | None = None  # from `prql dialect:...` header
+    version: str | None = None  # from `prql version:...` header

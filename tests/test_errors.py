@@ -68,3 +68,21 @@ def test_known_alias_still_resolves(catalog):
     )
     assert df.columns == ["o_orderkey"]
     assert len(df.collect()) == 3
+
+
+def test_nonspark_dialect_warns(catalog):
+    import warnings as w
+
+    from prql_spark.compiler import PrqlPlanWarning
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        compile_prql("prql dialect:mssql\n\nfrom orders\ntake 1", catalog)
+    assert any(
+        isinstance(x.message, PrqlPlanWarning) and "dialect" in str(x.message)
+        for x in rec
+    )
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        compile_prql("prql dialect:generic\n\nfrom orders\ntake 1", catalog)
+    assert not any("dialect" in str(x.message) for x in rec)

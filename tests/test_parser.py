@@ -140,3 +140,15 @@ def test_reference_integration_query_parses():
         "sort",
         "derive",
     ]
+
+
+def test_dialect_header_parsed_and_validated():
+    q = parse("prql dialect:postgres version:1\n\nfrom t\ntake 10")
+    assert q.dialect == "postgres"
+    assert q.version == "1"
+    assert parse("from t").dialect is None
+    # parity: prql-compiler/src/ast/dialect.rs rejects unknown names
+    with pytest.raises(PrqlParseError, match="unknown dialect"):
+        parse("prql dialect:oracle\n\nfrom t")
+    with pytest.raises(PrqlParseError, match="header key"):
+        parse("prql flavor:x\n\nfrom t")
