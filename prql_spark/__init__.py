@@ -12,6 +12,7 @@ from prql_spark.compiler import PrqlCompileError, compile_prql
 from prql_spark.parser import PrqlParseError, parse
 from prql_spark.session import build_spark
 from prql_spark.sources.catalog import Catalog
+from prql_spark.sql_backend import to_sql
 
 __all__ = [
     "Catalog",
@@ -20,6 +21,7 @@ __all__ = [
     "build_spark",
     "compile_prql",
     "parse",
+    "to_sql",
 ]
 
 

@@ -49,6 +49,14 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="print the result schema without executing",
     )
+    mode.add_argument(
+        "--sql",
+        nargs="?",
+        const="spark",
+        choices=["spark", "duckdb", "ansi"],
+        help="emit SQL text instead of a plan (reference to_sql "
+        "parity); optional dialect, default spark",
+    )
     ap.add_argument(
         "-n", "--rows", type=int, default=20, help="rows to show with --run"
     )
@@ -58,7 +66,7 @@ def main(argv: list[str] | None = None) -> int:
     if not text.strip():
         ap.error("empty query (pass as argument or on stdin)")
 
-    from prql_spark import Catalog, build_spark, compile_prql, explain
+    from prql_spark import Catalog, build_spark, compile_prql, explain, to_sql
     from prql_spark.compiler import PrqlCompileError
     from prql_spark.parser import PrqlParseError
 
@@ -66,7 +74,9 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     catalog = Catalog(spark, args.data_dir, fmt=args.format)
     try:
-        if args.run:
+        if args.sql:
+            print(to_sql(text, catalog, dialect=args.sql))
+        elif args.run:
             df = compile_prql(text, catalog)
             df.show(args.rows, truncate=False)
         elif args.schema:

@@ -144,6 +144,86 @@ class Compiler:
         # 'wrap': agg/window funcs get OVER(...); 'agg': plain agg SQL
         self.window_mode = "wrap"
 
+    # -------------------------------------------------- dialect seam
+    # (sql_backend.SqlCompiler overrides these to emit DuckDB/ANSI
+    #  text; the base class always speaks Spark SQL)
+
+    def _qi(self, name: str) -> str:
+        return _q(name)
+
+    def _esc(self, s: str) -> str:
+        return _esc_str(s)
+
+    def _sub(self) -> "Compiler":
+        """A fresh compiler of the same kind, for table-def pipelines."""
+        return type(self)(self.catalog, self.src)
+
+    # ---------------------------------------------- relational seam
+    # All relation mutations go through these. The base class lowers
+    # eagerly to a DataFrame (Catalyst sees the whole declarative
+    # plan — pushdown/pruning/broadcast still apply); SqlCompiler
+    # overrides them to build SQL text, mirroring the reference's
+    # resolve-then-translate split (prql-compiler/src/translator.rs).
+
+    def r_from(self, tname: str):
+        self.df = self._load(tname)
+
+    def r_with_columns(self, items: list[tuple[str, str]]):
+        self.df = self.df.withColumns({n: F.expr(s) for n, s in items})
+
+    def r_select(self, items: list[tuple[str, str]]):
+        self.df = self.df.select(*[F.expr(s).alias(n) for n, s in items])
+
+    def r_filter(self, cond: str):
+        self.df = self.df.where(F.expr(cond))
+
+    def r_agg(self, keys: list[str], aggs: list[tuple[str, str]]):
+        cols = [F.expr(s).alias(n) for n, s in aggs]
+        if keys:
+            self.df = self.df.groupBy(*[F.expr(k) for k in keys]).agg(*cols)
+        else:
+            self.df = self.df.groupBy().agg(*cols)
+
+    def r_order(self, spec: list[tuple[str, bool]]):
+        self.df = self.df.orderBy(
+            *[F.expr(s).asc() if asc else F.expr(s).desc() for s, asc in spec]
+        )
+
+    def r_offset(self, n: int):
+        self.df = self.df.offset(n)
+
+    def r_limit(self, n: int):
+        self.df = self.df.limit(n)
+
+    def r_distinct_on(self, cols: list[str]):
+        self.df = self.df.dropDuplicates(cols)
+
+    def r_window_take(self, rn: str, over: str, cond: str):
+        self.df = (
+            self.df.withColumn(rn, F.expr(f"ROW_NUMBER() OVER ({over})"))
+            .where(F.expr(cond))
+            .drop(rn)
+        )
+
+    def r_join(
+        self,
+        rtable: str,
+        ralias: str,
+        how: str,
+        renames: dict[str, str],
+        using_cols: list[str] | None = None,
+        cond: str | None = None,
+    ):
+        right = self._load(rtable)
+        if self.catalog.is_broadcast(rtable):
+            right = F.broadcast(right)
+        for old, new in renames.items():
+            right = right.withColumnRenamed(old, new)
+        if using_cols is not None:
+            self.df = self.df.join(right, on=using_cols, how=how)
+        else:
+            self.df = self.df.join(right, on=F.expr(cond), how=how)
+
     # ------------------------------------------------------------ query
 
     def _err(self, msg: str, node=None) -> PrqlCompileError:
@@ -164,7 +244,7 @@ class Compiler:
     def compile_query(self, q: Query) -> DataFrame:
         self.funcs = dict(q.func_defs)
         for t in q.tables:
-            sub = Compiler(self.catalog, self.src)
+            sub = self._sub()
             sub.funcs = dict(self.funcs)
             sub.local_tables = dict(self.local_tables)
             self.local_tables[t.name] = sub.compile_pipeline(t.pipeline)
@@ -231,10 +311,9 @@ class Compiler:
     # -- from
     def t_from(self, step: FuncCall):
         alias, tname = self._table_ref(step)
-        df = self._load(tname)
-        self.df = df
+        self.r_from(tname)
         self.scope = {}
-        for c in df.columns:
+        for c in self.df.columns:
             self.scope[c] = c
             self.scope[f"{alias}.{c}"] = c
             if alias != tname:
@@ -263,14 +342,14 @@ class Compiler:
     # -- derive
     def t_derive(self, step: FuncCall):
         items = self._items(step)
-        cols = {}
+        cols = []
         for it in items:
             name, node = self._named_item(it)
-            cols[name] = F.expr(self.expr(node).sql)
+            cols.append((name, self.expr(node).sql))
             # lateral aliases: later items in the same derive may
             # reference this one (withColumns resolves them in order)
             self.scope[name] = name
-        self.df = self.df.withColumns(cols)
+        self.r_with_columns(cols)
 
     # -- select
     def t_select(self, step: FuncCall):
@@ -286,18 +365,18 @@ class Compiler:
                     if logical.startswith(pref) and flat not in seen:
                         seen.add(flat)
                         short = logical[len(pref):]
-                        out_cols.append(F.col(_q(flat)).alias(short))
+                        out_cols.append((short, self._qi(flat)))
                         new_scope[short] = short
                         new_scope[logical] = short
                 continue
             name, node = self._named_item(it)
             ce = self.expr(node)
-            out_cols.append(F.expr(ce.sql).alias(name))
+            out_cols.append((name, ce.sql))
             new_scope[name] = name
             # lateral aliases: later select items may reference this
             # one (Spark resolves lateral column aliases in select)
             self.scope[name] = name
-        self.df = self.df.select(*out_cols)
+        self.r_select(out_cols)
         self.scope = new_scope
 
     # -- filter
@@ -305,7 +384,7 @@ class Compiler:
         if not step.args:
             raise PrqlCompileError("filter needs a condition")
         ce = self.expr(step.args[0])
-        self.df = self.df.where(F.expr(ce.sql))
+        self.r_filter(ce.sql)
 
     # -- aggregate (top level; group-level handled in t_group)
     def t_aggregate(self, step: FuncCall, keys: list[str] | None = None):
@@ -317,18 +396,14 @@ class Compiler:
         try:
             for it in items:
                 name, node = self._named_item(it)
-                aggs.append(F.expr(self.expr(node).sql).alias(name))
+                aggs.append((name, self.expr(node).sql))
                 new_scope[name] = name
         finally:
             self.window_mode = prev_mode
-        if keys:
-            gb = self.df.groupBy(*[F.expr(k) for k in keys])
-            self.df = gb.agg(*aggs)
-            for k in keys:
-                flat = k.strip("`")
-                new_scope[flat] = flat
-        else:
-            self.df = self.df.groupBy().agg(*aggs)
+        self.r_agg(keys or [], aggs)
+        for k in keys or []:
+            flat = k.strip("`").strip('"')
+            new_scope[flat] = flat
         self.scope = new_scope
         self.sort = []
 
@@ -345,12 +420,7 @@ class Compiler:
             sort_spec.append((self.expr(node).sql, asc))
         self.sort = sort_spec
         if self.group_keys is None:
-            self.df = self.df.orderBy(
-                *[
-                    F.expr(sql).asc() if asc else F.expr(sql).desc()
-                    for sql, asc in sort_spec
-                ]
-            )
+            self.r_order(sort_spec)
 
     # -- take
     def t_take(self, step: FuncCall):
@@ -371,26 +441,25 @@ class Compiler:
             self._take_in_group(lo, hi)
             return
         if lo > 1:
-            self.df = self.df.offset(lo - 1)
+            self.r_offset(lo - 1)
         if hi is not None:
-            self.df = self.df.limit(hi - lo + 1)
+            self.r_limit(hi - lo + 1)
 
     def _take_in_group(self, lo: int, hi):
         keys = self.group_keys
         if lo == 1 and hi == 1 and not self.sort:
             # distinct-on-keys fast path (PRQL's distinct idiom):
             # arbitrary row per key, no window/sort shuffle beyond the agg
-            self.df = self.df.dropDuplicates([k.strip("`") for k in keys])
+            self.r_distinct_on([k.strip("`").strip('"') for k in keys])
             return
         over = self._over_clause(need_order=True, with_frame=False)
         rn = "__prql_rn"
-        self.df = self.df.withColumn(rn, F.expr(f"ROW_NUMBER() OVER ({over})"))
-        cond = f"{_q(rn)} <= {hi}" if lo == 1 else (
-            f"{_q(rn)} BETWEEN {lo} AND {hi}"
+        cond = f"{self._qi(rn)} <= {hi}" if lo == 1 else (
+            f"{self._qi(rn)} BETWEEN {lo} AND {hi}"
             if hi is not None
-            else f"{_q(rn)} >= {lo}"
+            else f"{self._qi(rn)} >= {lo}"
         )
-        self.df = self.df.where(F.expr(cond)).drop(rn)
+        self.r_window_take(rn, over, cond)
 
     # -- join
     def t_join(self, step: FuncCall):
@@ -415,10 +484,7 @@ class Compiler:
         how = {"inner": "inner", "left": "left", "right": "right", "full": "full"}[
             side
         ]
-        right = self._load(rtable)
-        if self.catalog.is_broadcast(rtable):
-            right = F.broadcast(right)
-        rcols = right.columns
+        rcols = self._load(rtable).columns
         using = all(
             isinstance(c, Ident) and "." not in c.name for c in conds
         ) and all(c.name in rcols for c in conds if isinstance(c, Ident))
@@ -432,9 +498,7 @@ class Compiler:
                 for c in rcols
                 if c in left_flat and c not in using_cols
             }
-            for old, new in ren.items():
-                right = right.withColumnRenamed(old, new)
-            self.df = self.df.join(right, on=using_cols, how=how)
+            self.r_join(rtable, ralias, how, ren, using_cols=using_cols)
             for c in rcols:
                 flat = ren.get(c, c)
                 self.scope.setdefault(c, flat)
@@ -445,8 +509,6 @@ class Compiler:
 
         # expression join: flatten right-side name conflicts first
         ren = {c: f"{ralias}__{c}" for c in rcols if c in left_flat}
-        for old, new in ren.items():
-            right = right.withColumnRenamed(old, new)
         for c in rcols:
             flat = ren.get(c, c)
             self.scope.setdefault(c, flat)
@@ -455,7 +517,7 @@ class Compiler:
                 self.scope[f"{rtable}.{c}"] = flat
         cond_sqls = [self.expr(c).sql for c in conds]
         cond = " AND ".join(f"({s})" for s in cond_sqls)
-        self.df = self.df.join(right, on=F.expr(cond), how=how)
+        self.r_join(rtable, ralias, how, ren, cond=cond)
 
     # -- group
     def t_group(self, step: FuncCall):
@@ -571,7 +633,7 @@ class Compiler:
         if isinstance(node, FString):
             parts = []
             for p in node.parts:
-                parts.append(_esc_str(p) if isinstance(p, str) else self.expr(p).sql)
+                parts.append(self._esc(p) if isinstance(p, str) else self.expr(p).sql)
             return CExpr(f"CONCAT({', '.join(parts)})")
         if isinstance(node, ExprPipeline):
             return self._expr_pipeline(node)
@@ -586,7 +648,7 @@ class Compiler:
         if k == "float":
             return repr(node.value)
         if k == "str":
-            return _esc_str(node.value)
+            return self._esc(node.value)
         if k == "bool":
             return "TRUE" if node.value else "FALSE"
         if k == "null":
@@ -596,7 +658,7 @@ class Compiler:
         if k == "timestamp":
             return f"TIMESTAMP '{node.value}'"
         if k == "time":
-            return _esc_str(node.value)
+            return self._esc(node.value)
         if k == "interval":
             n, unit = node.value
             return f"INTERVAL {n} {unit.rstrip('s').upper()}"
@@ -605,7 +667,7 @@ class Compiler:
     def _ident(self, node: Ident) -> CExpr:
         name = node.name
         if name in self.scope:
-            return CExpr(_q(self.scope[name]))
+            return CExpr(self._qi(self.scope[name]))
         if name in stdlib.ZERO_ARG:
             return self._call(name, [], {})
         if name in self.funcs and not self.funcs[name].pos_params:
@@ -622,16 +684,25 @@ class Compiler:
                 head = bare.split(".", 1)[0]
                 # allow struct-field access on a real struct column;
                 # anything else dotted must be a known alias.column
-                field = next(
-                    (f for f in self.df.schema.fields if f.name == head),
-                    None,
-                )
-                if field is None or not field.dataType.typeName() == "struct":
-                    raise self._err(
-                        f"unknown column or alias {name!r}", node
+                schema = getattr(self.df, "schema", None)
+                if schema is None:
+                    # SQL-text backend: names only — require the head
+                    # to at least be a tracked column
+                    if head not in cols:
+                        raise self._err(
+                            f"unknown column or alias {name!r}", node
+                        )
+                else:
+                    field = next(
+                        (f for f in schema.fields if f.name == head),
+                        None,
                     )
+                    if field is None or not field.dataType.typeName() == "struct":
+                        raise self._err(
+                            f"unknown column or alias {name!r}", node
+                        )
         # pass through (Spark analyzes against the plan)
-        return CExpr(_q(name) if "." not in name else name)
+        return CExpr(self._qi(name) if "." not in name else name)
 
     def _binary(self, node: Binary) -> CExpr:
         if node.op == "??":
@@ -918,7 +989,9 @@ def compile_prql(text: str, catalog: Catalog) -> DataFrame:
         q = parse(text)
     except PrqlParseError as e:
         raise PrqlParseError(f"{e}\n--- in query:\n{text}") from None
-    if q.dialect is not None and q.dialect not in ("generic", "ansi", "hive"):
+    if q.dialect is not None and q.dialect not in (
+        "generic", "ansi", "hive", "spark"
+    ):
         warnings.warn(
             f"query requests dialect:{q.dialect}, but prql_spark always "
             "compiles to Spark semantics — dialect-specific SQL quirks "

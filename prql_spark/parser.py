@@ -44,10 +44,11 @@ def _line_col(src: str, pos: int) -> str:
 # ---------------------------------------------------------------- lexer
 
 _KEYWORDS = {"prql", "table", "func"}
-# parity: prql-compiler/src/ast/dialect.rs:6 (strum-serialized names)
+# parity: prql-compiler/src/ast/dialect.rs:6 (strum-serialized names),
+# plus "spark" — this engine's native target
 _DIALECTS = {
     "ansi", "bigquery", "clickhouse", "generic", "hive",
-    "mssql", "mysql", "postgres", "sqlite", "snowflake",
+    "mssql", "mysql", "postgres", "sqlite", "snowflake", "spark",
 }
 _INTERVAL_KINDS = (
     "microseconds milliseconds seconds minutes hours days weeks months years"

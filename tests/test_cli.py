@@ -40,3 +40,16 @@ def test_cli_stdin_and_span_error():
     )
     assert r.returncode == 1
     assert "nope_col" in r.stderr and "line 2" in r.stderr
+
+
+def test_cli_sql_mode():
+    r = _cli(
+        "from orders | select [o_orderkey] | take 5",
+        "--sql",
+        "duckdb",
+        "--data-dir",
+        "/root/testdata/sf0.001",
+    )
+    assert r.returncode == 0, r.stderr
+    assert 'SELECT "o_orderkey"' in r.stdout
+    assert "LIMIT 5" in r.stdout

@@ -1,0 +1,74 @@
+"""SQL-text backend (to_sql) — reference parity: prql-python to_sql.
+
+The drift-killer test: every PRQL driver entry must produce identical
+results via (a) the DataFrame compiler, (b) generated DuckDB SQL run
+in DuckDB, (c) generated Spark SQL run via spark.sql, and (d) the
+hand-written oracle SQL the driver actually executes. (d) is what
+caught q12 in round 1 — any future PRQL-vs-oracle drift fails here
+before the driver sees it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from prql_spark import PrqlCompileError, compile_prql, to_sql
+
+import __spark_entry__ as entry_mod
+
+from .conftest import TABLES
+
+
+def _canon(rows, cols):
+    def norm(v):
+        if isinstance(v, float):
+            return round(v, 4)
+        return str(v)
+
+    return sorted(tuple(norm(v) for v in r) for r in rows), sorted(
+        c.lower() for c in cols
+    )
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod._PRQL_QUERIES))
+def test_prql_entry_four_way(name, catalog, spark, oracle):
+    prql, oracle_sql = entry_mod._PRQL_QUERIES[name]
+    df = compile_prql(prql, catalog)
+    want = _canon([tuple(r) for r in df.collect()], df.columns)
+
+    dsql = to_sql(prql, catalog, dialect="duckdb")
+    res = oracle.execute(dsql)
+    assert _canon(res.fetchall(), [d[0] for d in res.description]) == want, (
+        f"generated DuckDB SQL diverges for {name}:\n{dsql}"
+    )
+
+    for t in TABLES:
+        catalog.load(t).createOrReplaceTempView(t)
+    sdf = spark.sql(to_sql(prql, catalog, dialect="spark"))
+    assert _canon([tuple(r) for r in sdf.collect()], sdf.columns) == want
+
+    res = oracle.execute(oracle_sql)
+    assert _canon(res.fetchall(), [d[0] for d in res.description]) == want, (
+        f"hand-written oracle SQL diverges from PRQL for {name}"
+    )
+
+
+def test_extended_operator_not_sql_expressible(catalog):
+    with pytest.raises(PrqlCompileError, match="DataFrame-native"):
+        to_sql("from documents\nquality_score text_col:text", catalog)
+
+
+def test_table_defs_become_ctes(catalog):
+    sql = to_sql(
+        "table big = (\n  from orders\n  filter o_totalprice > 100\n)\n"
+        "from big\ntake 5",
+        catalog,
+        dialect="duckdb",
+    )
+    assert sql.startswith("WITH")
+    assert '"big" AS (' in sql
+
+
+def test_spark_dialect_quotes_backticks(catalog):
+    sql = to_sql("from orders\nselect [o_orderkey]", catalog)
+    assert "`o_orderkey`" in sql and '"' not in sql
