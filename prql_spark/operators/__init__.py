@@ -390,6 +390,57 @@ def q_multimodal_meta(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def _hexbyte_dd(h: str, i: int) -> str:
+    """DuckDB: byte ``i`` of a lowercase hex digest as an integer."""
+    a, b = 2 * i + 1, 2 * i + 2
+    return (
+        f"((strpos('0123456789abcdef', substr({h},{a},1))-1)*16 + "
+        f"strpos('0123456789abcdef', substr({h},{b},1))-1)"
+    )
+
+
+def _sql_multimodal_decode() -> str:
+    # mirrors multimodal._decode_stub: sha256(utf8 payload), dims from
+    # digest bytes 0/1 (DuckDB sha256(VARCHAR) hashes the utf-8 bytes,
+    # same as hashlib.sha256(text.encode()))
+    w = _hexbyte_dd("h", 0)
+    ht = _hexbyte_dd("h", 1)
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         ELSE 'video/mp4' END AS media_type,
+    sha256(text) AS h,
+    octet_length(encode(text)) AS n_bytes
+  FROM documents)
+SELECT media_id, media_type,
+  CAST(64 + {w} % 192 AS INT) AS width,
+  CAST(64 + {ht} % 192 AS INT) AS height,
+  n_bytes
+FROM m ORDER BY media_id
+"""
+
+
+# mirrors multimodal.frame_sample: video payloads in 32-byte chunks,
+# every 4th chunk sampled → frame fi covers offset fi*128
+SQL_MULTIMODAL_FRAMES = """
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 2),
+e AS (
+  SELECT media_id, n,
+    CAST(unnest(generate_series(0,
+      CAST(ceil(ceil(CAST(n AS DOUBLE)/32)/4) AS BIGINT) - 1)) AS INT)
+      AS frame_index
+  FROM m)
+SELECT media_id, frame_index,
+  CASE WHEN n - frame_index*128 >= 32 THEN 32
+       ELSE CAST(n - frame_index*128 AS INT) END AS frame_bytes
+FROM e ORDER BY media_id, frame_index
+"""
+
+
 SQL_MULTIMODAL_META = """
 SELECT doc_id AS media_id,
   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
@@ -647,7 +698,10 @@ def entry_oracles() -> dict[str, str]:
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE,
         "ann_lsh_topk": _sql_ann_lsh(),
         "embedding_near_dups": _sql_embedding_near_dups(),
-        # multimodal_decode/frame_sample: mapInPandas stub → rows-only
+        # decode/frame_sample: the mapInPandas fake decoder is
+        # sha256-deterministic, so even the stub is value-oracled
+        "multimodal_decode": _sql_multimodal_decode(),
+        "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
         "multimodal_metadata": SQL_MULTIMODAL_META,
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
