@@ -599,6 +599,25 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_events_dedup(spark, sf_dir):
+    """Batch twin of streaming.dedup_streaming (the
+    dropDuplicatesWithinWatermark pipeline live-tested in
+    tests/test_streaming.py): distinct (user_id, event_type) pairs."""
+    from prql_spark.streaming import dedup_streaming
+
+    ev = Catalog(spark, sf_dir).load("events")
+    out = dedup_streaming(ev, key_cols=["user_id", "event_type"])
+    return out.select("user_id", "event_type").orderBy(
+        "user_id", "event_type"
+    )
+
+
+SQL_EVENTS_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type
+"""
+
+
 SQL_SESSIONIZE = """
 WITH g AS (
   SELECT user_id, ts, event_id, value,
@@ -678,6 +697,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": q_redact_pii,
         "text_strip_boilerplate": q_strip_boilerplate,
         "events_sessionize": q_sessionize,
+        "events_dedup_within_watermark": q_events_dedup,
         "skew_salted_aggregate": q_salted_agg,
     }
 
@@ -710,5 +730,6 @@ def entry_oracles() -> dict[str, str]:
         "text_redact_pii": SQL_REDACT_PII,
         "text_strip_boilerplate": SQL_STRIP_BOILERPLATE,
         "events_sessionize": SQL_SESSIONIZE,
+        "events_dedup_within_watermark": SQL_EVENTS_DEDUP,
         "skew_salted_aggregate": SQL_SALTED_AGG,
     }

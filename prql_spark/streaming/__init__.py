@@ -1,5 +1,6 @@
 from prql_spark.streaming import pipeline
 from prql_spark.streaming.pipeline import (
+    dedup_streaming,
     hourly_rollup,
     read_events_stream,
     run_stream_to_memory,
@@ -8,6 +9,7 @@ from prql_spark.streaming.pipeline import (
 )
 
 __all__ = [
+    "dedup_streaming",
     "hourly_rollup",
     "pipeline",
     "read_events_stream",

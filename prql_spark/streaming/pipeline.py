@@ -201,3 +201,26 @@ def sessionize_streaming(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_streaming(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose keys were already seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    State is bounded by the watermark — the 100 TB posture: a key's
+    fingerprint is held only until event time passes ``watermark``,
+    so state size tracks the duplicate-arrival window, not the
+    stream's full history. On a batch frame this degrades to plain
+    ``dropDuplicates`` (the batch twin the oracle checks).
+    """
+    keys = list(key_cols) if key_cols else ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

@@ -231,3 +231,50 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert b0 == [3]
     # and no duplicate emission of the finalized window
     assert len([1 for b, _ in got if b == t0]) == 1
+
+
+def test_dedup_streaming_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark under a multi-micro-batch replay:
+    duplicate event_ids planted in DIFFERENT files (→ different
+    micro-batches) must be dropped via the state store, and the
+    bounded-replay result must equal the batch twin."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import Row
+
+    src = str(tmp_path / "dedup_src")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minutes):
+        return Row(
+            event_id=eid,
+            ts=t0 + dt.timedelta(minutes=minutes),
+            user_id=eid % 5,
+            event_type="click",
+            value=1.0,
+            props="{}",
+        )
+
+    # file 1: ids 1..10; file 2: ids 6..15 (6..10 are cross-batch dups)
+    for rows in ([ev(i, i) for i in range(1, 11)],
+                 [ev(i, i) for i in range(6, 16)]):
+        spark.createDataFrame(rows, schema=sp.EVENTS_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    stream = sp.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = sp.run_stream_to_memory(
+        sp.dedup_streaming(stream, key_cols=["event_id"]),
+        "dedup_stream_t",
+        output_mode="append",
+    )
+    got = sorted(r.event_id for r in out.select("event_id").collect())
+    assert got == list(range(1, 16))  # each id exactly once
+
+    batch = sp.dedup_streaming(
+        spark.read.schema(sp.EVENTS_SCHEMA).parquet(src),
+        key_cols=["event_id"],
+    )
+    assert sorted(r.event_id for r in batch.collect()) == got
