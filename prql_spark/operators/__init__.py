@@ -599,6 +599,82 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+# Flagship composition: the full corpus-cleaning pipeline as ONE
+# PRQL query — extended operators chain as pipeline transforms
+# (strip → score → lang-id → filter → dedup), all narrow maps except
+# dedup's single hash-key exchange. This is the 100 TB shape: one
+# scan, one shuffle.
+DOCS_PIPELINE_PRQL = """
+from documents
+strip_boilerplate
+quality_score text_col:text_clean
+lang_id text_col:text_clean
+filter quality > 0.45 and lang_guess == "en"
+dedup_exact text_col:text_clean
+select [doc_id, lang_guess, quality, n_words]
+sort [doc_id]
+"""
+
+
+def q_docs_clean_pipeline(spark, sf_dir):
+    from prql_spark import compile_prql
+
+    return compile_prql(DOCS_PIPELINE_PRQL, Catalog(spark, sf_dir))
+
+
+def _docs_pipeline_sql() -> str:
+    tc = "tc"
+    stop_re = _STOP_RE
+    lang = {
+        k: f"len(regexp_extract_all(lower({tc}), "
+        f"'\\b({'|'.join(text.LANG_SIGNATURES[k])})\\b'))"
+        for k in ("en", "de", "fr", "es")
+    }
+    g = "greatest(s_en, s_de, s_fr, s_es)"
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(text,
+      '[^\\x20-\\x7E\\n\\t]', '', 'g'), '\\s+', ' ', 'g')) AS {tc}
+  FROM documents),
+f AS (
+  SELECT doc_id, {tc},
+    length({tc}) AS n,
+    length(regexp_replace({tc}, '[^A-Za-z]', '', 'g')) AS alpha,
+    length(regexp_replace({tc}, '[^.,;:!?]', '', 'g')) AS punct,
+    len(string_split_regex(lower(trim({tc})), '\\s+')) AS n_words,
+    len(regexp_extract_all(lower({tc}), '{stop_re}')) AS stops,
+    {lang['en']} AS s_en, {lang['de']} AS s_de,
+    {lang['fr']} AS s_fr, {lang['es']} AS s_es
+  FROM c),
+q AS (
+  SELECT doc_id, {tc}, n_words,
+    round(least(1.0, greatest(0.0,
+      0.25 * least(n / 500.0, 1.0)
+      + 0.35 * (CASE WHEN n = 0 THEN 0.0 ELSE alpha / n END)
+      + 0.25 * least((CASE WHEN n_words = 0 THEN 0.0
+                      ELSE stops / n_words END) * 4.0, 1.0)
+      + 0.15 * (1.0 - least((CASE WHEN n = 0 THEN 0.0
+                             ELSE punct / n END) * 10.0, 1.0)))), 6)
+      AS quality,
+    CASE WHEN s_fr = {g} THEN 'fr'
+         WHEN s_es = {g} THEN 'es'
+         WHEN s_en = {g} THEN 'en'
+         ELSE 'de' END AS lang_guess
+  FROM f),
+flt AS (
+  SELECT * FROM q WHERE quality > 0.45 AND lang_guess = 'en'),
+d AS (
+  SELECT doc_id, lang_guess, quality, n_words,
+    min(doc_id) OVER (PARTITION BY
+      md5(lower(regexp_replace(trim({tc}), '\\s+', ' ', 'g'))))
+      AS keeper
+  FROM flt)
+SELECT doc_id, lang_guess, quality, n_words FROM d
+WHERE doc_id = keeper ORDER BY doc_id
+"""
+
+
 def q_events_dedup(spark, sf_dir):
     """Batch twin of streaming.dedup_streaming (the
     dropDuplicatesWithinWatermark pipeline live-tested in
@@ -698,6 +774,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_strip_boilerplate": q_strip_boilerplate,
         "events_sessionize": q_sessionize,
         "events_dedup_within_watermark": q_events_dedup,
+        "docs_clean_pipeline": q_docs_clean_pipeline,
         "skew_salted_aggregate": q_salted_agg,
     }
 
@@ -731,5 +808,6 @@ def entry_oracles() -> dict[str, str]:
         "text_strip_boilerplate": SQL_STRIP_BOILERPLATE,
         "events_sessionize": SQL_SESSIONIZE,
         "events_dedup_within_watermark": SQL_EVENTS_DEDUP,
+        "docs_clean_pipeline": _docs_pipeline_sql(),
         "skew_salted_aggregate": SQL_SALTED_AGG,
     }
