@@ -18,6 +18,7 @@ from prql_spark.operators import (
     dedup,
     multimodal,
     similarity,
+    sketches,
     splits,
     text,
 )
@@ -599,6 +600,34 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_sketch_distinct(spark, sf_dir):
+    """HLL++ distinct-users-per-event-type, checked against the exact
+    count (the sketch's accuracy contract is the oracled value)."""
+    ev = Catalog(spark, sf_dir).load("events")
+    return sketches.distinct_accuracy_check(ev, "user_id", "event_type")
+
+
+SQL_SKETCH_DISTINCT = """
+SELECT event_type,
+  COUNT(DISTINCT user_id) AS exact_distinct,
+  TRUE AS within_bound
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_sketch_quantile(spark, sf_dir):
+    """percentile_approx median of event value per type, verified in
+    rank space (the KLL guarantee)."""
+    ev = Catalog(spark, sf_dir).load("events")
+    return sketches.quantile_rank_check(ev, "value", "event_type")
+
+
+SQL_SKETCH_QUANTILE = """
+SELECT event_type, COUNT(*) AS n, TRUE AS within_rank_eps
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # Flagship composition: the full corpus-cleaning pipeline as ONE
 # PRQL query — extended operators chain as pipeline transforms
 # (strip → score → lang-id → filter → dedup), all narrow maps except
@@ -775,6 +804,8 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_sessionize,
         "events_dedup_within_watermark": q_events_dedup,
         "docs_clean_pipeline": q_docs_clean_pipeline,
+        "sketch_distinct_users": q_sketch_distinct,
+        "sketch_value_median": q_sketch_quantile,
         "skew_salted_aggregate": q_salted_agg,
     }
 
@@ -809,5 +840,7 @@ def entry_oracles() -> dict[str, str]:
         "events_sessionize": SQL_SESSIONIZE,
         "events_dedup_within_watermark": SQL_EVENTS_DEDUP,
         "docs_clean_pipeline": _docs_pipeline_sql(),
+        "sketch_distinct_users": SQL_SKETCH_DISTINCT,
+        "sketch_value_median": SQL_SKETCH_QUANTILE,
         "skew_salted_aggregate": SQL_SALTED_AGG,
     }

@@ -342,3 +342,40 @@ def test_ivf_centroids_deterministic(spark, catalog):
     b = similarity.ivf_train_centroids(embs, dim=64, n_lists=4, iters=2)
     assert a == b
     assert len(a) == 4 and all(len(c) == 64 for c in a)
+
+
+def test_sketch_distinct_within_bound(spark):
+    from prql_spark.operators import sketches
+    from prql_spark.sources.catalog import Catalog
+    from tests.conftest import SF_DIR
+
+    ev = Catalog(spark, SF_DIR).load("events")
+    rows = sketches.distinct_accuracy_check(
+        ev, "user_id", "event_type"
+    ).collect()
+    assert rows and all(r.within_bound for r in rows)
+    # the estimate itself (rsd=0.05): also check the tighter 3-sigma
+    approx = {
+        r.event_type: r.approx_user_id
+        for r in sketches.approx_distinct(
+            ev, "user_id", group_by=["event_type"]
+        ).collect()
+    }
+    for r in rows:
+        rel = abs(approx[r.event_type] - r.exact_distinct) / r.exact_distinct
+        assert rel <= 0.15
+
+
+def test_sketch_quantile_rank_guarantee(spark):
+    from prql_spark.operators import sketches
+    from prql_spark.sources.catalog import Catalog
+    from tests.conftest import SF_DIR
+
+    ev = Catalog(spark, SF_DIR).load("events")
+    rows = sketches.quantile_rank_check(ev, "value", "event_type").collect()
+    assert rows and all(r.within_rank_eps for r in rows)
+    qs = sketches.approx_quantiles(
+        ev, "value", group_by=["event_type"]
+    ).collect()
+    for r in qs:
+        assert list(r.quantiles) == sorted(r.quantiles)  # monotone
