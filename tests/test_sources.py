@@ -93,3 +93,16 @@ def test_bucketed_tables_join_without_shuffle(spark, catalog, tmp_path):
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_orc_roundtrip_with_pushdown(spark, catalog, tmp_path):
+    d = str(tmp_path / "orders_orc")
+    orders = catalog.load("orders").limit(2000)
+    pio.write_orc(orders, d, partition_by=["o_orderstatus"])
+    back = pio.read_orc(spark, d)
+    want = {r.o_orderkey for r in orders.collect()}
+    assert {r.o_orderkey for r in back.collect()} == want
+    # partition pruning: a status filter must not scan other dirs
+    pruned = back.where(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
