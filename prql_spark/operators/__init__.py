@@ -600,6 +600,56 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Resize plumbing, value-oracled: the stub truncates payloads to
+    max_dim^2/64 bytes, so output sizes are exactly computable."""
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    out = multimodal.resize(media, max_dim=128)
+    return out.select(
+        "media_id", F.expr("length(media)").alias("n_bytes_resized")
+    ).orderBy("media_id")
+
+
+SQL_MULTIMODAL_RESIZE = """
+SELECT doc_id AS media_id,
+  least(octet_length(encode(text)), 256) AS n_bytes_resized
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """Sources coverage, value-oracled: nation → csv (written to a
+    per-sf scratch dir) → Catalog-over-csv read → aggregate. Proves
+    the csv writer/reader + catalog format path preserve values."""
+    import os
+    import tempfile
+
+    from prql_spark.sources import io as pio
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"prql_spark_csvrt_{abs(hash(sf_dir)) % 10**8}",
+    )
+    nation = Catalog(spark, sf_dir).load("nation")
+    pio.write_csv(nation, os.path.join(d, "nation"))
+    back = Catalog(spark, d, fmt="csv").load("nation")
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT n_regionkey, count(*) AS n,
+  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
 def q_sketch_distinct(spark, sf_dir):
     """HLL++ distinct-users-per-event-type, checked against the exact
     count (the sketch's accuracy contract is the oracled value)."""
@@ -806,6 +856,8 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clean_pipeline": q_docs_clean_pipeline,
         "sketch_distinct_users": q_sketch_distinct,
         "sketch_value_median": q_sketch_quantile,
+        "multimodal_resize": q_multimodal_resize,
+        "sources_csv_roundtrip": q_csv_roundtrip,
         "skew_salted_aggregate": q_salted_agg,
     }
 
@@ -842,5 +894,7 @@ def entry_oracles() -> dict[str, str]:
         "docs_clean_pipeline": _docs_pipeline_sql(),
         "sketch_distinct_users": SQL_SKETCH_DISTINCT,
         "sketch_value_median": SQL_SKETCH_QUANTILE,
+        "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+        "sources_csv_roundtrip": SQL_CSV_ROUNDTRIP,
         "skew_salted_aggregate": SQL_SALTED_AGG,
     }

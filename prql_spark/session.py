@@ -30,6 +30,12 @@ def build_spark(app: str = "prql_spark", cpus: int | None = None) -> SparkSessio
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter join pruning: at cluster scale a
+        # selective dim-side predicate row-filters the fact scan
+        # before the shuffle (no effect at local bench sizes — the
+        # 10 MB creation threshold gates it — but it is the 100 TB
+        # posture and costs nothing here)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(256 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
