@@ -152,6 +152,7 @@ def _minhash_raw_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    star_cap: int | None = None,
 ) -> DataFrame:
     """Within-bucket verified pairs, one row PER colliding band (a
     pair agreeing in k bands appears k times). Callers dedup as fits:
@@ -198,20 +199,36 @@ def _minhash_raw_pairs(
         )
         .where(F.expr("size(mem) >= 2"))
     )
-    return (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    f"flatten(transform(sequence(0, size(mem)-2), i -> "
-                    f"transform(sequence(i+1, size(mem)-1), j -> "
-                    f"named_struct("
-                    f"'id_a', mem[i].{id_col}, 'id_b', mem[j].{id_col}, "
-                    f"'est_jaccard', size(filter(zip_with("
-                    f"mem[i].minhash, mem[j].minhash, (x, y) -> x = y), "
-                    f"v -> v)) / size(mem[i].minhash)))))"
-                )
-            ).alias("p")
+    def pair(i: str, j: str) -> str:
+        return (
+            f"named_struct("
+            f"'id_a', mem[{i}].{id_col}, 'id_b', mem[{j}].{id_col}, "
+            f"'est_jaccard', size(filter(zip_with("
+            f"mem[{i}].minhash, mem[{j}].minhash, (x, y) -> x = y), "
+            f"v -> v)) / size(mem[{i}].minhash))"
         )
+
+    all_pairs = (
+        f"flatten(transform(sequence(0, size(mem)-2), i -> "
+        f"transform(sequence(i+1, size(mem)-1), j -> {pair('i', 'j')})))"
+    )
+    if star_cap is None:
+        pairs_expr = all_pairs
+    else:
+        # mega-bucket guard: beyond star_cap members, all-pairs is
+        # O(n²) (a degenerate corpus of n identical docs would emit
+        # n(n-1)/2 rows from ONE reducer). Star-link instead: every
+        # member pairs only with the bucket's min id — O(n), and for
+        # keep/drop dedup semantics equivalent whenever the bucket is
+        # signature-homogeneous (the only way buckets get huge).
+        star = (
+            f"transform(sequence(1, size(mem)-1), j -> {pair('0', 'j')})"
+        )
+        pairs_expr = (
+            f"IF(size(mem) <= {star_cap}, {all_pairs}, {star})"
+        )
+    return (
+        grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
         .select("p.id_a", "p.id_b", "p.est_jaccard")
         .where(F.col("est_jaccard") >= threshold)
     )
@@ -245,6 +262,7 @@ def dedup_minhash_lsh(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    star_cap: int = 64,
 ) -> DataFrame:
     """Docs surviving minhash-LSH dedup (drop the larger id of each
     near-dup pair — standard greedy keep-first policy).
@@ -253,11 +271,17 @@ def dedup_minhash_lsh(
     bucket-combine in minhash_lsh_pairs), so the signature UDF runs
     exactly once with no persist and no eager action — composing this
     inside a larger pipeline triggers no job at build time.
+
+    ``star_cap`` bounds per-bucket pair generation: buckets larger
+    than the cap (in practice: huge exact-duplicate groups) star-link
+    against the bucket min instead of emitting O(n²) pairs.
     """
     sigs = minhash_signatures(
         df, text_col, id_col, num_perm, shingle_k
     ).select(id_col, "minhash")
-    raw = _minhash_raw_pairs(sigs, id_col, num_perm, bands, threshold)
+    raw = _minhash_raw_pairs(
+        sigs, id_col, num_perm, bands, threshold, star_cap=star_cap
+    )
     # id-level distinct straight off the raw pair stream: the
     # pair-level group-by would be a wasted extra exchange here
     losers = raw.select(F.col("id_b").alias(id_col)).distinct()

@@ -379,3 +379,32 @@ def test_sketch_quantile_rank_guarantee(spark):
     ).collect()
     for r in qs:
         assert list(r.quantiles) == sorted(r.quantiles)  # monotone
+
+
+def test_dedup_minhash_mega_bucket_star_guard(spark):
+    """A 200-copy exact-dup group: with star_cap the bucket emits
+    O(n) star pairs, not O(n^2), and dedup still keeps exactly the
+    min id of the group (plus all distinct docs)."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(300)]
+    rows = [
+        Row(doc_id=i, text=" ".join(rng.choice(vocab) for _ in range(40)))
+        for i in range(10)
+    ]
+    mega = "the quick brown fox jumps over the lazy dog again and again"
+    rows += [Row(doc_id=1000 + i, text=mega) for i in range(200)]
+    df = spark.createDataFrame(rows)
+
+    out = dedup.dedup_minhash_lsh(df, threshold=0.5, star_cap=16)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert ids == set(range(10)) | {1000}
+
+    # pair volume: star emits n-1 per bucket per band, never n(n-1)/2
+    sigs = dedup.minhash_signatures(df).select("doc_id", "minhash")
+    raw = dedup._minhash_raw_pairs(sigs, star_cap=16)
+    n_pairs = raw.groupBy("id_a", "id_b").count().count()
+    assert n_pairs <= 199 + 50  # star pairs + any random collisions
