@@ -181,3 +181,97 @@ def test_random_window_frames(spark, catalog, oracle, lo, hi, fn, partitioned):
         ).fetchall()
     )
     assert got == want, (prql, got[:3], want[:3])
+
+
+# --------------------------------------------------- pipeline shapes
+# Metamorphic check for the SQL backend: a random transform chain
+# must produce identical results via (a) the DataFrame compiler,
+# (b) to_sql("duckdb") run in DuckDB, (c) to_sql("spark") run via
+# spark.sql. Exercises layer merge/push corners (filter-after-derive,
+# sort-then-take, select pruning, post-agg steps) that the fixed
+# driver entries don't enumerate.
+
+
+@st.composite
+def pipeline(draw):
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    steps = []
+    sorted_now = False
+    n_steps = draw(st.integers(2, 5))
+    derived = 0
+    for _ in range(n_steps):
+        choices = ["filter", "derive", "sort", "select"]
+        if sorted_now:
+            choices.append("take")
+        kind = draw(st.sampled_from(choices))
+        if kind == "filter":
+            k = draw(st.integers(2, 7))
+            op = draw(st.sampled_from(["<", "<=", ">", ">=", "!="]))
+            steps.append(f"filter (n_nationkey % {k}) {op} {k // 2}")
+        elif kind == "derive":
+            derived += 1
+            name = f"d{derived}"
+            mul = draw(st.integers(-3, 3))
+            other = (
+                "n_regionkey" if "n_regionkey" in cols else "n_nationkey"
+            )
+            steps.append(
+                f"derive [{name} = n_nationkey * {mul} + {other}]"
+            )
+            cols.append(name)
+        elif kind == "sort":
+            key = draw(st.sampled_from(list(cols)))
+            sign = draw(st.sampled_from(["-", ""]))
+            steps.append(f"sort [{sign}{key}, n_nationkey]")
+            sorted_now = True
+        elif kind == "select":
+            keep = [
+                c
+                for c in cols
+                if c == "n_nationkey" or draw(st.booleans())
+            ]
+            steps.append(f"select [{', '.join(keep)}]")
+            cols = keep
+            # sort keys may be gone; order is still well-defined in
+            # the DataFrame path, but stop offering take afterwards
+            sorted_now = False
+        elif kind == "take":
+            lo = draw(st.integers(1, 3))
+            hi = draw(st.integers(4, 12))
+            form = draw(st.sampled_from(["n", "range"]))
+            steps.append(
+                f"take {hi}" if form == "n" else f"take {lo}..{hi}"
+            )
+    if draw(st.booleans()):
+        key = "n_regionkey" if "n_regionkey" in cols else "n_nationkey"
+        steps.append(
+            f"group [{key}] (aggregate [n = count, "
+            "s = sum n_nationkey])"
+        )
+    return "from nation\n" + "\n".join(steps)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(prql=pipeline())
+def test_random_pipeline_three_backend_parity(spark, catalog, oracle, prql):
+    from prql_spark import to_sql
+
+    df = compile_prql(prql, catalog)
+    want = sorted(
+        [tuple(_norm(v) for v in r) for r in df.collect()], key=repr
+    )
+    res = oracle.execute(to_sql(prql, catalog, dialect="duckdb"))
+    duck = sorted(
+        [tuple(_norm(v) for v in r) for r in res.fetchall()], key=repr
+    )
+    assert duck == want, prql
+    catalog.load("nation").createOrReplaceTempView("nation")
+    sdf = spark.sql(to_sql(prql, catalog, dialect="spark"))
+    got = sorted(
+        [tuple(_norm(v) for v in r) for r in sdf.collect()], key=repr
+    )
+    assert got == want, prql
