@@ -479,22 +479,22 @@ FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type
 
 
 def q_asof_join(spark, sf_dir):
-    """Attribute each click to the user's most recent login."""
+    """Attribute each click to the user's most recent signup."""
     ev = Catalog(spark, sf_dir).load("events")
     clicks = ev.where(F.col("event_type") == "click")
-    logins = (
-        ev.where(F.col("event_type") == "login")
+    signups = (
+        ev.where(F.col("event_type") == "signup")
         .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("login_event_id"))
+        .agg(F.max("event_id").alias("signup_event_id"))
     )
     out = asof.asof_join(
         clicks.select("event_id", "user_id", "ts"),
-        logins,
+        signups,
         on="ts",
         by="user_id",
-        value_cols=["login_event_id"],
+        value_cols=["signup_event_id"],
     )
-    return out.select("event_id", "user_id", "login_event_id").orderBy(
+    return out.select("event_id", "user_id", "signup_event_id").orderBy(
         "event_id"
     )
 
@@ -502,13 +502,53 @@ def q_asof_join(spark, sf_dir):
 SQL_ASOF_JOIN = """
 WITH clicks AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-logins AS (
-  SELECT user_id, ts, max(event_id) AS login_event_id
-  FROM events WHERE event_type = 'login' GROUP BY user_id, ts)
-SELECT c.event_id, c.user_id, l.login_event_id
-FROM clicks c ASOF LEFT JOIN logins l
-  ON c.user_id = l.user_id AND c.ts >= l.ts
+signups AS (
+  SELECT user_id, ts, max(event_id) AS signup_event_id
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+SELECT c.event_id, c.user_id, s.signup_event_id
+FROM clicks c ASOF LEFT JOIN signups s
+  ON c.user_id = s.user_id AND c.ts >= s.ts
 ORDER BY c.event_id
+"""
+
+
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of with a 2-hour tolerance: each view attributed
+    to the user's NEXT purchase within 2 h (conversion windows)."""
+    ev = Catalog(spark, sf_dir).load("events")
+    views = ev.where(F.col("event_type") == "view")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    out = asof.asof_join(
+        views.select("event_id", "user_id", "ts"),
+        purchases,
+        on="ts",
+        by="user_id",
+        value_cols=["purchase_event_id"],
+        direction="forward",
+        tolerance_seconds=7200,
+    )
+    return out.select("event_id", "user_id", "purchase_event_id").orderBy(
+        "event_id"
+    )
+
+
+SQL_ASOF_FORWARD = """
+WITH views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+purchases AS (
+  SELECT user_id, ts, max(event_id) AS purchase_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT v.event_id, v.user_id,
+  CASE WHEN p.ts IS NOT NULL
+        AND epoch(p.ts) - epoch(v.ts) <= 7200
+       THEN p.purchase_event_id END AS purchase_event_id
+FROM views v ASOF LEFT JOIN purchases p
+  ON v.user_id = p.user_id AND v.ts <= p.ts
+ORDER BY v.event_id
 """
 
 
@@ -847,6 +887,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frames,
         "events_hourly_rollup": q_events_hourly,
         "asof_join_attribution": q_asof_join,
+        "asof_forward_tolerance": q_asof_forward,
         "split_by_hash": q_split_by_hash,
         "sample_by_hash": q_sample_by_hash,
         "text_redact_pii": q_redact_pii,
@@ -885,6 +926,7 @@ def entry_oracles() -> dict[str, str]:
         "multimodal_metadata": SQL_MULTIMODAL_META,
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
+        "asof_forward_tolerance": SQL_ASOF_FORWARD,
         "split_by_hash": SQL_SPLIT_BY_HASH,
         "sample_by_hash": SQL_SAMPLE_BY_HASH,
         "text_redact_pii": SQL_REDACT_PII,

@@ -27,15 +27,21 @@ def asof_join(
     right_on: str | None = None,
     right_by: str | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    right.time <= left.time within the same `by` group (backward
-    as-of, strict ties included).
+    """For each left row, attach the nearest right row within the
+    same ``by`` group: the latest with right.time <= left.time
+    (``direction="backward"``, ties included) or the earliest with
+    right.time >= left.time (``"forward"``).
 
     on/by: left time + group columns; right_on/right_by default to
     the same names. value_cols: right columns to carry (default: all
-    except its time/group columns).
+    except its time/group columns). ``tolerance_seconds`` nulls the
+    match when the time gap exceeds it (pandas merge_asof parity).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward: {direction}")
     right_on = right_on or on
     right_by = right_by or by
     if value_cols is None:
@@ -44,7 +50,6 @@ def asof_join(
         ]
 
     lcols = left.columns
-    carried = {c: f"__r_{c}" for c in value_cols}
 
     from pyspark.sql.types import StructField, StructType
 
@@ -53,9 +58,11 @@ def asof_join(
     # itself is null (all left rows) but takes the matched right row's
     # fields verbatim — a genuinely NULL value inside the latest right
     # row stays NULL instead of falling back to an older non-null one
-    # (DuckDB ASOF JOIN semantics).
+    # (DuckDB ASOF JOIN semantics). The matched row's own time rides
+    # along as __rt for the tolerance cut.
     r_type = StructType(
-        [StructField(c, right.schema[c].dataType) for c in value_cols]
+        [StructField("__rt", right.schema[right_on].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in value_cols]
     )
     l_tagged = left.select(
         F.col(by).alias("__key"),
@@ -69,19 +76,40 @@ def asof_join(
         F.col(right_on).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
+        F.struct(
+            F.col(right_on).alias("__rt"),
+            *[F.col(c) for c in value_cols],
+        ).alias("__r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
-    # right rows sort before left rows at equal times (__is_left asc),
-    # so a right row AT the left timestamp is visible to it.
-    filled = unioned.withColumn(
-        "__r",
-        F.expr(
+    if direction == "backward":
+        # right rows sort before left rows at equal times (__is_left
+        # asc), so a right row AT the left timestamp is visible to it.
+        fill = (
             "last_value(__r, true) OVER ("
             "PARTITION BY __key ORDER BY __t, __is_left "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-        ),
-    )
+        )
+    else:
+        # forward: left rows sort before right rows at equal times
+        # (__is_left DESC), so an equal-time right row is in the
+        # following frame and still matches.
+        fill = (
+            "first_value(__r, true) OVER ("
+            "PARTITION BY __key ORDER BY __t, __is_left DESC "
+            "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+        )
+    filled = unioned.withColumn("__r", F.expr(fill))
+    if tolerance_seconds is not None:
+        t_type = left.schema[on].dataType.typeName()
+        if t_type in ("timestamp", "timestamp_ntz"):
+            gap = "abs(unix_micros(__t) - unix_micros(__r.__rt)) / 1e6"
+        else:
+            gap = "abs(__t - __r.__rt)"
+        filled = filled.withColumn(
+            "__r",
+            F.expr(f"IF({gap} <= {tolerance_seconds}, __r, NULL)"),
+        )
     out = filled.where(F.col("__is_left") == 1).select(
         *[F.col(c) for c in lcols],
         *[

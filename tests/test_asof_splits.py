@@ -128,3 +128,43 @@ def test_strip_boilerplate(spark):
     )
     out = splits.strip_boilerplate(df).collect()[0].text_clean
     assert out == "hello world caf"
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [
+            Row(key="a", t=_ts(5), lid=1),   # next right at t=10
+            Row(key="a", t=_ts(10), lid=2),  # tie: right AT t=10
+            Row(key="a", t=_ts(12), lid=3),  # next right at t=40
+            Row(key="b", t=_ts(30), lid=4),  # no right rows for b
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(key="a", t=_ts(4), price=100.0),
+            Row(key="a", t=_ts(10), price=200.0),
+            Row(key="a", t=_ts(40), price=300.0),
+        ]
+    )
+    out = asof.asof_join(
+        left, right, on="t", by="key", value_cols=["price"],
+        direction="forward",
+    )
+    got = {r.lid: r.price for r in out.collect()}
+    assert got == {1: 200.0, 2: 200.0, 3: 300.0, 4: None}
+
+    # 10-minute tolerance nulls lid=3's match (gap = 28 min)
+    out = asof.asof_join(
+        left, right, on="t", by="key", value_cols=["price"],
+        direction="forward", tolerance_seconds=600,
+    )
+    got = {r.lid: r.price for r in out.collect()}
+    assert got == {1: 200.0, 2: 200.0, 3: None, 4: None}
+
+    # tolerance on backward too: lid=3 (t=12) matched right t=10 → ok
+    out = asof.asof_join(
+        left, right, on="t", by="key", value_cols=["price"],
+        tolerance_seconds=150,
+    )
+    got = {r.lid: r.price for r in out.collect()}
+    assert got == {1: 100.0, 2: 200.0, 3: 200.0, 4: None}
