@@ -603,7 +603,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    out = {name: sql for name, (_p, sql) in _PRQL_QUERIES.items()}
+    # PRQL entries: prefer the machine-generated oracle (emitted by
+    # the SQL-text backend from the same PRQL the engine runs, with a
+    # Spark-schema type wrapper — see scripts/gen_oracles.py). The
+    # hand-written strings remain as documentation and fallback;
+    # tests/test_to_sql.py asserts all three agree.
+    try:
+        from prql_spark._gen_oracles import ORACLES as _gen
+    except ImportError:
+        _gen = {}
+    out = {
+        name: _gen.get(name, sql)
+        for name, (_p, sql) in _PRQL_QUERIES.items()
+    }
     from prql_spark.operators import entry_oracles
 
     out.update(entry_oracles())

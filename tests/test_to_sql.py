@@ -72,3 +72,31 @@ def test_table_defs_become_ctes(catalog):
 def test_spark_dialect_quotes_backticks(catalog):
     sql = to_sql("from orders\nselect [o_orderkey]", catalog)
     assert "`o_orderkey`" in sql and '"' not in sql
+
+
+def test_generated_oracles_fresh(catalog):
+    """prql_spark/_gen_oracles.py must match what gen_oracles.py
+    would emit today — fails when a PRQL entry changes without
+    rerunning the generator."""
+    from prql_spark._gen_oracles import ORACLES
+    from prql_spark.sql_backend import typed_oracle_sql
+
+    assert set(ORACLES) == set(entry_mod._PRQL_QUERIES)
+    for name, (prql, _sql) in entry_mod._PRQL_QUERIES.items():
+        assert ORACLES[name] == typed_oracle_sql(prql, catalog), (
+            f"stale generated oracle for {name}; "
+            "rerun scripts/gen_oracles.py"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod._PRQL_QUERIES))
+def test_generated_oracle_matches_results(name, catalog, oracle):
+    """The generated+type-wrapped oracle must return the same values
+    as the DataFrame plan (this is what the driver executes now)."""
+    from prql_spark._gen_oracles import ORACLES
+
+    prql, _ = entry_mod._PRQL_QUERIES[name]
+    df = compile_prql(prql, catalog)
+    want = _canon([tuple(r) for r in df.collect()], df.columns)
+    res = oracle.execute(ORACLES[name])
+    assert _canon(res.fetchall(), [d[0] for d in res.description]) == want
