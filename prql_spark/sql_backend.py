@@ -43,6 +43,7 @@ class _Layer:
     src: str | None  # FROM text; None = previous layer
     base_cols: list = field(default_factory=list)
     joins: list = field(default_factory=list)  # rendered JOIN clauses
+    hints: list = field(default_factory=list)  # /*+ ... */ (spark)
     select: list | None = None  # [(alias, sql)]; None = *
     add_cols: list = field(default_factory=list)  # SELECT *, sql AS alias
     where: list = field(default_factory=list)
@@ -241,6 +242,9 @@ class SqlCompiler(Compiler):
         if t.shaped or t.order is not None:
             self._push()
             t = self._top()
+        if self.DIALECT == "spark" and self.catalog.is_broadcast(rtable):
+            # mirror the DataFrame path's F.broadcast on catalog dims
+            t.hints.append(f"BROADCAST({ralias})")
         if using_cols is not None:
             keys = ", ".join(self._qi(c) for c in using_cols)
             t.joins.append(f"{_JOIN_KW[how]} {right} USING ({keys})")
@@ -276,8 +280,9 @@ class SqlCompiler(Compiler):
             projs = f"*, {adds}"
         else:
             projs = "*"
+        hint = f"/*+ {', '.join(layer.hints)} */ " if layer.hints else ""
         parts = [
-            f"SELECT {'DISTINCT ' if layer.distinct else ''}{projs}",
+            f"SELECT {hint}{'DISTINCT ' if layer.distinct else ''}{projs}",
             f"FROM {src}",
         ]
         parts.extend(layer.joins)
