@@ -47,6 +47,9 @@ HEADLINE = {
     "dedup_minhash_lsh": "count",
     "text_quality_score": "count",
     "ann_bruteforce_topk": "collect",
+    "docs_clean_pipeline": "count",
+    "asof_join_attribution": "count",
+    "sketch_distinct_users": "collect",
 }
 
 

@@ -3,8 +3,9 @@
 ``entry_queries()`` / ``entry_oracles()`` feed __spark_entry__.py:
 each operator gets a (spark, sf_dir) callable; oracle SQL is provided
 wherever the computation is DuckDB-expressible (everything except the
-xxhash64-based signatures and the mapInPandas multimodal stubs, which
-the driver checks rows-only).
+crc32/xxhash64-based minhash/simhash signatures and the iterative IVF
+k-means, which the driver checks rows-only; even the multimodal fake
+decoder is value-oracled since it is sha256-deterministic).
 """
 
 from __future__ import annotations

@@ -59,6 +59,29 @@ def synthesize(spark, n_copies: int) -> str:
     return out
 
 
+def synthesize_vectors(spark, n_copies: int) -> str:
+    """n_copies noisy variants of every sf embedding (deterministic
+    per-copy perturbation, JVM-side — no UDF)."""
+    out = os.path.join(SCRATCH, f"embs_x{n_copies}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    embs = Catalog(spark, SF_DIR).load("embeddings")
+    copies = spark.range(n_copies).withColumnRenamed("id", "copy")
+    big = (
+        embs.crossJoin(copies)
+        .select(
+            (F.col("vec_id") * n_copies + F.col("copy")).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> CAST(x + "
+                "sin(copy * 37 + i) * 0.05 AS FLOAT))"
+            ).alias("embedding"),
+        )
+        .repartition(64)
+    )
+    big.write.mode("overwrite").parquet(out)
+    return out
+
+
 def main():
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     spark = build_spark("scale-exp")
@@ -69,11 +92,13 @@ def main():
     big = spark.read.parquet(path)
     n = big.count()
 
-    def run(name, fn):
+    def run(name, fn, drain="count"):
         # warm (codegen constants), then steady-state
-        fn().count()
-        t = time.time()
-        rows = fn().count()
+        t = None
+        for _ in range(2):
+            t = time.time()
+            df = fn()
+            rows = df.count() if drain == "count" else len(df.collect())
         return {"sec": round(time.time() - t, 2), "rows": rows}
 
     res = {
@@ -86,6 +111,31 @@ def main():
             "minhash", lambda: dedup.dedup_minhash_lsh(big)
         ),
     }
+
+    from prql_spark.operators import similarity
+
+    vpath = synthesize_vectors(spark, n_copies)
+    vecs = spark.read.parquet(vpath)
+    res["n_vectors"] = vecs.count()
+    queries = (
+        Catalog(spark, SF_DIR)
+        .load("embeddings")
+        .where(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+    )
+    res["ann_bruteforce"] = run(
+        "ann_bf",
+        lambda: similarity.brute_force_topk(vecs, queries, k=10),
+        drain="collect",
+    )
+    res["ann_lsh"] = run(
+        "ann_lsh",
+        lambda: similarity.lsh_topk(vecs, queries, dim=64, k=10),
+        drain="collect",
+    )
     print(json.dumps(res))
     spark.stop()
 
