@@ -103,7 +103,10 @@ def asof_join(
     if tolerance_seconds is not None:
         t_type = left.schema[on].dataType.typeName()
         if t_type in ("timestamp", "timestamp_ntz"):
-            gap = "abs(unix_micros(__t) - unix_micros(__r.__rt)) / 1e6"
+            # timestampdiff accepts both TIMESTAMP and TIMESTAMP_NTZ
+            # (unix_micros rejects NTZ, which parquet files written
+            # with isAdjustedToUTC=false produce)
+            gap = "abs(timestampdiff(MICROSECOND, __r.__rt, __t)) / 1e6"
         else:
             gap = "abs(__t - __r.__rt)"
         filled = filled.withColumn(

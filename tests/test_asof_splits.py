@@ -168,3 +168,23 @@ def test_asof_join_forward_and_tolerance(spark):
     )
     got = {r.lid: r.price for r in out.collect()}
     assert got == {1: 100.0, 2: 200.0, 3: 200.0, 4: None}
+
+
+def test_asof_tolerance_timestamp_ntz(spark):
+    # parquet written with isAdjustedToUTC=false loads as
+    # TIMESTAMP_NTZ (e.g. the driver's events table at sf>=0.01);
+    # unix_micros rejects NTZ, so the tolerance path must not use it
+    ntz = "CAST(timestamp_micros(CAST({} AS LONG) * 1000000) AS TIMESTAMP_NTZ)"
+    left = spark.createDataFrame(
+        [Row(key="a", s=300, lid=1), Row(key="a", s=2000, lid=2)]
+    ).select("key", "lid", F.expr(ntz.format("s")).alias("t"))
+    right = spark.createDataFrame(
+        [Row(key="a", s=250, price=1.0)]
+    ).select("key", "price", F.expr(ntz.format("s")).alias("t"))
+    assert dict(left.dtypes)["t"] == "timestamp_ntz"
+    out = asof.asof_join(
+        left, right, on="t", by="key", value_cols=["price"],
+        tolerance_seconds=600,
+    )
+    got = {r.lid: r.price for r in out.collect()}
+    assert got == {1: 1.0, 2: None}  # lid=2 gap 1750s > 600s
