@@ -535,6 +535,226 @@ SELECT o_orderkey, round(sum(o_totalprice) OVER (
 FROM orders ORDER BY o_orderkey
 """
 
+Q7_VOLUME_SHIPPING = """
+from s=supplier
+join l=lineitem [l_suppkey == s_suppkey]
+join o=orders [o_orderkey == l_orderkey]
+join c=customer [c_custkey == o_custkey]
+join n1=nation [n1.n_nationkey == s_nationkey]
+join n2=nation [n2.n_nationkey == c_nationkey]
+derive [
+  supp_nation = n1.n_name,
+  cust_nation = n2.n_name,
+  l_year = s"year({l_shipdate})",
+  volume = l_extendedprice * (1 - l_discount),
+]
+filter (supp_nation == "NATION_9" and cust_nation == "NATION_10") or (supp_nation == "NATION_10" and cust_nation == "NATION_9")
+filter l_shipdate >= @1995-01-01 and l_shipdate <= @1996-12-31
+group [supp_nation, cust_nation, l_year] (
+  aggregate [revenue = round (sum volume) 2]
+)
+sort [supp_nation, cust_nation, l_year]
+"""
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  year(l_shipdate) AS l_year,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM supplier
+JOIN lineitem ON l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+Q8_MARKET_SHARE = """
+from p=part
+join l=lineitem [l_partkey == p_partkey]
+join s=supplier [s_suppkey == l_suppkey]
+join o=orders [o_orderkey == l_orderkey]
+join c=customer [c_custkey == o_custkey]
+join n1=nation [n1.n_nationkey == c_nationkey]
+join r=region [r_regionkey == n1.n_regionkey]
+join n2=nation [n2.n_nationkey == s_nationkey]
+filter r_name == "AMERICA" and p_type == "ECONOMY"
+filter o_orderdate >= @1995-01-01 and o_orderdate <= @1996-12-31
+derive [
+  o_year = s"year({o_orderdate})",
+  volume = l_extendedprice * (1 - l_discount),
+  target_volume = s"CASE WHEN {n2.n_name} = 'NATION_3' THEN {volume} ELSE 0.0 END",
+]
+group [o_year] (
+  aggregate [mkt_share = round ((sum target_volume) / (sum volume)) 6]
+)
+sort [o_year]
+"""
+
+Q8_SQL = """
+SELECT year(o_orderdate) AS o_year,
+  round(sum(CASE WHEN n2.n_name = 'NATION_3'
+        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+      / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n1.n_regionkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+GROUP BY o_year ORDER BY o_year
+"""
+
+Q13_ORDER_DISTRIBUTION = """
+table per_customer = (
+  from c=customer
+  join side:left o=orders [o_custkey == c_custkey]
+  group [c_custkey] (
+    aggregate [c_count = s"COUNT({o.o_orderkey})"]
+  )
+)
+from per_customer
+group [c_count] (
+  aggregate [custdist = count]
+)
+sort [-custdist, -c_count]
+"""
+
+Q13_SQL = """
+WITH per_customer AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM per_customer
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+Q15_TOP_SUPPLIER = """
+table revenue0 = (
+  from lineitem
+  filter l_shipdate >= @1996-01-01 and l_shipdate < @1996-04-01
+  group [l_suppkey] (
+    aggregate [total_revenue = round (sum (l_extendedprice * (1 - l_discount))) 2]
+  )
+)
+table max_rev = (
+  from revenue0
+  aggregate [max_revenue = max total_revenue]
+)
+from s=supplier
+join r=revenue0 [l_suppkey == s_suppkey]
+join m=max_rev [max_revenue == total_revenue]
+select [s_suppkey, s_name, total_revenue]
+sort [s_suppkey]
+"""
+
+Q15_SQL = """
+WITH revenue0 AS (
+  SELECT l_suppkey,
+    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue0 ON l_suppkey = s_suppkey
+JOIN (SELECT max(total_revenue) AS max_revenue FROM revenue0) m
+  ON max_revenue = total_revenue
+ORDER BY s_suppkey
+"""
+
+Q17_SMALL_QTY_REVENUE = """
+table part_avg = (
+  from lineitem
+  group [l_partkey] (
+    aggregate [avg_qty = avg l_quantity]
+  )
+)
+from l=lineitem
+join p=part [p_partkey == l_partkey]
+join pa=part_avg [pa.l_partkey == l.l_partkey]
+filter p_brand == "Brand#13" and l_quantity < 0.2 * avg_qty
+aggregate [avg_yearly = round ((sum l_extendedprice) / 7.0) 2]
+"""
+
+Q17_SQL = """
+WITH part_avg AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = lineitem.l_partkey
+JOIN part_avg pa ON pa.l_partkey = lineitem.l_partkey
+WHERE p_brand = 'Brand#13' AND l_quantity < 0.2 * avg_qty
+"""
+
+Q19_DISJUNCTIVE_FILTER = """
+from l=lineitem
+join p=part [p_partkey == l_partkey]
+derive [
+  m1 = p_brand == "Brand#1" and (p_size | in 1..5) and (l_quantity | in 1..11),
+  m2 = p_brand == "Brand#2" and (p_size | in 1..10) and (l_quantity | in 10..20),
+  m3 = p_brand == "Brand#3" and (p_size | in 1..15) and (l_quantity | in 20..30),
+]
+filter m1 or m2 or m3
+aggregate [revenue = round (sum (l_extendedprice * (1 - l_discount))) 2]
+"""
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+Q22_INACTIVE_BALANCE = """
+table recent_orders = (
+  from orders
+  filter o_orderdate >= @2000-01-01
+  select [o_custkey]
+  group [o_custkey] (take 1)
+)
+table pos_avg = (
+  from customer
+  filter c_acctbal > 0.0
+  aggregate [avg_bal = avg c_acctbal, tag = max 1]
+)
+from c=customer
+derive [ctag = 1]
+join a=pos_avg [tag == ctag]
+filter c_acctbal > avg_bal
+join side:left ro=recent_orders [o_custkey == c_custkey]
+filter o_custkey == null
+group [c_nationkey] (
+  aggregate [numcust = count, totacctbal = round (sum c_acctbal) 2]
+)
+sort [c_nationkey]
+"""
+
+Q22_SQL = """
+WITH pos_avg AS (
+  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0)
+SELECT c_nationkey, count(*) AS numcust,
+  round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, pos_avg
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
 EVENTS_SESSIONS = """
 from events
 derive [day = s"CAST(CAST({ts} AS DATE) AS STRING)"]
@@ -575,6 +795,13 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
     "q14_promo_revenue": (Q14_PROMO_REVENUE, Q14_SQL),
     "q10_returned_items": (Q10_RETURNED_ITEMS, Q10_SQL),
     "q18_large_orders": (Q18_LARGE_ORDERS, Q18_SQL),
+    "q7_volume_shipping": (Q7_VOLUME_SHIPPING, Q7_SQL),
+    "q8_market_share": (Q8_MARKET_SHARE, Q8_SQL),
+    "q13_order_distribution": (Q13_ORDER_DISTRIBUTION, Q13_SQL),
+    "q15_top_supplier": (Q15_TOP_SUPPLIER, Q15_SQL),
+    "q17_small_qty_revenue": (Q17_SMALL_QTY_REVENUE, Q17_SQL),
+    "q19_disjunctive_filter": (Q19_DISJUNCTIVE_FILTER, Q19_SQL),
+    "q22_inactive_balance": (Q22_INACTIVE_BALANCE, Q22_SQL),
     "top_customers_left_join": (TOP_CUSTOMERS, TOP_CUSTOMERS_SQL),
     "distinct_idiom": (DISTINCT_SEGMENTS, DISTINCT_SEGMENTS_SQL),
     "window_running_total": (RUNNING_TOTAL, RUNNING_TOTAL_SQL),
