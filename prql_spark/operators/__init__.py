@@ -867,6 +867,55 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_kafka_roundtrip(spark, sf_dir):
+    """Kafka-shaped source plumbing (streaming/kafka_shape.py): the
+    deterministic generator serializes counter-derived events to JSON
+    binary in the exact Kafka connector record schema; the decode
+    path parses them back with from_json. Both are pure counter math,
+    so DuckDB reproduces the whole roundtrip from range(). The live
+    stream twin is tested in tests/test_streaming.py."""
+    from prql_spark.streaming.kafka_shape import (
+        kafka_json_events,
+        synthetic_kafka_batch,
+    )
+
+    records = synthetic_kafka_batch(spark, n_rows=1000)
+    ev = kafka_json_events(records)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("round(sum(value), 2)").alias("value_sum"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr("CAST(min(ts) AS STRING)").alias("first_ts"),
+            F.expr("max(_kafka_offset)").alias("max_offset"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_KAFKA_ROUNDTRIP = """
+WITH r AS (
+  SELECT range AS value FROM range(0, 1000)),
+ev AS (
+  SELECT
+    ['view','click','purchase','signup'][CAST(value % 4 AS INT) + 1]
+      AS event_type,
+    CAST(value AS DOUBLE) / 10.0 AS value_d,
+    value % 50 AS user_id,
+    TIMESTAMP '2026-01-01 00:00:00' + INTERVAL (value * 7) SECOND
+      AS ts,
+    value AS koffset
+  FROM r)
+SELECT event_type, count(*) AS n,
+  round(sum(value_d), 2) AS value_sum,
+  count(DISTINCT user_id) AS n_users,
+  CAST(strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS VARCHAR) AS first_ts,
+  max(koffset) AS max_offset
+FROM ev GROUP BY event_type ORDER BY event_type
+"""
+
+
 def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -901,6 +950,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "sources_csv_roundtrip": q_csv_roundtrip,
         "skew_salted_aggregate": q_salted_agg,
+        "kafka_json_roundtrip": q_kafka_roundtrip,
     }
 
 
@@ -940,4 +990,5 @@ def entry_oracles() -> dict[str, str]:
         "multimodal_resize": SQL_MULTIMODAL_RESIZE,
         "sources_csv_roundtrip": SQL_CSV_ROUNDTRIP,
         "skew_salted_aggregate": SQL_SALTED_AGG,
+        "kafka_json_roundtrip": SQL_KAFKA_ROUNDTRIP,
     }

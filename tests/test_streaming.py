@@ -278,3 +278,76 @@ def test_dedup_streaming_within_watermark(spark, tmp_path):
         key_cols=["event_id"],
     )
     assert sorted(r.event_id for r in batch.collect()) == got
+
+
+def test_kafka_shaped_stream_decode_rollup_equals_batch(spark):
+    from prql_spark.streaming import kafka_shape as ks
+
+    # 3 micro-batches x 200 rows via rate-micro-batch, deterministic
+    stream = ks.synthetic_kafka_stream(spark, rows_per_batch=200)
+    decoded = ks.kafka_json_events(stream)
+    q = (
+        sp.hourly_rollup(decoded.drop("_kafka_partition", "_kafka_offset"))
+        .writeStream.format("memory")
+        .queryName("kafka_rollup_t")
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        # wait until 600 offsets (3 triggers) are processed
+        import time
+
+        def _row_offset():
+            p = q.lastProgress
+            if not p:
+                return 0
+            eo = p["sources"][0]["endOffset"]
+            if isinstance(eo, dict):
+                return int(eo.get("offset", 0))
+            return int(str(eo).split("'offset':")[1].split(",")[0])
+
+        deadline = time.time() + 120
+        while time.time() < deadline and _row_offset() < 600:
+            time.sleep(0.5)
+    finally:
+        q.stop()  # rate source is endless; stop, then snapshot
+    rows = spark.table("kafka_rollup_t").collect()
+    got = {(r.bucket, r.event_type): (r.n, r.value_sum) for r in rows}
+    # complete-mode sink rewrites atomically per batch, so the table
+    # reflects one committed prefix [0, n_rows) of the counter
+    n_rows = sum(r.n for r in rows)
+    assert n_rows >= 600 and n_rows % 200 == 0
+    # batch twin over the exact same counter range the stream covered
+    batch = ks.kafka_json_events(
+        ks.synthetic_kafka_batch(spark, n_rows=n_rows)
+    )
+    want = {
+        (r.bucket, r.event_type): (r.n, r.value_sum)
+        for r in sp.hourly_rollup(
+            batch.drop("_kafka_partition", "_kafka_offset")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_kafka_record_schema_matches_connector(spark):
+    from prql_spark.streaming import kafka_shape as ks
+
+    df = ks.synthetic_kafka_batch(spark, n_rows=10)
+    # names+types are the connector contract (synthetic fields are
+    # provably non-null, so nullability is allowed to be stricter)
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in ks.KAFKA_RECORD_SCHEMA.fields
+    ]
+    rows = df.collect()
+    assert all(isinstance(r.value, (bytes, bytearray)) for r in rows)
+    # corrupt payloads are dropped, good ones decode to typed columns
+    corrupted = df.limit(5).withColumn(
+        "value", F.expr("CAST('not json' AS BINARY)")
+    )
+    assert ks.kafka_json_events(corrupted).count() == 0
+    dec = ks.kafka_json_events(df)
+    assert dec.count() == 10
+    assert dict(dec.dtypes)["ts"] == "timestamp"
+    assert dict(dec.dtypes)["value"] == "double"
