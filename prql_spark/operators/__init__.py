@@ -691,6 +691,46 @@ FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
 """
 
 
+def q_zorder_roundtrip(spark, sf_dir):
+    """Z-order layout writer (sources/layout.py), value-oracled as a
+    lossless rewrite: orders → z-ordered parquet over (o_custkey,
+    o_totalprice) → read back → aggregate. Clustering quality (per-
+    file footer min/max narrowness on BOTH columns) is asserted in
+    tests/test_layout.py."""
+    import os
+    import tempfile
+
+    from prql_spark.sources.layout import write_zorder
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"prql_spark_zrt_{abs(hash(sf_dir)) % 10**8}",
+    )
+    orders = Catalog(spark, sf_dir).load("orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_zorder(orders, d, ["o_custkey", "o_totalprice"], n_files=8)
+    back = spark.read.parquet(d)
+    return (
+        back.groupBy(F.expr("o_custkey % 10").alias("custkey_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("round(sum(o_totalprice), 2)").alias("price_sum"),
+            F.expr("min(o_orderkey)").alias("min_key"),
+            F.expr("max(o_orderkey)").alias("max_key"),
+        )
+        .orderBy("custkey_mod")
+    )
+
+
+SQL_ZORDER_ROUNDTRIP = """
+SELECT o_custkey % 10 AS custkey_mod, count(*) AS n,
+  round(sum(o_totalprice), 2) AS price_sum,
+  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders GROUP BY custkey_mod ORDER BY custkey_mod
+"""
+
+
 def q_sketch_distinct(spark, sf_dir):
     """HLL++ distinct-users-per-event-type, checked against the exact
     count (the sketch's accuracy contract is the oracled value)."""
@@ -951,6 +991,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sources_csv_roundtrip": q_csv_roundtrip,
         "skew_salted_aggregate": q_salted_agg,
         "kafka_json_roundtrip": q_kafka_roundtrip,
+        "sources_zorder_roundtrip": q_zorder_roundtrip,
     }
 
 
@@ -991,4 +1032,5 @@ def entry_oracles() -> dict[str, str]:
         "sources_csv_roundtrip": SQL_CSV_ROUNDTRIP,
         "skew_salted_aggregate": SQL_SALTED_AGG,
         "kafka_json_roundtrip": SQL_KAFKA_ROUNDTRIP,
+        "sources_zorder_roundtrip": SQL_ZORDER_ROUNDTRIP,
     }

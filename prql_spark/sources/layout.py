@@ -1,0 +1,135 @@
+"""Z-order-style multi-column layout writer (SURVEY §2 #63).
+
+Sorting a table by one column clusters file/row-group min-max stats
+for THAT column only — predicates on a second column prune nothing.
+Z-ordering interleaves the bits of several columns' bucket ids into
+one clustering key, so per-file value ranges stay narrow on EVERY
+participating column and parquet footer stats prune scans for
+predicates on any of them. This is the same layout idea production
+lakehouse writers use for multi-dimensional pruning.
+
+Design choices (100 TB posture):
+- Bucket ids come from QUANTILE cut points (driver-side
+  ``approxQuantile``, a sample-based single pass), not linear
+  min-max scaling — skewed columns still spread across all buckets.
+- The z-value is a pure unrolled Spark SQL expression (bit shifts
+  over compile-time constants) — JVM-side, codegen, no UDF.
+- Layout = ``repartitionByRange(z)`` + ``sortWithinPartitions(z)``:
+  one range shuffle (with Spark's built-in sampling), then each
+  output file covers a contiguous z-range, i.e. a small hyper-cube
+  of the value space.
+
+Cost model: one stats pass (sampled) + one shuffle — identical
+stage count to a plain sorted write; the benefit is multi-column
+pruning instead of single-column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _bucket_expr(col: str, cuts: list[float], cast: str) -> str:
+    """Bucket id in [0, len(cuts)] = #cut-points <= value (quantile
+    rank). Unrolled constant array + higher-order filter: runs
+    JVM-side; cuts are plan constants."""
+    arr = ", ".join(f"CAST({c!r} AS {cast})" for c in cuts)
+    v = f"CAST(`{col}` AS {cast})"
+    return (
+        f"CASE WHEN `{col}` IS NULL THEN 0 ELSE "
+        f"size(filter(array({arr}), c -> c <= {v})) END"
+    )
+
+
+def zorder_expr(
+    df: DataFrame,
+    cols: list[str],
+    bits_per_col: int | None = None,
+    relative_error: float = 0.001,
+) -> str:
+    """Spark SQL expression for the z-value of ``cols``.
+
+    Numeric and timestamp columns supported (timestamps bucket via
+    epoch seconds). Runs one sampled approxQuantile action to learn
+    the cut points; everything else is lazy column math.
+    """
+    if not cols:
+        raise ValueError("zorder needs at least one column")
+    if bits_per_col is None:
+        bits_per_col = min(8, 63 // (len(cols) or 1))
+    n_buckets = 1 << bits_per_col
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+
+    bucket_exprs = []
+    for col in cols:
+        dtype = dict(df.dtypes)[col]
+        if dtype in ("timestamp", "timestamp_ntz"):
+            num = F.expr(
+                f"CAST(CAST(`{col}` AS TIMESTAMP) AS DOUBLE)"
+            ).alias("__z_num")
+            cast = "DOUBLE"
+            cuts = (
+                df.select(num)
+                .approxQuantile("__z_num", probs, relative_error)
+            )
+            src = f"CAST(CAST(`{col}` AS TIMESTAMP) AS DOUBLE)"
+            arr = ", ".join(f"CAST({c!r} AS DOUBLE)" for c in cuts)
+            bucket_exprs.append(
+                f"CASE WHEN `{col}` IS NULL THEN 0 ELSE "
+                f"size(filter(array({arr}), c -> c <= {src})) END"
+            )
+        elif dtype == "string":
+            # order-preserving 8-byte prefix rank, then quantile-cut
+            src = (
+                f"CAST(conv(substr(hex(CAST(substr(`{col}`, 1, 8) "
+                f"AS BINARY)), 1, 15), 16, 10) AS DOUBLE)"
+            )
+            cuts = df.selectExpr(f"{src} AS __z_num").approxQuantile(
+                "__z_num", probs, relative_error
+            )
+            arr = ", ".join(f"CAST({c!r} AS DOUBLE)" for c in cuts)
+            bucket_exprs.append(
+                f"CASE WHEN `{col}` IS NULL THEN 0 ELSE "
+                f"size(filter(array({arr}), c -> c <= {src})) END"
+            )
+        else:
+            cuts = df.selectExpr(
+                f"CAST(`{col}` AS DOUBLE) AS __z_num"
+            ).approxQuantile("__z_num", probs, relative_error)
+            bucket_exprs.append(_bucket_expr(col, cuts, "DOUBLE"))
+
+    # clamp (quantile dupes can push the count to n_buckets) and
+    # interleave: output bit (i*n + j) takes bit i of column j
+    terms = []
+    for j, be in enumerate(bucket_exprs):
+        b = f"least(CAST(({be}) AS BIGINT), {n_buckets - 1})"
+        for i in range(bits_per_col):
+            terms.append(
+                f"shiftleft(shiftright({b}, {i}) & 1, "
+                f"{i * len(cols) + j})"
+            )
+    return " + ".join(terms)
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    mode: str = "overwrite",
+    bits_per_col: int | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Write parquet laid out by z-order over ``cols``: each output
+    file covers a contiguous z-range (a hyper-cube of the value
+    space), so footer min-max stats prune on every z column."""
+    z = zorder_expr(df, cols, bits_per_col)
+    (
+        df.withColumn("__z", F.expr(z))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )

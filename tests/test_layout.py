@@ -1,0 +1,94 @@
+"""Z-order layout writer: clustering quality measured from parquet
+footer stats (the same min/max metadata engines prune with)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from prql_spark.sources.catalog import Catalog
+from prql_spark.sources.layout import write_zorder
+
+from .conftest import SF_DIR
+
+
+def _file_ranges(path: str, col: str) -> list[tuple[float, float]]:
+    out = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        out.append((min(mins), max(maxs)))
+    return out
+
+
+def _avg_coverage(ranges, lo, hi) -> float:
+    span = hi - lo
+    return sum((b - a) / span for a, b in ranges) / len(ranges)
+
+
+def test_zorder_clusters_both_columns(spark, tmp_path):
+    orders = Catalog(spark, SF_DIR).load("orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lo_c, hi_c, lo_p, hi_p, n, total = orders.selectExpr(
+        "min(o_custkey)", "max(o_custkey)",
+        "min(o_totalprice)", "max(o_totalprice)",
+        "count(*)", "round(sum(o_totalprice), 2)",
+    ).first()
+
+    zdir = str(tmp_path / "z")
+    write_zorder(orders, zdir, ["o_custkey", "o_totalprice"], n_files=16)
+
+    # baseline: plain range-sort by custkey only
+    bdir = str(tmp_path / "b")
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite").parquet(bdir)
+    )
+
+    z_cust = _avg_coverage(_file_ranges(zdir, "o_custkey"), lo_c, hi_c)
+    z_price = _avg_coverage(_file_ranges(zdir, "o_totalprice"), lo_p, hi_p)
+    b_cust = _avg_coverage(_file_ranges(bdir, "o_custkey"), lo_c, hi_c)
+    b_price = _avg_coverage(_file_ranges(bdir, "o_totalprice"), lo_p, hi_p)
+
+    # single-column sort: perfect on its column, useless on the other
+    assert b_cust < 0.15 and b_price > 0.85
+    # z-order: BOTH columns' per-file ranges are fractions of global
+    assert z_cust < 0.6 and z_price < 0.6, (z_cust, z_price)
+
+    # and the rewrite is lossless
+    rn, rtotal = (
+        spark.read.parquet(zdir)
+        .selectExpr("count(*)", "round(sum(o_totalprice), 2)")
+        .first()
+    )
+    assert (rn, rtotal) == (n, total)
+    shutil.rmtree(zdir, ignore_errors=True)
+    shutil.rmtree(bdir, ignore_errors=True)
+
+
+def test_zorder_skewed_and_timestamp(spark, tmp_path):
+    # quantile bucketing must spread a heavily-skewed column; ts
+    # column exercises the timestamp cast path
+    ev = Catalog(spark, SF_DIR).load("events").select(
+        "event_id", "ts", "user_id"
+    ).withColumn(
+        "user_id",
+        F.expr("CASE WHEN user_id % 10 < 8 THEN 1 ELSE user_id END"),
+    )
+    zdir = str(tmp_path / "zs")
+    write_zorder(ev, zdir, ["ts", "user_id"], n_files=8)
+    files = glob.glob(os.path.join(zdir, "*.parquet"))
+    assert len(files) >= 4
+    assert spark.read.parquet(zdir).count() == ev.count()
+    shutil.rmtree(zdir, ignore_errors=True)
