@@ -208,12 +208,18 @@ def _minhash_raw_pairs(
             f"v -> v)) / size(mem[{i}].minhash))"
         )
 
-    all_pairs = (
-        f"flatten(transform(sequence(0, size(mem)-2), i -> "
-        f"transform(sequence(i+1, size(mem)-1), j -> {pair('i', 'j')})))"
+    # Branch on cheap (i, j) INDEX structs and apply the heavyweight
+    # pair math exactly once over the chosen index list. Putting the
+    # full pair expression on both IF branches doubles the generated
+    # code for this projection — measured as several extra seconds of
+    # per-plan compile (plan-size cost, independent of data volume).
+    idx_all = (
+        "flatten(transform(sequence(0, size(mem)-2), i -> "
+        "transform(sequence(i+1, size(mem)-1), j -> "
+        "named_struct('i', i, 'j', j))))"
     )
     if star_cap is None:
-        pairs_expr = all_pairs
+        idx = idx_all
     else:
         # mega-bucket guard: beyond star_cap members, all-pairs is
         # O(n²) (a degenerate corpus of n identical docs would emit
@@ -221,12 +227,12 @@ def _minhash_raw_pairs(
         # member pairs only with the bucket's min id — O(n), and for
         # keep/drop dedup semantics equivalent whenever the bucket is
         # signature-homogeneous (the only way buckets get huge).
-        star = (
-            f"transform(sequence(1, size(mem)-1), j -> {pair('0', 'j')})"
+        idx_star = (
+            "transform(sequence(1, size(mem)-1), j -> "
+            "named_struct('i', 0, 'j', j))"
         )
-        pairs_expr = (
-            f"IF(size(mem) <= {star_cap}, {all_pairs}, {star})"
-        )
+        idx = f"IF(size(mem) <= {star_cap}, {idx_all}, {idx_star})"
+    pairs_expr = f"transform({idx}, p -> {pair('p.i', 'p.j')})"
     return (
         grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
         .select("p.id_a", "p.id_b", "p.est_jaccard")
