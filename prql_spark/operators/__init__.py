@@ -907,6 +907,118 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+_BM25_TERMS = ["spark", "query", "join"]
+
+
+def q_bm25_rank(spark, sf_dir):
+    return text.bm25_rank(_docs(spark, sf_dir), _BM25_TERMS, top_n=20)
+
+
+def _sql_bm25() -> str:
+    k1, b = 1.2, 0.75
+    tf_cols = ", ".join(
+        f"len(list_filter(ws, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    parts = " + ".join(
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) * "
+        f"(tf{i} * ({k1} + 1.0)) / "
+        f"(tf{i} + {k1} * (1.0 - {b} + {b} * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents),
+t AS (SELECT doc_id, len(ws) AS dl, {tf_cols} FROM w),
+s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, {df_cols} FROM t)
+SELECT doc_id, round({parts}, 6) AS bm25
+FROM t, s
+WHERE round({parts}, 6) > 0
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+def q_contamination(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    probes = docs.where("doc_id % 50 = 0")
+    return text.ngram_contamination(docs, probes, n=8).orderBy("doc_id")
+
+
+SQL_CONTAMINATION = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents),
+g0 AS (
+  SELECT doc_id, list_distinct(list_filter(list_transform(
+    range(0, greatest(len(ws) - 8, 0) + 1),
+    i -> concat_ws(' ', list_slice(ws, i + 1, i + 8))),
+    x -> x != '')) AS grams
+  FROM w),
+probe AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g0 WHERE doc_id % 50 = 0),
+dg AS (SELECT doc_id, unnest(grams) AS gram FROM g0)
+SELECT dg.doc_id, count(*) AS n_grams,
+  CAST(sum(CASE WHEN probe.gram IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_contaminated,
+  round(sum(CASE WHEN probe.gram IS NOT NULL THEN 1 ELSE 0 END)
+    / count(*), 6) AS contamination
+FROM dg LEFT JOIN probe ON dg.gram = probe.gram
+GROUP BY dg.doc_id ORDER BY dg.doc_id
+"""
+
+
+def q_gopher_flags(spark, sf_dir):
+    out = text.gopher_quality_flags(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "flag_word_count",
+        "flag_mean_word_len",
+        "flag_alpha_words",
+        "flag_symbol_ratio",
+        "flag_distinct_words",
+        "passes_gopher",
+    ).orderBy("doc_id")
+
+
+SQL_GOPHER = """
+WITH w AS (
+  SELECT doc_id, text,
+    string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    len(ws) AS nw,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE list_sum(list_transform(ws, x -> length(x))) / len(ws)
+         END AS mwl,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+              / len(ws) END AS alpha_frac,
+    CASE WHEN len(ws) = 0 THEN 1.0
+         ELSE (len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '\\.\\.\\.')))
+              / len(ws) END AS sym_ratio,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE len(list_distinct(ws)) / len(ws) END AS dist_ratio
+  FROM w)
+SELECT doc_id,
+  nw BETWEEN 50 AND 100000 AS flag_word_count,
+  mwl BETWEEN 3.0 AND 10.0 AS flag_mean_word_len,
+  alpha_frac > 0.8 AS flag_alpha_words,
+  sym_ratio < 0.1 AS flag_symbol_ratio,
+  dist_ratio > 0.3 AS flag_distinct_words,
+  (nw BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+    AND alpha_frac > 0.8 AND sym_ratio < 0.1 AND dist_ratio > 0.3
+    AS passes_gopher
+FROM f ORDER BY doc_id
+"""
+
+
 def q_kafka_roundtrip(spark, sf_dir):
     """Kafka-shaped source plumbing (streaming/kafka_shape.py): the
     deterministic generator serializes counter-derived events to JSON
@@ -992,6 +1104,9 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_aggregate": q_salted_agg,
         "kafka_json_roundtrip": q_kafka_roundtrip,
         "sources_zorder_roundtrip": q_zorder_roundtrip,
+        "text_bm25_rank": q_bm25_rank,
+        "text_contamination": q_contamination,
+        "text_gopher_flags": q_gopher_flags,
     }
 
 
@@ -1033,4 +1148,7 @@ def entry_oracles() -> dict[str, str]:
         "skew_salted_aggregate": SQL_SALTED_AGG,
         "kafka_json_roundtrip": SQL_KAFKA_ROUNDTRIP,
         "sources_zorder_roundtrip": SQL_ZORDER_ROUNDTRIP,
+        "text_bm25_rank": _sql_bm25(),
+        "text_contamination": SQL_CONTAMINATION,
+        "text_gopher_flags": SQL_GOPHER,
     }

@@ -198,3 +198,168 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fp_winnow": F.expr(winnow),
         }
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """BM25 document ranking for a (small, literal) query term list.
+
+    Zero-explode design: the query is a plan constant, so each term's
+    tf is an unrolled ``size(filter(words, w -> w = t))`` — a narrow
+    map. Corpus statistics (N, avgdl, per-term df) are ONE tiny
+    global aggregate (a single row) attached by cross-join — Spark
+    broadcasts the 1-row side, so the corpus never shuffles; the only
+    exchange is the final top-n (TakeOrdered). Robertson/Sparck Jones
+    BM25 with the standard smooth idf ln(1 + (N-df+.5)/(df+.5)).
+    """
+    words = _words(text_col)
+    terms = [t.lower() for t in query]
+    tf_exprs = {
+        f"__tf_{i}": f"size(filter({words}, w -> w = '{t}'))"
+        for i, t in enumerate(terms)
+    }
+    base = df.withColumns(
+        {"__dl": F.expr(f"size({words})")}
+        | {k: F.expr(v) for k, v in tf_exprs.items()}
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.expr(f"sum(CASE WHEN __tf_{i} > 0 THEN 1 ELSE 0 END)").alias(
+                f"__df_{i}"
+            )
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    parts = [
+        f"ln(1.0 + (__n_docs - __df_{i} + 0.5) / (__df_{i} + 0.5)) * "
+        f"(__tf_{i} * ({k1} + 1.0)) / "
+        f"(__tf_{i} + {k1} * (1.0 - {b} + {b} * __dl / __avgdl))"
+        for i in range(len(terms))
+    ]
+    return (
+        scored.withColumn(
+            "bm25", F.expr(f"round({' + '.join(parts)}, 6)")
+        )
+        .where(F.col("bm25") > 0)
+        .select(id_col, "bm25")
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(top_n)
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark-contamination check: fraction of each document's
+    word-n-grams that appear anywhere in the probe set (e.g. an eval
+    benchmark) — the standard n-gram-overlap decontamination test.
+
+    Scale shape: the probe set is small relative to the corpus, so
+    its distinct gram table is broadcast; each doc's grams are a
+    narrow explode; one aggregate keyed by doc id. The corpus is
+    never shuffled by content — only (doc_id, hit) pairs move.
+    """
+    probe_text_col = probe_text_col or text_col
+    pw = _words(probe_text_col)
+    dw = _words(text_col)
+
+    def grams(words: str, nn: int) -> str:
+        return (
+            f"array_distinct(filter(transform("
+            f"sequence(0, greatest(size({words}) - {nn}, 0)), "
+            f"i -> concat_ws(' ', slice({words}, i + 1, {nn}))), "
+            f"g -> g != ''))"
+        )
+
+    probe_grams = probes.select(
+        F.explode(F.expr(grams(pw, n))).alias("__gram")
+    ).distinct()
+    doc_grams = df.select(
+        F.col(id_col), F.explode(F.expr(grams(dw, n))).alias("__gram")
+    )
+    hits = (
+        doc_grams.join(
+            F.broadcast(probe_grams.withColumn("__hit", F.lit(1))),
+            "__gram",
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.expr("sum(coalesce(__hit, 0))").alias("n_contaminated"),
+        )
+    )
+    return hits.withColumn(
+        "contamination",
+        F.expr("round(n_contaminated / n_grams, 6)"),
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, public
+    paper), adapted to what's computable as pure narrow maps:
+
+    - word count in [50, 100000]
+    - mean word length in [3, 10]
+    - fraction of words with >=1 alphabetic char > 0.8
+    - symbol-to-word ratio ('#' and ellipsis) < 0.1
+    - distinct-word ratio > 0.3 (repetition proxy)
+
+    Emits one boolean per rule + ``passes_gopher`` (AND of all).
+    Single projection, no shuffle, linear at 100 TB.
+    """
+    words = _words(text_col)
+    nw = f"size({words})"
+    mean_wl = (
+        f"CASE WHEN {nw} = 0 THEN 0.0 ELSE "
+        f"aggregate({words}, 0, (a, w) -> a + length(w)) / {nw} END"
+    )
+    alpha_frac = (
+        f"CASE WHEN {nw} = 0 THEN 0.0 ELSE "
+        f"size(filter({words}, w -> w rlike '[a-z]')) / {nw} END"
+    )
+    sym_ratio = (
+        f"CASE WHEN {nw} = 0 THEN 1.0 ELSE "
+        f"(size(regexp_extract_all({text_col}, '#', 0)) + "
+        f"size(regexp_extract_all({text_col}, '\\\\.\\\\.\\\\.', 0)))"
+        f" / {nw} END"
+    )
+    distinct_ratio = (
+        f"CASE WHEN {nw} = 0 THEN 0.0 ELSE "
+        f"size(array_distinct({words})) / {nw} END"
+    )
+    out = df.withColumns(
+        {
+            "flag_word_count": F.expr(f"{nw} BETWEEN 50 AND 100000"),
+            "flag_mean_word_len": F.expr(
+                f"({mean_wl}) BETWEEN 3.0 AND 10.0"
+            ),
+            "flag_alpha_words": F.expr(f"({alpha_frac}) > 0.8"),
+            "flag_symbol_ratio": F.expr(f"({sym_ratio}) < 0.1"),
+            "flag_distinct_words": F.expr(f"({distinct_ratio}) > 0.3"),
+        }
+    )
+    return out.withColumn(
+        "passes_gopher",
+        F.expr(
+            "flag_word_count AND flag_mean_word_len AND flag_alpha_words"
+            " AND flag_symbol_ratio AND flag_distinct_words"
+        ),
+    )

@@ -408,3 +408,81 @@ def test_dedup_minhash_mega_bucket_star_guard(spark):
     raw = dedup._minhash_raw_pairs(sigs, star_cap=16)
     n_pairs = raw.groupBy("id_a", "id_b").count().count()
     assert n_pairs <= 199 + 50  # star pairs + any random collisions
+
+
+def test_bm25_rank_planted(spark):
+    from pyspark.sql import Row
+
+    from prql_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark spark spark engine"),
+            Row(doc_id=2, text="spark engine"),
+            Row(doc_id=3, text="engine room with no match terms"),
+            Row(doc_id=4, text="a much longer document about spark "
+                              "diluted by many many other words here"),
+        ]
+    )
+    out = {r.doc_id: r.bm25 for r in t.bm25_rank(docs, ["spark"]).collect()}
+    assert 3 not in out                       # no hit → no row
+    assert out[1] > out[2] > out[4] > 0       # tf wins; length norm
+    both = t.bm25_rank(docs, ["spark", "room"]).collect()
+    assert {r.doc_id for r in both} == {1, 2, 3, 4}
+    # 'room' is rarer than 'spark' → higher idf for doc 3's single hit
+    sc = {r.doc_id: r.bm25 for r in both}
+    assert sc[3] > sc[4]
+
+
+def test_ngram_contamination_planted(spark):
+    from pyspark.sql import Row
+
+    from prql_spark.operators import text as t
+
+    bench = spark.createDataFrame(
+        [Row(pid=1, text="the quick brown fox jumps over the lazy dog")]
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="prefix words the quick brown fox jumps over "
+                               "the lazy dog suffix"),
+            Row(doc_id=3, text="completely different content with no overlap "
+                               "at all in any window"),
+        ]
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.n_contaminated, r.contamination)
+        for r in t.ngram_contamination(docs, bench, n=4).collect()
+    }
+    assert out[1] == (6, 6, 1.0)       # exact copy: fully contaminated
+    assert out[3][1] == 0 and out[3][2] == 0.0
+    assert 0 < out[2][2] < 1.0         # partial overlap
+
+
+def test_gopher_quality_flags(spark):
+    from pyspark.sql import Row
+
+    from prql_spark.operators import text as t
+
+    good = " ".join(
+        f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(30)
+    )
+    out = {
+        r.doc_id: r
+        for r in t.gopher_quality_flags(
+            spark.createDataFrame(
+                [
+                    Row(doc_id=1, text=good),
+                    Row(doc_id=2, text="too short"),
+                    Row(doc_id=3, text="#### " * 80),
+                    Row(doc_id=4, text="same same " * 60),
+                ]
+            )
+        ).collect()
+    }
+    assert out[1].passes_gopher
+    assert not out[2].flag_word_count
+    assert not out[3].flag_symbol_ratio and not out[3].flag_alpha_words
+    assert not out[4].flag_distinct_words
+    assert not out[2].passes_gopher
