@@ -57,6 +57,12 @@ def main(argv: list[str] | None = None) -> int:
         help="emit SQL text instead of a plan (reference to_sql "
         "parity); optional dialect, default spark",
     )
+    mode.add_argument(
+        "--ast",
+        action="store_true",
+        help="print the parsed AST as JSON (parse-only — no Spark "
+        "session; reference `prql parse` parity)",
+    )
     ap.add_argument(
         "-n", "--rows", type=int, default=20, help="rows to show with --run"
     )
@@ -69,6 +75,35 @@ def main(argv: list[str] | None = None) -> int:
     from prql_spark import Catalog, build_spark, compile_prql, explain, to_sql
     from prql_spark.compiler import PrqlCompileError
     from prql_spark.parser import PrqlParseError
+
+    if args.ast:
+        import dataclasses
+        import json
+
+        from prql_spark.parser import parse
+
+        def enc(node):
+            if dataclasses.is_dataclass(node):
+                d = {"_type": type(node).__name__}
+                for f in dataclasses.fields(node):
+                    if f.name == "pos":  # token offset: noise in dumps
+                        continue
+                    d[f.name] = enc(getattr(node, f.name))
+                return d
+            if isinstance(node, dict):
+                return {k: enc(v) for k, v in node.items()}
+            if isinstance(node, (list, tuple)):
+                return [enc(v) for v in node]
+            if isinstance(node, (str, int, float, bool)) or node is None:
+                return node
+            return str(node)  # dates/times/intervals
+
+        try:
+            print(json.dumps(enc(parse(text)), indent=2))
+        except PrqlParseError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        return 0
 
     spark = build_spark("prql_spark-cli")
     spark.sparkContext.setLogLevel("ERROR")

@@ -53,3 +53,17 @@ def test_cli_sql_mode():
     assert r.returncode == 0, r.stderr
     assert 'SELECT "o_orderkey"' in r.stdout
     assert "LIMIT 5" in r.stdout
+
+
+def test_cli_ast_mode():
+    import json
+
+    r = _cli("from orders | take 5", "--ast")
+    assert r.returncode == 0, r.stderr
+    ast = json.loads(r.stdout)
+    assert ast["_type"] == "Query"
+    steps = ast["pipeline"]["steps"]
+    assert [s["name"] for s in steps] == ["from", "take"]
+    # parse error still carries line/col, and no Spark session starts
+    r = _cli("from orders | take !!", "--ast")
+    assert r.returncode == 1 and "line 1" in r.stderr
