@@ -290,12 +290,15 @@ def _bucket_dd(vec: str, planes: list[list[float]]) -> str:
 
 
 def q_ann_lsh(spark, sf_dir):
+    """LSH ANN with Hamming-1 multiprobe (query side explodes to
+    n_planes+1 probe buckets; corpus never shuffles)."""
     return similarity.lsh_topk(
         _embs(spark, sf_dir),
         _queries_df(spark, sf_dir),
         dim=64,
         k=10,
         n_planes=8,
+        multiprobe=True,
     ).orderBy("query_id", F.desc("cosine"), "vec_id")
 
 
@@ -303,13 +306,16 @@ def _sql_ann_lsh() -> str:
     planes = similarity.hyperplanes(64, 8, seed=42)
     bd = _bucket_dd("d.embedding", planes)
     bq = _bucket_dd("q.qvec", planes)
+    probes = ", ".join(f"xor(qb, {1 << j})" for j in range(8))
     return f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
-           FROM embeddings WHERE vec_id < 5),
+WITH q0 AS (SELECT vec_id AS query_id, embedding AS qvec,
+            {bq.replace('q.qvec', 'embedding')} AS qb
+            FROM embeddings q WHERE vec_id < 5),
+q AS (SELECT query_id, qvec, unnest([qb, {probes}]) AS pb FROM q0),
 scored AS (
   SELECT q.query_id, d.vec_id,
     round({_cos_dd('d.embedding', 'q.qvec')}, 6) AS cosine
-  FROM embeddings d JOIN q ON {bd} = {bq}),
+  FROM embeddings d JOIN q ON {bd} = q.pb),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
     ORDER BY cosine DESC, vec_id) AS rk FROM scored)
@@ -907,6 +913,91 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_profile_orders(spark, sf_dir):
+    """ANALYZE-style per-column stats in one full-table pass
+    (operators/profile.py); exact distinct here so DuckDB can
+    hash-match (approx mode is the 100 TB default)."""
+    from prql_spark.operators.profile import profile
+
+    orders = Catalog(spark, sf_dir).load("orders")
+    return profile(
+        orders,
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    ).orderBy("column")
+
+
+def _sql_profile_col(c: str, numeric: bool) -> str:
+    avg = (
+        f"round(avg({c}), 6) AS avg, round(stddev({c}), 6) AS std"
+        if numeric
+        else "CAST(NULL AS DOUBLE) AS avg, CAST(NULL AS DOUBLE) AS std"
+    )
+    return f"""
+SELECT '{c}' AS "column", count(*) AS n_rows,
+  CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null,
+  count(DISTINCT {c}) AS n_distinct,
+  CAST(min({c}) AS VARCHAR) AS min_str,
+  CAST(max({c}) AS VARCHAR) AS max_str,
+  {avg}
+FROM orders"""
+
+
+SQL_PROFILE_ORDERS = (
+    " UNION ALL ".join(
+        _sql_profile_col(c, num)
+        for c, num in [
+            ("o_orderkey", True),
+            ("o_orderstatus", False),
+            ("o_totalprice", True),
+            ("o_orderdate", False),
+        ]
+    )
+    + ' ORDER BY "column"'
+)
+
+
+_STRATA_FRACTIONS = {"view": 0.1, "purchase": 1.0}
+
+
+def q_stratified_sample(spark, sf_dir):
+    ev = Catalog(spark, sf_dir).load("events")
+    out = splits.stratified_sample_by_hash(
+        ev, "event_id", "event_type", _STRATA_FRACTIONS,
+        default_fraction=0.25,
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("min(event_id)").alias("min_id"),
+            F.expr("max(event_id)").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_stratified() -> str:
+    h = (
+        "substr(md5(concat('', CAST(event_type AS VARCHAR), '#', "
+        "CAST(event_id AS VARCHAR))), 1, 4)"
+    )
+    from prql_spark.operators.splits import _cut
+
+    branches = " ".join(
+        f"WHEN CAST(event_type AS VARCHAR) = '{k}' "
+        f"THEN {h} < '{_cut(v)}'"
+        for k, v in _STRATA_FRACTIONS.items()
+    )
+    return f"""
+SELECT event_type, count(*) AS n,
+  min(event_id) AS min_id, max(event_id) AS max_id
+FROM events
+WHERE CASE {branches} ELSE {h} < '{_cut(0.25)}' END
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 _BM25_TERMS = ["spark", "query", "join"]
 
 
@@ -1107,6 +1198,8 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_rank": q_bm25_rank,
         "text_contamination": q_contamination,
         "text_gopher_flags": q_gopher_flags,
+        "profile_orders": q_profile_orders,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1151,4 +1244,6 @@ def entry_oracles() -> dict[str, str]:
         "text_bm25_rank": _sql_bm25(),
         "text_contamination": SQL_CONTAMINATION,
         "text_gopher_flags": SQL_GOPHER,
+        "profile_orders": SQL_PROFILE_ORDERS,
+        "stratified_sample": _sql_stratified(),
     }

@@ -1,0 +1,74 @@
+"""Per-column dataset profiling (ANALYZE-style stats) — SURVEY §2 #67.
+
+One FULL-TABLE PASS computes every column's stats in a single
+aggregate (partial-aggregated map-side, one 1-row result): row count,
+null count, distinct count, min/max, and for numeric columns
+avg/stddev. The wide 1-row result is unpivoted to one row per column
+with ``stack`` — a driver-sized transform.
+
+Distinct counts: ``exact=True`` uses count(DISTINCT col) (Catalyst
+expands multi-distinct into one Expand + aggregate — still one scan);
+``exact=False`` swaps in HLL++ ``approx_count_distinct``, the 100 TB
+default, where a ±2% answer is worth avoiding the expand blow-up.
+The oracled entry uses exact so DuckDB hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_NUMERIC = ("int", "bigint", "smallint", "tinyint", "double", "float")
+
+
+def profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Stats table: one row per column with
+    (column, n_rows, n_null, n_distinct, min_str, max_str, avg, std).
+
+    min/max are emitted as strings so one schema covers every input
+    type; avg/std are NULL for non-numeric columns.
+    """
+    if cols is None:
+        cols = [
+            c
+            for c, t in df.dtypes
+            if t in _NUMERIC or t == "string" or t.startswith("timestamp")
+        ]
+    if not cols:
+        raise ValueError("profile: no profilable columns")
+    dtypes = dict(df.dtypes)
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        q = f"`{c}`"
+        aggs.append(F.expr(f"sum(CASE WHEN {q} IS NULL THEN 1 ELSE 0 END)").alias(f"__null_{i}"))
+        if exact:
+            aggs.append(F.expr(f"count(DISTINCT {q})").alias(f"__dist_{i}"))
+        else:
+            aggs.append(F.expr(f"approx_count_distinct({q})").alias(f"__dist_{i}"))
+        aggs.append(F.expr(f"CAST(min({q}) AS STRING)").alias(f"__min_{i}"))
+        aggs.append(F.expr(f"CAST(max({q}) AS STRING)").alias(f"__max_{i}"))
+        if dtypes[c] in _NUMERIC:
+            aggs.append(F.expr(f"round(avg({q}), 6)").alias(f"__avg_{i}"))
+            aggs.append(F.expr(f"round(stddev({q}), 6)").alias(f"__std_{i}"))
+        else:
+            aggs.append(F.expr("CAST(NULL AS DOUBLE)").alias(f"__avg_{i}"))
+            aggs.append(F.expr("CAST(NULL AS DOUBLE)").alias(f"__std_{i}"))
+
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __null_{i}, __dist_{i}, __min_{i}, __max_{i}, "
+        f"__avg_{i}, __std_{i}"
+        for i, c in enumerate(cols)
+    )
+    return wide.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stacked}) AS "
+        "(column, n_null, n_distinct, min_str, max_str, avg, std)",
+    ).select(
+        "column", "n_rows", "n_null", "n_distinct",
+        "min_str", "max_str", "avg", "std",
+    )

@@ -116,15 +116,38 @@ def lsh_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     seed: int = 42,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket,
     then exact cosine rerank. One narrow map to bucket the corpus,
-    one broadcast-join on bucket id — no corpus shuffle."""
+    one broadcast-join on bucket id — no corpus shuffle.
+
+    ``multiprobe``: also probe every Hamming-1 neighbor bucket of the
+    query's — (n_planes+1)× the broadcast rows (still tiny: only the
+    QUERY side explodes) for a large recall lift; a corpus vector has
+    one bucket and probe buckets are distinct, so each (query, vec)
+    candidate appears at most once — no dedup pass needed.
+    """
     planes = hyperplanes(dim, n_planes, seed)
     b = _bucket_expr(vec_col, planes)
     bq = _bucket_expr("qvec", planes)
     corpus = df.withColumn("__bucket", F.expr(b))
-    qs = queries.withColumn("__bucket", F.expr(bq))
+    if multiprobe:
+        probes = ", ".join(
+            f"(__b0 ^ {1 << j})" for j in range(n_planes)
+        )
+        qs = (
+            queries.withColumn("__b0", F.expr(bq))
+            .select(
+                "*",
+                F.explode(F.expr(f"array(__b0, {probes})")).alias(
+                    "__bucket"
+                ),
+            )
+            .drop("__b0")
+        )
+    else:
+        qs = queries.withColumn("__bucket", F.expr(bq))
     j = corpus.alias("d").join(
         F.broadcast(qs.alias("q")), on="__bucket", how="inner"
     )

@@ -86,3 +86,34 @@ def strip_boilerplate(df: DataFrame, text_col: str = "text") -> DataFrame:
         f"'[^\\\\x20-\\\\x7E\\\\n\\\\t]', ''), '\\\\s+', ' '))"
     )
     return df.withColumn("text_clean", F.expr(expr))
+
+
+def stratified_sample_by_hash(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each stratum value gets its
+    own keep-fraction (e.g. downsample boilerplate-heavy sources,
+    keep all rare ones). The stratum value participates in the hash,
+    so per-stratum samples stay independent AND nested (raising one
+    stratum's fraction only ADDS rows). Narrow map, no shuffle —
+    the standard shape for source-mix rebalancing at corpus scale.
+    """
+    h = (
+        f"substr(md5(concat('{salt}', CAST({strata_col} AS STRING), "
+        f"'#', CAST({key_col} AS STRING))), 1, 4)"
+    )
+    branches = " ".join(
+        f"WHEN CAST({strata_col} AS STRING) = '{k}' "
+        f"THEN {h} < '{_cut(v)}'"
+        for k, v in fractions.items()
+    )
+    return df.where(
+        F.expr(
+            f"CASE {branches} ELSE {h} < '{_cut(default_fraction)}' END"
+        )
+    )

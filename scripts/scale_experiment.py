@@ -93,13 +93,15 @@ def main():
     n = big.count()
 
     def run(name, fn, drain="count"):
-        # warm (codegen constants), then steady-state
-        t = None
+        # first run pays per-plan compile + worker spin-up (cold);
+        # second is the number that scales with data (steady)
+        secs = []
         for _ in range(2):
             t = time.time()
             df = fn()
             rows = df.count() if drain == "count" else len(df.collect())
-        return {"sec": round(time.time() - t, 2), "rows": rows}
+            secs.append(round(time.time() - t, 2))
+        return {"sec": secs[1], "cold_sec": secs[0], "rows": rows}
 
     res = {
         "n_docs": n,

@@ -188,3 +188,28 @@ def test_asof_tolerance_timestamp_ntz(spark):
     )
     got = {r.lid: r.price for r in out.collect()}
     assert got == {1: 1.0, 2: None}  # lid=2 gap 1750s > 600s
+
+
+def test_stratified_sample_by_hash(spark, catalog):
+    ev = catalog.load("events")
+    frac = {"view": 0.1, "purchase": 1.0}
+    out = splits.stratified_sample_by_hash(
+        ev, "event_id", "event_type", frac, default_fraction=0.25
+    )
+    got = {r.event_type: r.n for r in
+           out.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    base = {r.event_type: r.n for r in
+            ev.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    assert got["purchase"] == base["purchase"]          # keep-all stratum
+    assert 0.02 < got["view"] / base["view"] < 0.25     # ~10%
+    for k in base:
+        if k not in frac:
+            assert 0.1 < got.get(k, 0) / base[k] < 0.45  # default ~25%
+    # nested: raising a fraction only adds rows
+    bigger = splits.stratified_sample_by_hash(
+        ev, "event_id", "event_type", {"view": 0.5, "purchase": 1.0},
+        default_fraction=0.25,
+    )
+    small_ids = {r.event_id for r in out.where("event_type = 'view'").collect()}
+    big_ids = {r.event_id for r in bigger.where("event_type = 'view'").collect()}
+    assert small_ids <= big_ids

@@ -486,3 +486,59 @@ def test_gopher_quality_flags(spark):
     assert not out[3].flag_symbol_ratio and not out[3].flag_alpha_words
     assert not out[4].flag_distinct_words
     assert not out[2].passes_gopher
+
+
+def test_profile_stats(spark):
+    from pyspark.sql import Row
+
+    from prql_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, name="a", v=10.0),
+            Row(k=2, name="b", v=None),
+            Row(k=3, name="a", v=30.0),
+        ]
+    )
+    out = {r.column: r for r in profile(df).collect()}
+    assert set(out) == {"k", "name", "v"}
+    assert out["k"].n_rows == 3 and out["k"].n_null == 0
+    assert out["k"].n_distinct == 3 and out["k"].avg == 2.0
+    assert out["name"].n_distinct == 2 and out["name"].avg is None
+    assert out["v"].n_null == 1 and out["v"].min_str == "10.0"
+    assert out["v"].avg == 20.0
+    # approx mode still returns sane counts in one pass
+    ap = {r.column: r for r in profile(df, exact=False).collect()}
+    assert ap["k"].n_distinct >= 2
+
+
+def test_lsh_topk_multiprobe_lifts_recall(planted_vectors):
+    qs = planted_vectors.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    base = similarity.lsh_topk(
+        planted_vectors, qs, dim=16, k=5, n_planes=8
+    ).collect()
+    probed = similarity.lsh_topk(
+        planted_vectors, qs, dim=16, k=5, n_planes=8, multiprobe=True
+    ).collect()
+    # each (query, vec) candidate appears at most once
+    keys = [(r.query_id, r.vec_id) for r in probed]
+    assert len(keys) == len(set(keys))
+    assert len(probed) >= len(base)
+    # more candidates can only improve the ranked list: probed's j-th
+    # best cosine dominates base's j-th best, per query
+    def ranked(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, []).append(r.cosine)
+        return {q: sorted(v, reverse=True) for q, v in out.items()}
+
+    rb, rp = ranked(base), ranked(probed)
+    for q, bl in rb.items():
+        pl = rp[q]
+        assert len(pl) >= len(bl)
+        for j, bv in enumerate(bl):
+            assert pl[j] >= bv - 1e-9
+    # the planted near-dup of vec 0 must surface for query 0
+    assert any(r.query_id == 0 and r.vec_id == 200 for r in probed)
