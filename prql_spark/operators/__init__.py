@@ -998,6 +998,43 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (text.pack_sequences): per-(shard, chunk)
+    doc counts and token totals at a 512-token budget."""
+    out = text.pack_sequences(
+        _docs(spark, sf_dir), target_tokens=512, n_shards=8
+    )
+    return (
+        out.groupBy("shard", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("CAST(sum(n_tokens) AS BIGINT)").alias("total_tokens"),
+            F.expr("min(doc_id)").alias("first_doc"),
+        )
+        .orderBy("shard", "chunk_id")
+    )
+
+
+SQL_PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+      AS INT) % 8 AS shard
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t)
+SELECT shard, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS chunk_id,
+  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  min(doc_id) AS first_doc
+FROM c GROUP BY shard, chunk_id ORDER BY shard, chunk_id
+"""
+
+
 _BM25_TERMS = ["spark", "query", "join"]
 
 
@@ -1200,6 +1237,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_flags": q_gopher_flags,
         "profile_orders": q_profile_orders,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1246,4 +1284,5 @@ def entry_oracles() -> dict[str, str]:
         "text_gopher_flags": SQL_GOPHER,
         "profile_orders": SQL_PROFILE_ORDERS,
         "stratified_sample": _sql_stratified(),
+        "pack_sequences": SQL_PACK_SEQUENCES,
     }

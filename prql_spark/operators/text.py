@@ -363,3 +363,52 @@ def gopher_quality_flags(
             " AND flag_symbol_ratio AND flag_distinct_words"
         ),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    target_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-token-budget
+    training chunks (the standard pretraining "packing" step).
+
+    Docs are sharded by a deterministic content hash, ordered by id
+    within each shard, and a running token total assigns each doc to
+    the chunk its first token lands in. The cumulative window is
+    PARTITIONED BY shard, so packing parallelizes across shards
+    instead of serializing through one global cumsum task — at 100 TB
+    each shard's window is an independent reducer. md5-based
+    sharding keeps the layout engine-agnostic (oracle-able) and
+    stable across runs.
+
+    Output: one row per doc with (shard, chunk_id, n_tokens); chunk
+    membership is ``(shard, chunk_id)``. Downstream concat/tokenize
+    groups by that key.
+    """
+    toks = (
+        f"CASE WHEN trim({text_col}) = '' THEN 0 "
+        f"ELSE size(split(trim({text_col}), '\\\\s+')) END"
+    )
+    shard = (
+        f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 4), 16, 10) "
+        f"AS INT) % {n_shards}"
+    )
+    return (
+        df.withColumn("n_tokens", F.expr(toks))
+        .withColumn("shard", F.expr(shard))
+        .withColumn(
+            "__cum",
+            F.expr(
+                f"sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ),
+        )
+        .withColumn(
+            "chunk_id",
+            F.expr(f"CAST(floor((__cum - n_tokens) / {target_tokens}) AS BIGINT)"),
+        )
+        .drop("__cum")
+    )

@@ -542,3 +542,40 @@ def test_lsh_topk_multiprobe_lifts_recall(planted_vectors):
             assert pl[j] >= bv - 1e-9
     # the planted near-dup of vec 0 must surface for query 0
     assert any(r.query_id == 0 and r.vec_id == 200 for r in probed)
+
+
+def test_pack_sequences(spark):
+    from pyspark.sql import Row
+
+    from prql_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * (10 + i))) for i in range(40)]
+    )
+    out = t.pack_sequences(docs, target_tokens=50, n_shards=4).collect()
+    assert len(out) == 40
+    by_chunk = {}
+    for r in out:
+        assert 0 <= r.shard < 4
+        by_chunk.setdefault((r.shard, r.chunk_id), []).append(r)
+    # a doc starts in the chunk where its first token lands, so every
+    # chunk's PRE-doc offsets stay under the budget and chunks are
+    # dense: totals reach at least the 50-token target except each
+    # shard's last chunk
+    for (shard, cid), rows in by_chunk.items():
+        rows.sort(key=lambda r: r.doc_id)
+        start = cid * 50
+        off = sum(
+            x.n_tokens for x in out
+            if x.shard == shard
+            and (x.chunk_id < cid or (x.chunk_id == cid and x.doc_id < rows[0].doc_id))
+        )
+        assert off - start < 50 or cid == 0
+        last_chunk = max(c for s, c in by_chunk if s == shard)
+        if cid < last_chunk:
+            assert sum(r.n_tokens for r in rows) + (off - start) >= 50 - 1
+    # deterministic across runs
+    again = t.pack_sequences(docs, target_tokens=50, n_shards=4).collect()
+    assert {(r.doc_id, r.shard, r.chunk_id) for r in again} == {
+        (r.doc_id, r.shard, r.chunk_id) for r in out
+    }

@@ -106,3 +106,22 @@ def test_orc_roundtrip_with_pushdown(spark, catalog, tmp_path):
     pruned = back.where(F.col("o_orderstatus") == "F")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_write_jsonl_roundtrip(spark, catalog, tmp_path):
+    from prql_spark.sources import io as pio
+
+    nation = catalog.load("nation")
+    d = str(tmp_path / "nation_jsonl")
+    pio.write_jsonl(nation, d)
+    import glob as g
+
+    files = g.glob(d + "/*.json")
+    assert files  # line-delimited json part files
+    with open(files[0]) as f:
+        first = f.readline()
+    assert first.strip().startswith("{")
+    back = pio.read_json(spark, d)
+    assert back.count() == nation.count()
+    a = {r.n_nationkey for r in back.collect()}
+    assert a == {r.n_nationkey for r in nation.collect()}
