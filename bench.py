@@ -39,6 +39,8 @@ HEADLINE = {
     "q3_shipping_priority": "collect",
     "q5_local_supplier": "collect",
     "q6_forecast_revenue": "collect",
+    "q8_market_share": "collect",
+    "q13_order_distribution": "collect",
     "top_customers_left_join": "collect",
     "window_running_total": "count",
     "group_topk": "collect",
