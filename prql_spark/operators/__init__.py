@@ -998,6 +998,65 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_upsert_merge(spark, sf_dir):
+    """Partition-scoped parquet upsert (sources/upsert.py): write
+    orders partitioned by status, merge in price-bumped updates for
+    keys divisible by 97 plus one synthetic insert, then aggregate.
+    The DuckDB oracle applies the same merge relationally, so the
+    writer's update/insert/preserve semantics are value-checked."""
+    import os
+    import shutil
+    import tempfile
+
+    from prql_spark.sources.upsert import upsert_parquet
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"prql_spark_upsert_{abs(hash(sf_dir)) % 10**8}",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    orders = Catalog(spark, sf_dir).load("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upsert_parquet(orders, d, ["o_orderkey"], partition_col="o_orderstatus")
+    updates = orders.where("o_orderkey % 97 = 0").withColumn(
+        "o_totalprice", F.expr("o_totalprice + 1000.0")
+    )
+    inserts = spark.createDataFrame(
+        [(10**9, "F", 42.5)], "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE"
+    )
+    upsert_parquet(
+        updates.unionByName(inserts), d, ["o_orderkey"],
+        partition_col="o_orderstatus",
+    )
+    return (
+        spark.read.parquet(d)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("round(sum(o_totalprice), 2)").alias("total"),
+            F.expr("max(o_orderkey)").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_UPSERT_MERGE = """
+WITH merged AS (
+  SELECT o_orderkey, o_orderstatus,
+    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+         ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT 1000000000 AS o_orderkey, 'F' AS o_orderstatus,
+         42.5 AS o_totalprice)
+SELECT o_orderstatus, count(*) AS n,
+  round(sum(o_totalprice), 2) AS total,
+  max(o_orderkey) AS max_key
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing (text.pack_sequences): per-(shard, chunk)
     doc counts and token totals at a 512-token budget."""
@@ -1238,6 +1297,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": q_profile_orders,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "sources_upsert_merge": q_upsert_merge,
     }
 
 
@@ -1285,4 +1345,5 @@ def entry_oracles() -> dict[str, str]:
         "profile_orders": SQL_PROFILE_ORDERS,
         "stratified_sample": _sql_stratified(),
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "sources_upsert_merge": SQL_UPSERT_MERGE,
     }
