@@ -673,9 +673,11 @@ def q_csv_roundtrip(spark, sf_dir):
 
     from prql_spark.sources import io as pio
 
+    import hashlib
+
     d = os.path.join(
         tempfile.gettempdir(),
-        f"prql_spark_csvrt_{abs(hash(sf_dir)) % 10**8}",
+        "prql_spark_csvrt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
     )
     nation = Catalog(spark, sf_dir).load("nation")
     pio.write_csv(nation, os.path.join(d, "nation"))
@@ -708,10 +710,14 @@ def q_zorder_roundtrip(spark, sf_dir):
 
     from prql_spark.sources.layout import write_zorder
 
+    import hashlib
+    import shutil
+
     d = os.path.join(
         tempfile.gettempdir(),
-        f"prql_spark_zrt_{abs(hash(sf_dir)) % 10**8}",
+        "prql_spark_zrt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
     )
+    shutil.rmtree(d, ignore_errors=True)
     orders = Catalog(spark, sf_dir).load("orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -1010,9 +1016,11 @@ def q_upsert_merge(spark, sf_dir):
 
     from prql_spark.sources.upsert import upsert_parquet
 
+    import hashlib
+
     d = os.path.join(
         tempfile.gettempdir(),
-        f"prql_spark_upsert_{abs(hash(sf_dir)) % 10**8}",
+        "prql_spark_upsert_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
     )
     shutil.rmtree(d, ignore_errors=True)
     orders = Catalog(spark, sf_dir).load("orders").select(

@@ -13,6 +13,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap() -> str:
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        gib = total // (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        gib = 24  # unknown host: a conservative middle
+    return f"{max(4, min(32, gib // 3))}g"
+
+
 def build_spark(app: str = "prql_spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (
@@ -40,13 +49,16 @@ def build_spark(app: str = "prql_spark", cpus: int | None = None) -> SparkSessio
         .config("spark.sql.files.maxPartitionBytes", str(256 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # 32 threads sharing one local JVM: an 8g heap GC-thrashes as
-        # a long session accumulates broadcasts/codegen state (bench
-        # A/B: 30.1s total at 8g vs 13.5s at 32g, same queries); the
-        # box has 128 GiB. On a real cluster this is per-executor
-        # memory, set by deployment.
+        # Many threads sharing one local JVM: a small heap GC-thrashes
+        # as a long session accumulates broadcasts/codegen state
+        # (bench A/B: 30.1s total at 8g vs 13.5s at 32g, same
+        # queries). Default to ~1/3 of physical RAM, capped at 32g,
+        # floored at 4g — never a fixed number bigger than the host.
+        # On a real cluster this is per-executor memory, set by
+        # deployment; override locally with SPARK_DRIVER_MEM.
         .config(
-            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g")
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", _default_heap()),
         )
         .config("spark.ui.enabled", "false")
         .getOrCreate()

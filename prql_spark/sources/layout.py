@@ -9,9 +9,10 @@ predicates on any of them. This is the same layout idea production
 lakehouse writers use for multi-dimensional pruning.
 
 Design choices (100 TB posture):
-- Bucket ids come from QUANTILE cut points (driver-side
-  ``approxQuantile``, a sample-based single pass), not linear
-  min-max scaling — skewed columns still spread across all buckets.
+- Bucket ids come from QUANTILE cut points (one multi-column
+  ``approxQuantile`` action — a single Greenwald-Khanna pass over
+  the table for ALL z columns), not linear min-max scaling — skewed
+  columns still spread across all buckets.
 - The z-value is a pure unrolled Spark SQL expression (bit shifts
   over compile-time constants) — JVM-side, codegen, no UDF.
 - Layout = ``repartitionByRange(z)`` + ``sortWithinPartitions(z)``:
@@ -19,9 +20,9 @@ Design choices (100 TB posture):
   output file covers a contiguous z-range, i.e. a small hyper-cube
   of the value space.
 
-Cost model: one stats pass (sampled) + one shuffle — identical
-stage count to a plain sorted write; the benefit is multi-column
-pruning instead of single-column.
+Cost model: one stats pass + one shuffle — identical stage count to
+a plain sorted write; the benefit is multi-column pruning instead
+of single-column.
 """
 
 from __future__ import annotations
@@ -29,15 +30,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _bucket_expr(col: str, cuts: list[float], cast: str) -> str:
+def _numeric_src(col: str, dtype: str) -> str:
+    """Order-preserving DOUBLE rank source for a column."""
+    if dtype in ("timestamp", "timestamp_ntz"):
+        return f"CAST(CAST(`{col}` AS TIMESTAMP) AS DOUBLE)"
+    if dtype == "string":
+        # order-preserving 8-byte prefix rank, then quantile-cut
+        return (
+            f"CAST(conv(substr(hex(CAST(substr(`{col}`, 1, 8) "
+            f"AS BINARY)), 1, 15), 16, 10) AS DOUBLE)"
+        )
+    return f"CAST(`{col}` AS DOUBLE)"
+
+
+def _bucket_expr(col: str, src: str, cuts: list[float]) -> str:
     """Bucket id in [0, len(cuts)] = #cut-points <= value (quantile
     rank). Unrolled constant array + higher-order filter: runs
-    JVM-side; cuts are plan constants."""
-    arr = ", ".join(f"CAST({c!r} AS {cast})" for c in cuts)
-    v = f"CAST(`{col}` AS {cast})"
+    JVM-side; cuts are plan constants. ``src`` is the column's
+    order-preserving DOUBLE rank expression."""
+    arr = ", ".join(f"CAST({c!r} AS DOUBLE)" for c in cuts)
     return (
         f"CASE WHEN `{col}` IS NULL THEN 0 ELSE "
-        f"size(filter(array({arr}), c -> c <= {v})) END"
+        f"size(filter(array({arr}), c -> c <= {src})) END"
     )
 
 
@@ -49,9 +63,10 @@ def zorder_expr(
 ) -> str:
     """Spark SQL expression for the z-value of ``cols``.
 
-    Numeric and timestamp columns supported (timestamps bucket via
-    epoch seconds). Runs one sampled approxQuantile action to learn
-    the cut points; everything else is lazy column math.
+    Numeric, string, and timestamp columns supported. Runs ONE
+    approxQuantile action covering every column (a single
+    Greenwald-Khanna pass over the table) to learn the cut points;
+    everything else is lazy column math.
     """
     if not cols:
         raise ValueError("zorder needs at least one column")
@@ -60,43 +75,18 @@ def zorder_expr(
     n_buckets = 1 << bits_per_col
     probs = [i / n_buckets for i in range(1, n_buckets)]
 
-    bucket_exprs = []
-    for col in cols:
-        dtype = dict(df.dtypes)[col]
-        if dtype in ("timestamp", "timestamp_ntz"):
-            num = F.expr(
-                f"CAST(CAST(`{col}` AS TIMESTAMP) AS DOUBLE)"
-            ).alias("__z_num")
-            cast = "DOUBLE"
-            cuts = (
-                df.select(num)
-                .approxQuantile("__z_num", probs, relative_error)
-            )
-            src = f"CAST(CAST(`{col}` AS TIMESTAMP) AS DOUBLE)"
-            arr = ", ".join(f"CAST({c!r} AS DOUBLE)" for c in cuts)
-            bucket_exprs.append(
-                f"CASE WHEN `{col}` IS NULL THEN 0 ELSE "
-                f"size(filter(array({arr}), c -> c <= {src})) END"
-            )
-        elif dtype == "string":
-            # order-preserving 8-byte prefix rank, then quantile-cut
-            src = (
-                f"CAST(conv(substr(hex(CAST(substr(`{col}`, 1, 8) "
-                f"AS BINARY)), 1, 15), 16, 10) AS DOUBLE)"
-            )
-            cuts = df.selectExpr(f"{src} AS __z_num").approxQuantile(
-                "__z_num", probs, relative_error
-            )
-            arr = ", ".join(f"CAST({c!r} AS DOUBLE)" for c in cuts)
-            bucket_exprs.append(
-                f"CASE WHEN `{col}` IS NULL THEN 0 ELSE "
-                f"size(filter(array({arr}), c -> c <= {src})) END"
-            )
-        else:
-            cuts = df.selectExpr(
-                f"CAST(`{col}` AS DOUBLE) AS __z_num"
-            ).approxQuantile("__z_num", probs, relative_error)
-            bucket_exprs.append(_bucket_expr(col, cuts, "DOUBLE"))
+    dtypes = dict(df.dtypes)
+    srcs = {c: _numeric_src(c, dtypes[c]) for c in cols}
+    # one multi-column approxQuantile = one scan for ALL columns
+    num_names = [f"__z{i}" for i in range(len(cols))]
+    num_df = df.selectExpr(
+        *[f"{srcs[c]} AS {n}" for c, n in zip(cols, num_names)]
+    )
+    all_cuts = num_df.approxQuantile(num_names, probs, relative_error)
+    bucket_exprs = [
+        _bucket_expr(c, srcs[c], cuts)
+        for c, cuts in zip(cols, all_cuts)
+    ]
 
     # clamp (quantile dupes can push the count to n_buckets) and
     # interleave: output bit (i*n + j) takes bit i of column j

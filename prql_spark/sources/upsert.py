@@ -30,6 +30,7 @@ def upsert_parquet(
     path: str,
     key_cols: list[str],
     partition_col: str | None = None,
+    strict: bool = False,
 ) -> dict:
     """Merge ``updates`` into the parquet dataset at ``path`` by
     ``key_cols`` (update-or-insert). Returns {"touched_partitions",
@@ -39,6 +40,16 @@ def upsert_parquet(
     only touched partitions are rewritten; without it, the whole
     dataset is rewritten (correct but full-cost — prefer partitioned
     tables for upsert workloads).
+
+    CONTRACT (partitioned mode): a key's partition value must be
+    stable — the pruned scan only reads touched partitions, so an
+    update that moves a key to a different partition would leave the
+    stale row behind. Partition your table by a function of the key
+    (or an immutable attribute) as lake upserts conventionally
+    require. ``strict=True`` verifies the contract with one extra
+    key-only scan of the untouched partitions and raises on
+    violation. NULL partition values in ``updates`` are rejected:
+    dynamic overwrite of the null partition cannot be pruned safely.
     """
     spark = updates.sparkSession
     import os
@@ -63,6 +74,30 @@ def upsert_parquet(
             r[0]
             for r in updates.select(partition_col).distinct().collect()
         ]
+        if any(t is None for t in touched):
+            raise ValueError(
+                "upsert_parquet: NULL partition values in updates — "
+                "the null partition cannot be pruned safely (isin(NULL) "
+                "matches nothing, so its existing rows would be lost)"
+            )
+        if strict:
+            # contract check: no update key may already live in an
+            # UNtouched partition (key-only columns → pruned+projected
+            # scan; cost proportional to untouched keys, run only on
+            # request)
+            stale = (
+                spark.read.parquet(path)
+                .where(~F.col(partition_col).isin(touched))
+                .select(*key_cols)
+                .join(updates.select(*key_cols).distinct(), key_cols)
+            )
+            if stale.limit(1).count() > 0:
+                raise ValueError(
+                    "upsert_parquet: update moves key(s) across "
+                    "partitions — the stale copy in the old partition "
+                    "would survive. Delete it first or repartition the "
+                    "table by a key-stable column."
+                )
         # partition-pruned scan: only touched partitions are read
         existing = existing.where(F.col(partition_col).isin(touched))
     kept = existing.join(

@@ -137,3 +137,34 @@ def test_upsert_parquet_partition_scoped(spark, tmp_path):
     # keyed replace is idempotent
     res2 = upsert_parquet(updates, d, ["k"], partition_col="part")
     assert spark.read.parquet(d).count() == 31
+
+
+def test_upsert_null_partition_and_strict_move(spark, tmp_path):
+    import pytest
+    from pyspark.sql import Row
+
+    from prql_spark.sources.upsert import upsert_parquet
+
+    d = str(tmp_path / "lake2")
+    base = spark.createDataFrame(
+        [Row(k=1, part="p0", v=1.0), Row(k=2, part="p1", v=2.0)]
+    )
+    upsert_parquet(base, d, ["k"], partition_col="part")
+
+    # NULL partition values are rejected (pruning can't cover them)
+    nulls = spark.createDataFrame(
+        [(9, None, 9.0)], "k LONG, part STRING, v DOUBLE"
+    )
+    with pytest.raises(ValueError, match="NULL partition"):
+        upsert_parquet(nulls, d, ["k"], partition_col="part")
+
+    # strict mode catches a key moving partitions (stale-copy hazard)
+    mover = spark.createDataFrame([Row(k=2, part="p0", v=20.0)])
+    with pytest.raises(ValueError, match="across"):
+        upsert_parquet(mover, d, ["k"], partition_col="part", strict=True)
+    # same-partition updates pass the strict check
+    ok = spark.createDataFrame([Row(k=1, part="p0", v=10.0)])
+    res = upsert_parquet(ok, d, ["k"], partition_col="part", strict=True)
+    assert res["touched_partitions"] == ["p0"]
+    got = {r.k: r.v for r in spark.read.parquet(d).collect()}
+    assert got == {1: 10.0, 2: 2.0}
