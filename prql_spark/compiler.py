@@ -130,6 +130,12 @@ class CExpr:
 
 
 class Compiler:
+    # synthesized window ORDER BY when the pipeline has no sort (Spark
+    # requires ordered row_number/frames; DuckDB-dialect backends set
+    # this to None and omit the clause — monotonically_increasing_id
+    # does not exist there)
+    SYNTH_ORDER: str | None = "monotonically_increasing_id()"
+
     def __init__(self, catalog: Catalog, src: str = ""):
         self.catalog = catalog
         self.src = src  # original PRQL text, for span-carrying errors
@@ -430,8 +436,18 @@ class Compiler:
         if isinstance(node, Lit) and node.kind == "int":
             lo, hi = 1, node.value
         elif isinstance(node, RangeLit):
-            lo = node.start.value if node.start is not None else 1
-            hi = node.end.value if node.end is not None else None
+            def _edge(e, default):
+                if e is None:
+                    return default
+                if isinstance(e, Lit) and e.kind == "int":
+                    return e.value
+                raise PrqlCompileError(
+                    "take range ends must be integer literals "
+                    "(got a non-literal or non-integer edge)"
+                )
+
+            lo = _edge(node.start, 1)
+            hi = _edge(node.end, None)
         else:
             raise PrqlCompileError(
                 "take expects a positive integer or an integer range "
@@ -842,8 +858,12 @@ class Compiler:
             parts.append("PARTITION BY " + ", ".join(self.group_keys))
         frame = self.frame if with_frame else None
         order = self.sort
-        if (need_order or frame or full_frame) and not order:
-            order = [("monotonically_increasing_id()", True)]
+        if (
+            (need_order or frame or full_frame)
+            and not order
+            and self.SYNTH_ORDER
+        ):
+            order = [(self.SYNTH_ORDER, True)]
         if order and not self.group_keys:
             # plan lint: an ORDER BY window with no PARTITION BY is a
             # single-task total sort at scale — fine on a dim table,

@@ -166,7 +166,7 @@ def tokenize(src: str) -> list[Tok]:
                 )
             i = j
             continue
-        if c in "sf" and src[i + 1 : i + 2] in "\"'":
+        if c in "sf" and src[i + 1 : i + 2] in ('"', "'"):
             inner, j = _lex_quoted(src, i + 1)
             toks.append(Tok("SSTRING" if c == "s" else "FSTRING", inner, i))
             i = j

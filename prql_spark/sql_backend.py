@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from prql_spark.compiler import Compiler, PrqlCompileError
+from prql_spark.compiler import Compiler, PrqlCompileError, _esc_str, _q
 from prql_spark.sources.catalog import Catalog
 
 _JOIN_KW = {
@@ -81,6 +81,10 @@ class _SqlRel:
 
 class SqlCompiler(Compiler):
     DIALECT = "duckdb"
+    # DuckDB allows ROW_NUMBER()/frames without ORDER BY (order is
+    # then unspecified — matching the DataFrame path's arbitrary
+    # order); monotonically_increasing_id() does not exist there
+    SYNTH_ORDER = None
 
     def __init__(self, catalog: Catalog, src: str = ""):
         super().__init__(catalog, src)
@@ -95,14 +99,14 @@ class SqlCompiler(Compiler):
 
     def _qi(self, name: str) -> str:
         if self.DIALECT == "spark":
-            return name if name.startswith("`") else f"`{name}`"
+            return _q(name)  # the DataFrame path's quoting, verbatim
         if name.startswith('"'):
             return name
         return '"' + name.replace("`", "").replace('"', '""') + '"'
 
     def _esc(self, s: str) -> str:
         if self.DIALECT == "spark":
-            return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            return _esc_str(s)  # the DataFrame path's escaping
         return "'" + s.replace("'", "''") + "'"
 
     # ------------------------------------------------ layer helpers
@@ -144,10 +148,15 @@ class SqlCompiler(Compiler):
         overwrites = [n for n, _ in items if n in self.df.columns]
         t = self._fresh()
         if overwrites:
-            # withColumns overwrite semantics: replace in place
-            t.select = [(c, self._qi(c)) for c in t.base_cols]
+            # withColumns overwrite semantics: replace in place. The
+            # projection must cover the CURRENT output columns (the
+            # tracked self.df.columns), not the layer's base_cols —
+            # base_cols predate any joins on this layer, so using them
+            # would silently drop join-added columns.
+            cur = list(self.df.columns)
+            t.select = [(c, self._qi(c)) for c in cur]
             for n, s in items:
-                if n in self.df.columns:
+                if n in cur:
                     i = next(
                         j for j, (a, _) in enumerate(t.select) if a == n
                     )
@@ -347,6 +356,7 @@ class SqlCompiler(Compiler):
 
 class _SparkSqlCompiler(SqlCompiler):
     DIALECT = "spark"
+    SYNTH_ORDER = Compiler.SYNTH_ORDER  # spark.sql requires the order
 
 
 def to_sql(text: str, catalog: Catalog, dialect: str = "spark") -> str:

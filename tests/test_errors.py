@@ -86,3 +86,12 @@ def test_nonspark_dialect_warns(catalog):
         w.simplefilter("always")
         compile_prql("prql dialect:generic\n\nfrom orders\ntake 1", catalog)
     assert not any("dialect" in str(x.message) for x in rec)
+
+
+def test_take_range_non_literal_edges_report_prql_error(catalog):
+    import pytest
+
+    from prql_spark import PrqlCompileError, compile_prql
+
+    with pytest.raises(PrqlCompileError, match="integer literal"):
+        compile_prql("from nation\ntake a..b", catalog)

@@ -152,3 +152,12 @@ def test_dialect_header_parsed_and_validated():
         parse("prql dialect:oracle\n\nfrom t")
     with pytest.raises(PrqlParseError, match="header key"):
         parse("prql flavor:x\n\nfrom t")
+
+
+def test_trailing_s_or_f_identifier():
+    # 's'/'f' as the final character must lex as an identifier, not
+    # crash probing for an s-/f-string opener past end of input
+    q = parse("from t\nselect s")
+    assert q.pipeline.steps[-1].name == "select"
+    q = parse("from t\nselect f")
+    assert q.pipeline.steps[-1].args[0].name == "f"

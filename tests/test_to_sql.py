@@ -100,3 +100,31 @@ def test_generated_oracle_matches_results(name, catalog, oracle):
     want = _canon([tuple(r) for r in df.collect()], df.columns)
     res = oracle.execute(ORACLES[name])
     assert _canon(res.fetchall(), [d[0] for d in res.description]) == want
+
+
+def test_derive_overwrite_after_join_keeps_join_columns(catalog, spark, oracle):
+    # overwrite-derive after a join must keep join-added columns in
+    # the emitted projection (regression: base_cols predate the join)
+    prql = """
+from n=nation
+join r=region [r_regionkey == n_regionkey]
+derive [n_name = s"lower({n_name})"]
+select [n_name, r_name]
+sort [n_name]
+take 5
+"""
+    df = compile_prql(prql, catalog)
+    want = [tuple(r) for r in df.collect()]
+    res = oracle.execute(to_sql(prql, catalog, dialect="duckdb"))
+    assert res.fetchall() == want
+    assert [d[0] for d in res.description] == ["n_name", "r_name"]
+
+
+def test_group_take_without_sort_runs_in_duckdb(catalog, oracle):
+    # synthesized window order must not leak Spark-only functions
+    # into duckdb-dialect SQL (regression: monotonically_increasing_id)
+    prql = "from nation\ngroup [n_regionkey] (take 2)"
+    sql = to_sql(prql, catalog, dialect="duckdb")
+    assert "monotonically_increasing_id" not in sql
+    rows = oracle.execute(sql).fetchall()
+    assert len(rows) == 10  # 2 per region, arbitrary member choice
