@@ -390,6 +390,17 @@ class Compiler:
         if not step.args:
             raise PrqlCompileError("filter needs a condition")
         ce = self.expr(step.args[0])
+        if ce.kind == "win":
+            # QUALIFY-style lowering: SQL forbids window functions in
+            # WHERE, so materialize the windowed condition as a column,
+            # filter on it, and drop it (what the reference's SQL
+            # layer does with a wrapping subquery).
+            tmp = "__prql_qualify"
+            self.r_with_columns([(tmp, ce.sql)])
+            self.r_filter(self._qi(tmp))
+            keep = [c for c in self.df.columns if c != tmp]
+            self.r_select([(c, self._qi(c)) for c in keep])
+            return
         self.r_filter(ce.sql)
 
     # -- aggregate (top level; group-level handled in t_group)
@@ -1019,4 +1030,19 @@ def compile_prql(text: str, catalog: Catalog) -> DataFrame:
             PrqlPlanWarning,
             stacklevel=2,
         )
-    return Compiler(catalog, src=text).compile_query(q)
+    try:
+        return Compiler(catalog, src=text).compile_query(q)
+    except PrqlCompileError:
+        raise
+    except Exception as e:  # noqa: BLE001 — boundary translation
+        # residual Catalyst analysis errors (e.g. type mismatches the
+        # schema-light resolver can't pre-check) surface as PRQL
+        # compile errors, not JVM stacks (reference error.rs parity)
+        from pyspark.errors import AnalysisException
+
+        if isinstance(e, AnalysisException):
+            msg = str(e).split(";", 1)[0].strip()
+            raise PrqlCompileError(
+                f"Spark rejected the compiled query: {msg}"
+            ) from e
+        raise

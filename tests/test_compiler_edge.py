@@ -448,3 +448,46 @@ def test_take_open_range(catalog, oracle):
         oracle,
         "SELECT o_orderkey FROM orders ORDER BY o_orderkey OFFSET 1495",
     )
+
+
+def test_filter_on_window_expr_qualify_lowering(catalog, oracle):
+    # window function directly in filter: SQL forbids it in WHERE, so
+    # the compiler materializes the condition (QUALIFY-style), filters,
+    # and drops the helper column
+    prql = """
+from orders
+sort [o_orderkey]
+filter (lag 1 o_orderkey) == null
+select [o_orderkey]
+"""
+    df = compile_prql(prql, catalog)
+    assert df.columns == ["o_orderkey"]  # helper column dropped
+    assert_df_matches_sql(
+        df,
+        oracle,
+        """
+        SELECT o_orderkey FROM (
+          SELECT o_orderkey,
+            lag(o_orderkey) OVER (ORDER BY o_orderkey) AS lg
+          FROM orders) t
+        WHERE lg IS NULL
+        """,
+    )
+
+
+def test_aggregate_in_plain_filter_is_full_frame_window(catalog, oracle):
+    # an aggregate outside `aggregate [...]` is a full-frame window
+    # (PRQL semantics: `derive share = x / (sum x)`), so filtering on
+    # one is the all-or-nothing QUALIFY case, not an error
+    prql = "from orders\nfilter o_totalprice > (avg o_totalprice)\n" \
+           "aggregate [n = count]"
+    assert_df_matches_sql(
+        compile_prql(prql, catalog),
+        oracle,
+        """
+        SELECT CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT o_totalprice,
+            avg(o_totalprice) OVER () AS a FROM orders) t
+        WHERE o_totalprice > a
+        """,
+    )

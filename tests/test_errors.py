@@ -95,3 +95,33 @@ def test_take_range_non_literal_edges_report_prql_error(catalog):
 
     with pytest.raises(PrqlCompileError, match="integer literal"):
         compile_prql("from nation\ntake a..b", catalog)
+
+
+def test_compile_never_raises_raw_python_errors(catalog):
+    # fuzz the compile layer: random pipeline text either compiles or
+    # raises a PRQL-level error (parse/compile); raw Python exceptions
+    # (IndexError/AttributeError/StopIteration...) are bugs. Spark
+    # AnalysisException is acceptable only via s-strings, which this
+    # alphabet cannot form (no quotes).
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from prql_spark import PrqlCompileError, compile_prql
+    from prql_spark.parser import PrqlParseError
+
+    word = st.sampled_from(
+        "filter sort take group aggregate select derive join window "
+        "n_name n_nationkey x sum min count 1 2 0.5 -1 a..b 1..3 "
+        "[ ] ( ) | , = == + - * / not and or".split()
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(word, min_size=1, max_size=8))
+    def run(words):
+        text = "from nation\n" + " ".join(words)
+        try:
+            compile_prql(text, catalog)
+        except (PrqlParseError, PrqlCompileError):
+            pass
+
+    run()

@@ -161,3 +161,27 @@ def test_trailing_s_or_f_identifier():
     assert q.pipeline.steps[-1].name == "select"
     q = parse("from t\nselect f")
     assert q.pipeline.steps[-1].args[0].name == "f"
+
+
+def test_parser_never_raises_raw_exceptions():
+    # fuzz: any input either parses or raises PrqlParseError with a
+    # position — never IndexError/AttributeError/etc. (the lexer's
+    # end-of-input s-string probe bug was exactly this class)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from prql_spark.parser import PrqlParseError
+
+    alphabet = st.sampled_from(
+        list("abs f\"'|[](){}=<>!.,:+-*/%@#\n\t0123456789_ ")
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=60))
+    def run(text):
+        try:
+            parse("from t\n" + text)
+        except PrqlParseError:
+            pass
+
+    run()
