@@ -491,3 +491,28 @@ def test_aggregate_in_plain_filter_is_full_frame_window(catalog, oracle):
         WHERE o_totalprice > a
         """,
     )
+
+
+def test_filter_on_window_expr_inside_group(catalog, oracle):
+    # in-group variant: the window filter partitions by the group keys
+    prql = """
+from orders
+group [o_custkey] (
+  sort [o_orderdate, o_orderkey]
+  filter (lag 1 o_orderkey) == null
+)
+select [o_custkey, o_orderkey]
+sort [o_custkey]
+"""
+    assert_df_matches_sql(
+        compile_prql(prql, catalog),
+        oracle,
+        """
+        SELECT o_custkey, o_orderkey FROM (
+          SELECT o_custkey, o_orderkey,
+            lag(o_orderkey) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) AS lg
+          FROM orders) t
+        WHERE lg IS NULL ORDER BY o_custkey
+        """,
+    )
