@@ -43,7 +43,7 @@ def profile(
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
-        q = f"`{c}`"
+        q = "`" + c.replace("`", "``") + "`"
         aggs.append(F.expr(f"sum(CASE WHEN {q} IS NULL THEN 1 ELSE 0 END)").alias(f"__null_{i}"))
         if exact:
             aggs.append(F.expr(f"count(DISTINCT {q})").alias(f"__dist_{i}"))
@@ -60,8 +60,9 @@ def profile(
 
     wide = df.agg(*aggs)
     stacked = ", ".join(
-        f"'{c}', __null_{i}, __dist_{i}, __min_{i}, __max_{i}, "
-        f"__avg_{i}, __std_{i}"
+        "'%s', __null_%d, __dist_%d, __min_%d, __max_%d, "
+        "__avg_%d, __std_%d"
+        % (c.replace("\\", "\\\\").replace("'", "\\'"), i, i, i, i, i, i)
         for i, c in enumerate(cols)
     )
     return wide.selectExpr(

@@ -87,7 +87,13 @@ def upsert_parquet(
             # request)
             stale = (
                 spark.read.parquet(path)
-                .where(~F.col(partition_col).isin(touched))
+                # null-safe complement: ~isin() is NULL (dropped) for
+                # a NULL partition value, which would hide stale rows
+                # in exactly the un-prunable null partition
+                .where(
+                    F.col(partition_col).isNull()
+                    | ~F.col(partition_col).isin(touched)
+                )
                 .select(*key_cols)
                 .join(updates.select(*key_cols).distinct(), key_cols)
             )
