@@ -984,9 +984,11 @@ def q_stratified_sample(spark, sf_dir):
 
 
 def _sql_stratified() -> str:
+    # mirrors splits.stratified_sample_by_hash: NULL strata hash as ''
+    # and take the default fraction (engine's IS NULL branch)
     h = (
-        "substr(md5(concat('', CAST(event_type AS VARCHAR), '#', "
-        "CAST(event_id AS VARCHAR))), 1, 4)"
+        "substr(md5(concat('', coalesce(CAST(event_type AS VARCHAR), ''), "
+        "'#', CAST(event_id AS VARCHAR))), 1, 4)"
     )
     from prql_spark.operators.splits import _cut
 
@@ -999,7 +1001,8 @@ def _sql_stratified() -> str:
 SELECT event_type, count(*) AS n,
   min(event_id) AS min_id, max(event_id) AS max_id
 FROM events
-WHERE CASE {branches} ELSE {h} < '{_cut(0.25)}' END
+WHERE CASE WHEN event_type IS NULL THEN {h} < '{_cut(0.25)}'
+  {branches} ELSE {h} < '{_cut(0.25)}' END
 GROUP BY event_type ORDER BY event_type
 """
 

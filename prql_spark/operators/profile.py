@@ -20,6 +20,13 @@ from pyspark.sql import DataFrame, functions as F
 _NUMERIC = ("int", "bigint", "smallint", "tinyint", "double", "float")
 
 
+def _is_numeric(dtype: str) -> bool:
+    # decimal(p,s) is how money columns arrive on a standard TPC-H
+    # load — excluding it silently nulls avg/std exactly where users
+    # look first
+    return dtype in _NUMERIC or dtype.startswith("decimal")
+
+
 def profile(
     df: DataFrame,
     cols: list[str] | None = None,
@@ -35,7 +42,9 @@ def profile(
         cols = [
             c
             for c, t in df.dtypes
-            if t in _NUMERIC or t == "string" or t.startswith("timestamp")
+            if _is_numeric(t)
+            or t in ("string", "date")
+            or t.startswith("timestamp")
         ]
     if not cols:
         raise ValueError("profile: no profilable columns")
@@ -51,9 +60,17 @@ def profile(
             aggs.append(F.expr(f"approx_count_distinct({q})").alias(f"__dist_{i}"))
         aggs.append(F.expr(f"CAST(min({q}) AS STRING)").alias(f"__min_{i}"))
         aggs.append(F.expr(f"CAST(max({q}) AS STRING)").alias(f"__max_{i}"))
-        if dtypes[c] in _NUMERIC:
-            aggs.append(F.expr(f"round(avg({q}), 6)").alias(f"__avg_{i}"))
-            aggs.append(F.expr(f"round(stddev({q}), 6)").alias(f"__std_{i}"))
+        if _is_numeric(dtypes[c]):
+            # decimal columns: CAST to DOUBLE first — avg over decimal
+            # returns decimal, and the output schema must be one
+            # DOUBLE column regardless of input type
+            e = (
+                f"CAST({q} AS DOUBLE)"
+                if dtypes[c].startswith("decimal")
+                else q
+            )
+            aggs.append(F.expr(f"round(avg({e}), 6)").alias(f"__avg_{i}"))
+            aggs.append(F.expr(f"round(stddev({e}), 6)").alias(f"__std_{i}"))
         else:
             aggs.append(F.expr("CAST(NULL AS DOUBLE)").alias(f"__avg_{i}"))
             aggs.append(F.expr("CAST(NULL AS DOUBLE)").alias(f"__std_{i}"))

@@ -103,17 +103,26 @@ def stratified_sample_by_hash(
     stratum's fraction only ADDS rows). Narrow map, no shuffle —
     the standard shape for source-mix rebalancing at corpus scale.
     """
+    from prql_spark.compiler import _esc_str
+
+    # coalesce the stratum into the hash: a NULL stratum would null
+    # the md5, null every comparison, and silently DROP the row no
+    # matter what default_fraction says. NULL strata hash as '' and
+    # take the default fraction via the explicit IS NULL branch.
     h = (
-        f"substr(md5(concat('{salt}', CAST({strata_col} AS STRING), "
+        f"substr(md5(concat({_esc_str(salt)}, "
+        f"coalesce(CAST({strata_col} AS STRING), ''), "
         f"'#', CAST({key_col} AS STRING))), 1, 4)"
     )
     branches = " ".join(
-        f"WHEN CAST({strata_col} AS STRING) = '{k}' "
+        f"WHEN CAST({strata_col} AS STRING) = {_esc_str(str(k))} "
         f"THEN {h} < '{_cut(v)}'"
         for k, v in fractions.items()
     )
     return df.where(
         F.expr(
-            f"CASE {branches} ELSE {h} < '{_cut(default_fraction)}' END"
+            f"CASE WHEN {strata_col} IS NULL "
+            f"THEN {h} < '{_cut(default_fraction)}' "
+            f"{branches} ELSE {h} < '{_cut(default_fraction)}' END"
         )
     )

@@ -219,10 +219,18 @@ def bm25_rank(
     exchange is the final top-n (TakeOrdered). Robertson/Sparck Jones
     BM25 with the standard smooth idf ln(1 + (N-df+.5)/(df+.5)).
     """
+    from prql_spark.compiler import _esc_str
+
     words = _words(text_col)
-    terms = [t.lower() for t in query]
+    # terms are matched against whitespace-split words, so a
+    # multi-word "term" could never match — split them up front;
+    # escape each literal (a quote/backslash in a term must not
+    # break or inject into the lambda expression)
+    terms = [w for t in query for w in t.lower().split()]
+    if not terms:
+        raise ValueError("bm25_rank: empty query")
     tf_exprs = {
-        f"__tf_{i}": f"size(filter({words}, w -> w = '{t}'))"
+        f"__tf_{i}": f"size(filter({words}, w -> w = {_esc_str(t)}))"
         for i, t in enumerate(terms)
     }
     base = df.withColumns(

@@ -22,7 +22,28 @@ that materialization to the touched partitions too.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _dataset_exists(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` holds a non-empty dataset (ignoring _/.
+    metadata entries), for ANY filesystem Spark can reach.
+
+    Resolved through Hadoop's FileSystem API so s3://, hdfs://, abfs://
+    and file: URIs all work — an os.path check would silently miss a
+    remote dataset and turn the merge into a destructive full
+    overwrite of the lake path.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return False
+    for st in fs.listStatus(p):
+        if not st.getPath().getName().startswith(("_", ".")):
+            return True
+    return False
 
 
 def upsert_parquet(
@@ -31,10 +52,13 @@ def upsert_parquet(
     key_cols: list[str],
     partition_col: str | None = None,
     strict: bool = False,
+    count_rows: bool = False,
 ) -> dict:
     """Merge ``updates`` into the parquet dataset at ``path`` by
     ``key_cols`` (update-or-insert). Returns {"touched_partitions",
-    "rows_written"} for observability.
+    "rows_written"} for observability; ``rows_written`` is None unless
+    ``count_rows=True`` (counting is a whole extra job over the
+    touched partitions, so it is opt-in).
 
     With ``partition_col``, the dataset must be partitioned by it and
     only touched partitions are rewritten; without it, the whole
@@ -52,19 +76,15 @@ def upsert_parquet(
     dynamic overwrite of the null partition cannot be pruned safely.
     """
     spark = updates.sparkSession
-    import os
 
-    exists = os.path.exists(path) and any(
-        not e.startswith(("_", ".")) for e in os.listdir(path)
-    )
-    if not exists:
+    if not _dataset_exists(spark, path):
         w = updates.write.mode("overwrite")
         if partition_col:
             w = w.partitionBy(partition_col)
         w.parquet(path)
         return {
             "touched_partitions": None,
-            "rows_written": updates.count(),
+            "rows_written": updates.count() if count_rows else None,
         }
 
     existing = spark.read.parquet(path)
@@ -124,5 +144,8 @@ def upsert_parquet(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return {
         "touched_partitions": touched,
-        "rows_written": merged.count(),
+        # the checkpoint is already materialized, so this count scans
+        # local checkpoint blocks, not the lake — still one extra job,
+        # hence opt-in
+        "rows_written": merged.count() if count_rows else None,
     }

@@ -213,3 +213,30 @@ def test_stratified_sample_by_hash(spark, catalog):
     small_ids = {r.event_id for r in out.where("event_type = 'view'").collect()}
     big_ids = {r.event_id for r in bigger.where("event_type = 'view'").collect()}
     assert small_ids <= big_ids
+
+
+def test_stratified_sample_null_stratum_and_quoting(spark):
+    from pyspark.sql import Row
+
+    # NULL strata must take default_fraction, not be silently dropped;
+    # keys with quotes must not break the generated expression
+    df = spark.createDataFrame(
+        [Row(k=i, src=None if i % 2 else "o'reilly") for i in range(200)],
+        "k LONG, src STRING",
+    )
+    out = splits.stratified_sample_by_hash(
+        df, "k", "src", {"o'reilly": 1.0}, default_fraction=1.0
+    )
+    assert out.count() == 200  # keep-all everywhere, including NULLs
+    half = splits.stratified_sample_by_hash(
+        df, "k", "src", {"o'reilly": 1.0}, default_fraction=0.5
+    )
+    null_kept = half.where("src IS NULL").count()
+    assert 20 <= null_kept <= 80  # ~50% of the 100 NULL-stratum rows
+    assert half.where("src IS NOT NULL").count() == 100
+    # default_fraction=0 still drops NULL strata (explicitly, not by
+    # the NULL-comparison accident)
+    none = splits.stratified_sample_by_hash(
+        df, "k", "src", {"o'reilly": 1.0}, default_fraction=0.0
+    )
+    assert none.where("src IS NULL").count() == 0

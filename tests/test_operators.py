@@ -579,3 +579,47 @@ def test_pack_sequences(spark):
     assert {(r.doc_id, r.shard, r.chunk_id) for r in again} == {
         (r.doc_id, r.shard, r.chunk_id) for r in out
     }
+
+
+def test_bm25_term_quoting_and_multiword(spark):
+    from pyspark.sql import Row
+
+    from prql_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark engine room"),
+            Row(doc_id=2, text="o'reilly book about spark"),
+        ]
+    )
+    # a quote in a term must not break/inject into the lambda
+    out = {r.doc_id for r in t.bm25_rank(docs, ["o'reilly"]).collect()}
+    assert out == {2}
+    # a multi-word term is split into words (never silently 0)
+    multi = t.bm25_rank(docs, ["spark engine"]).collect()
+    assert {r.doc_id for r in multi} == {1, 2}
+    sc = {r.doc_id: r.bm25 for r in multi}
+    assert sc[1] > sc[2]  # doc 1 matches both words
+    import pytest
+
+    with pytest.raises(ValueError, match="empty query"):
+        t.bm25_rank(docs, [])
+
+
+def test_profile_decimal_and_date(spark):
+    from pyspark.sql import Row
+
+    from prql_spark.operators.profile import profile
+
+    df = spark.sql(
+        "SELECT CAST(id AS DECIMAL(12,2)) AS price, "
+        "DATE'2024-01-01' + make_interval(0,0,0,CAST(id AS INT)) AS d, "
+        "id AS k FROM range(10)"
+    )
+    out = {r.column: r for r in profile(df).collect()}
+    # decimal is numeric: avg/std populated (not silently NULL)
+    assert set(out) == {"price", "d", "k"}
+    assert out["price"].avg == 4.5 and out["price"].std is not None
+    # date columns auto-selected, min/max as strings
+    assert out["d"].min_str == "2024-01-01"
+    assert out["d"].max_str == "2024-01-10"
