@@ -14,6 +14,15 @@ import os
 import sys
 
 
+def _maybe_lint(df, args) -> None:
+    if not args.lint:
+        return
+    from prql_spark.plans.lint import lint_broadcast_misses
+
+    for msg in lint_broadcast_misses(df, warn=False):
+        print(f"lint: {msg}", file=sys.stderr)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="prql_spark",
@@ -66,6 +75,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "-n", "--rows", type=int, default=20, help="rows to show with --run"
     )
+    ap.add_argument(
+        "--lint",
+        action="store_true",
+        help="run physical-plan lints (e.g. broadcast-miss) and print "
+        "findings to stderr (combines with --explain/--run/--schema)",
+    )
     args = ap.parse_args(argv)
 
     text = args.query if args.query else sys.stdin.read()
@@ -113,11 +128,15 @@ def main(argv: list[str] | None = None) -> int:
             print(to_sql(text, catalog, dialect=args.sql))
         elif args.run:
             df = compile_prql(text, catalog)
+            _maybe_lint(df, args)
             df.show(args.rows, truncate=False)
         elif args.schema:
             df = compile_prql(text, catalog)
+            _maybe_lint(df, args)
             print(df.schema.simpleString())
         else:
+            if args.lint:
+                _maybe_lint(compile_prql(text, catalog), args)
             print(explain(text, catalog))
     except (PrqlParseError, PrqlCompileError) as e:
         print(f"error: {e}", file=sys.stderr)

@@ -1,11 +1,11 @@
 """Training-data pipeline operators + driver entry wiring.
 
 ``entry_queries()`` / ``entry_oracles()`` feed __spark_entry__.py:
-each operator gets a (spark, sf_dir) callable; oracle SQL is provided
-wherever the computation is DuckDB-expressible (everything except the
-crc32/xxhash64-based minhash/simhash signatures and the iterative IVF
-k-means, which the driver checks rows-only; even the multimodal fake
-decoder is value-oracled since it is sha256-deterministic).
+each operator gets a (spark, sf_dir) callable and a DuckDB oracle —
+since round 3 EVERY entry is value-oracled: minhash/simhash moved to
+md5-derived hashes DuckDB can replay, IVF searches with pretrained
+centroid literals, and even the multimodal fake decoder is
+value-oracled (sha256-deterministic).
 """
 
 from __future__ import annotations
@@ -231,11 +231,110 @@ def q_dedup_minhash(spark, sf_dir):
     return out.select("doc_id").orderBy("doc_id")
 
 
+def _sql_minhash_dedup() -> str:
+    """Full value oracle for dedup_minhash_lsh: DuckDB replays the
+    ENTIRE signature pipeline — md5-prefix 32-bit shingle hashes
+    (why the engine hashes with md5, not crc32: dedup.py:89),
+    the 64 multiply-shift permutations as HUGEINT mod-2^64 literals
+    (numpy's wrapping uint64 exactly), 16×4 banding by slice equality
+    (the engine's xxhash64 bucket key only NAMES a band slice; two
+    docs share a bucket iff their slices are equal, which DuckDB can
+    group on directly), the star_cap mega-bucket guard (pair only
+    with the bucket min when over cap), est-jaccard verification, and
+    the keep-min-id anti-join."""
+    perms = ", ".join(
+        f"({j}, {a}::HUGEINT, {b}::HUGEINT)"
+        for j, (a, b) in enumerate(dedup._perm_params(64, 42))
+    )
+    return f"""
+WITH params AS (SELECT * FROM (VALUES {perms}) p(j, a, b)),
+d AS (
+  SELECT doc_id, {NORM} AS t FROM documents
+  WHERE length(trim(text)) > 0),
+w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+sh AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(array_to_string(
+        list_slice(ws, i, i + 4), ' ')), 1, 8))::UBIGINT AS h
+  FROM (SELECT doc_id, ws,
+          unnest(generate_series(1, greatest(len(ws) - 5, 0) + 1)) AS i
+        FROM w)),
+m AS (
+  SELECT doc_id, j,
+    min((a * h::HUGEINT + b) % 18446744073709551616) AS v
+  FROM sh CROSS JOIN params GROUP BY doc_id, j),
+sigl AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM m GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, sig, b, list_slice(sig, b * 4 + 1, b * 4 + 4) AS bslice
+  FROM (SELECT doc_id, sig, unnest(generate_series(0, 15)) AS b FROM sigl)),
+bk AS (
+  SELECT b, bslice, count(*) AS cnt, min(doc_id) AS mn
+  FROM bands GROUP BY b, bslice HAVING count(*) >= 2),
+losers AS (
+  SELECT DISTINCT r.doc_id AS id_b
+  FROM bands l
+  JOIN bands r ON l.b = r.b AND l.bslice = r.bslice
+              AND l.doc_id < r.doc_id
+  JOIN bk ON bk.b = l.b AND bk.bslice = l.bslice
+  WHERE (bk.cnt <= 64 OR l.doc_id = bk.mn)
+    AND len(list_filter(generate_series(1, 64),
+            i -> l.sig[i] = r.sig[i])) / 64.0 >= 0.5)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM losers)
+ORDER BY doc_id
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     sigs = dedup.simhash_signatures(_docs(spark, sf_dir))
     return dedup.simhash_near_pairs(sigs, max_hamming=8).orderBy(
         "id_a", "id_b"
     )
+
+
+def _sql_simhash_pairs() -> str:
+    """Full value oracle for dedup_simhash_pairs: the engine's 64-bit
+    token hash is two md5-hex halves (dedup.py:_TOKEN_HASH64), so
+    DuckDB reproduces every signature bit: per-token ±1 bit sums,
+    4×16-bit banding by bit-slice equality, star_cap guard, Hamming
+    verification as a differing-bit count over the bit lists."""
+    return f"""
+WITH d AS (SELECT doc_id, {NORM} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM d),
+th AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(tk), 1, 8))::UBIGINT * 4294967296::UBIGINT
+      + ('0x' || substr(md5(tk), 9, 8))::UBIGINT AS h
+  FROM tok),
+bit_sums AS (
+  SELECT doc_id, b,
+    CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         THEN 1 ELSE 0 END AS bit
+  FROM (SELECT doc_id, h, unnest(generate_series(0, 63)) AS b FROM th)
+  GROUP BY doc_id, b),
+bits AS (SELECT doc_id, list(bit ORDER BY b) AS bits
+         FROM bit_sums GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, bits, b,
+         list_slice(bits, b * 16 + 1, b * 16 + 16) AS bkey
+  FROM (SELECT doc_id, bits, unnest(generate_series(0, 3)) AS b
+        FROM bits)),
+bk AS (
+  SELECT b, bkey, count(*) AS cnt, min(doc_id) AS mn
+  FROM banded GROUP BY b, bkey HAVING count(*) >= 2),
+pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+    len(list_filter(generate_series(1, 64),
+        i -> l.bits[i] != r.bits[i])) AS hamming
+  FROM banded l
+  JOIN banded r ON l.b = r.b AND l.bkey = r.bkey
+               AND l.doc_id < r.doc_id
+  JOIN bk ON bk.b = l.b AND bk.bkey = l.bkey
+  WHERE bk.cnt <= 64 OR l.doc_id = bk.mn)
+SELECT DISTINCT id_a, id_b, hamming FROM pairs
+WHERE hamming <= 8
+ORDER BY id_a, id_b
+"""
 
 
 # ---- embedding similarity
@@ -325,9 +424,15 @@ ORDER BY query_id, cosine DESC, vec_id
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF ANN (k-means coarse quantizer + nprobe search) — rows-only:
-    iterative centroid training isn't single-statement SQL; recall vs
-    brute force is pinned in tests/test_operators.py."""
+    """IVF ANN search with the PRETRAINED coarse quantizer — the way
+    a real IVF index runs (train once offline, search many times).
+    Centroids are literals from scripts/gen_ivf_centroids.py, so the
+    DuckDB oracle searches with the exact same quantizer and the
+    whole nprobe+rerank path is value-checked. The Lloyd's TRAINER
+    stays covered by recall-vs-bruteforce tests in
+    tests/test_operators.py."""
+    from prql_spark.operators._ivf_centroids import CENTROIDS
+
     return similarity.ivf_topk(
         _embs(spark, sf_dir),
         _queries_df(spark, sf_dir),
@@ -335,7 +440,50 @@ def q_ann_ivf(spark, sf_dir):
         k=10,
         n_lists=8,
         nprobe=4,
+        centroids=CENTROIDS,
     ).orderBy("query_id", F.desc("cosine"), "vec_id")
+
+
+def _sql_ann_ivf() -> str:
+    """DuckDB oracle for the IVF search path: same centroid literals,
+    same round-9 argmax assignment (ties to larger index), same
+    nprobe probe order, same round-6 rerank."""
+    from prql_spark.operators._ivf_centroids import CENTROIDS
+
+    cent_rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(CENTROIDS)
+    )
+    cos_dc = _cos_dd("d.embedding", "c.c")
+    cos_qc = _cos_dd("q.qvec", "c.c")
+    return f"""
+WITH cent AS (SELECT * FROM (VALUES {cent_rows}) c(i, c)),
+q AS (SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings WHERE vec_id < 5),
+assign AS (
+  SELECT vec_id, embedding, i,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cs DESC, i DESC) AS rk
+  FROM (SELECT d.vec_id, d.embedding, c.i,
+          round({cos_dc}, 9) AS cs
+        FROM embeddings d CROSS JOIN cent c)),
+corpus AS (SELECT vec_id, embedding, i AS lst FROM assign WHERE rk = 1),
+qprobe AS (
+  SELECT query_id, qvec, i AS lst FROM (
+    SELECT q.query_id, q.qvec, c.i,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY round({cos_qc}, 9) DESC, c.i DESC) AS rk
+    FROM q CROSS JOIN cent c) WHERE rk <= 4),
+scored AS (
+  SELECT query_id, vec_id,
+    round({_cos_dd('embedding', 'qvec')}, 6) AS cosine
+  FROM corpus JOIN qprobe USING (lst)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC, vec_id) AS rk FROM scored)
+SELECT query_id, vec_id, cosine FROM ranked WHERE rk <= 10
+ORDER BY query_id, cosine DESC, vec_id
+"""
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -408,7 +556,7 @@ def _hexbyte_dd(h: str, i: int) -> str:
 
 
 def _sql_multimodal_decode() -> str:
-    # mirrors multimodal._decode_stub: sha256(utf8 payload), dims from
+    # mirrors multimodal.Sha256FakeCodec: sha256(utf8 payload), dims from
     # digest bytes 0/1 (DuckDB sha256(VARCHAR) hashes the utf-8 bytes,
     # same as hashlib.sha256(text.encode()))
     w = _hexbyte_dd("h", 0)
@@ -1322,11 +1470,15 @@ def entry_oracles() -> dict[str, str]:
         "dedup_ngram_jaccard": SQL_NGRAM_JACCARD,
         "text_ngram_counts": SQL_NGRAM_COUNTS,
         "text_doc_frequency": SQL_DOC_FREQUENCY,
-        # dedup_minhash_lsh / dedup_simhash_pairs: xxhash64-based
-        # signatures aren't DuckDB-expressible → rows-only (tested
-        # against a pure-python reference in tests/test_operators.py)
+        # md5-based signatures since round 3 → fully value-oracled
+        # (DuckDB replays the whole signature pipeline)
+        "dedup_minhash_lsh": _sql_minhash_dedup(),
+        "dedup_simhash_pairs": _sql_simhash_pairs(),
         "ann_bruteforce_topk": SQL_ANN_BRUTEFORCE,
         "ann_lsh_topk": _sql_ann_lsh(),
+        # pretrained coarse quantizer as literals → search path fully
+        # value-oracled (scripts/gen_ivf_centroids.py)
+        "ann_ivf_topk": _sql_ann_ivf(),
         "embedding_near_dups": _sql_embedding_near_dups(),
         # decode/frame_sample: the mapInPandas fake decoder is
         # sha256-deterministic, so even the stub is value-oracled

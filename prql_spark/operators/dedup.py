@@ -87,13 +87,17 @@ def minhash_signatures(
     params = _perm_params(num_perm, seed)
 
     # Shingling + hashing + the num_perm-way min-reduce all run in ONE
-    # Arrow-batched pandas UDF: crc32 (zlib, C-speed, deterministic
-    # across executors — unlike Python's salted hash()) gives 32-bit
-    # shingle hashes; each permutation is a multiply-shift hash
-    # a*h + b over wrapping uint64 (numpy outer product). Replaces
-    # interpreted slice/concat_ws higher-order lambdas that dominated
-    # the profile ~10×.
-    import zlib
+    # Arrow-batched pandas UDF: the 32-bit shingle hash is the first 4
+    # md5 bytes (hashlib, C-speed, deterministic across executors —
+    # unlike Python's salted hash(); and unlike crc32/xxhash64, md5 is
+    # available in every engine this repo cross-checks against, so the
+    # whole signature pipeline is value-reproducible in the DuckDB
+    # oracle — same portability argument as split_by_hash's md5 cuts);
+    # each permutation is a multiply-shift hash a*h + b over wrapping
+    # uint64 (numpy outer product). Replaces interpreted
+    # slice/concat_ws higher-order lambdas that dominated the profile
+    # ~10×.
+    from hashlib import md5
 
     import numpy as np
     import pandas as pd
@@ -110,7 +114,12 @@ def minhash_signatures(
             words = t.split(" ") if t else []
             n = max(len(words) - shingle_k, 0) + 1
             hs = {
-                zlib.crc32(" ".join(words[i : i + shingle_k]).encode())
+                int.from_bytes(
+                    md5(
+                        " ".join(words[i : i + shingle_k]).encode()
+                    ).digest()[:4],
+                    "big",
+                )
                 for i in range(n)
             } if words else set()
             if not hs:
@@ -294,6 +303,18 @@ def dedup_minhash_lsh(
     return df.join(losers, id_col, "left_anti")
 
 
+# 64-bit token hash assembled from two md5-hex halves. md5 (unlike
+# xxhash64/crc32) exists in every engine this repo cross-checks
+# against, so simhash signatures are value-reproducible outside Spark
+# — same portability argument as split_by_hash's md5 cuts. The two
+# conv() halves stay < 2^32, so no ANSI overflow; shiftleft|or is a
+# bit op (wrap-defined) and yields the full signed-64 pattern.
+_TOKEN_HASH64 = (
+    "(shiftleft(CAST(conv(substr(md5({t}), 1, 8), 16, 10) AS BIGINT), 32)"
+    " | CAST(conv(substr(md5({t}), 9, 8), 16, 10) AS BIGINT))"
+)
+
+
 def simhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -303,11 +324,15 @@ def simhash_signatures(
     via per-token hash bits)."""
     norm = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
     toks = f"split({norm}, ' ')"
+    # hash each token ONCE, then fold the 64 bit-sums over the hashed
+    # array — hashing inside the per-bit aggregate would run md5
+    # 64 times per token
+    th = f"transform({toks}, t -> {_TOKEN_HASH64.format(t='t')})"
     bits = (
-        f"transform(sequence(0, 63), b -> "
-        f"CASE WHEN aggregate({toks}, 0L, (acc, t) -> "
-        f"acc + IF(((xxhash64(t) >> b) & 1) = 1, 1L, -1L)) > 0 "
-        f"THEN 1L ELSE 0L END)"
+        "transform(sequence(0, 63), b -> "
+        "CASE WHEN aggregate(__th, 0L, (acc, h) -> "
+        "acc + IF((shiftrightunsigned(h, b) & 1) = 1, 1L, -1L)) > 0 "
+        "THEN 1L ELSE 0L END)"
     )
     pack = (
         "aggregate(zip_with(__bits, sequence(0, 63), "
@@ -315,6 +340,7 @@ def simhash_signatures(
     )
     return (
         _spread(df.select(id_col, F.col(text_col)), id_col)
+        .select(id_col, F.expr(th).alias("__th"))
         .select(id_col, F.expr(bits).alias("__bits"))
         .select(id_col, F.expr(pack).alias("simhash"))
     )
@@ -324,10 +350,24 @@ def simhash_near_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    star_cap: int = 64,
 ) -> DataFrame:
     """Near-dup pairs by simhash: block on 4×16-bit bands (a pair
     within Hamming distance 3 must agree on ≥1 band), verify with
-    bit_count(xor)."""
+    bit_count(xor).
+
+    Bucket-combine shape (mirrors minhash): ONE group-by exchange on
+    (band, key); pairs are generated inside each collected bucket, so
+    there is no banded self-join re-shuffling the stream twice.
+    ``star_cap`` guards mega-buckets: past the cap every member pairs
+    only with the bucket's min id — O(n) rows instead of the O(n²) a
+    degenerate corpus (one huge exact-dup class) would emit from a
+    single reducer. Star-linking can miss a (b, c) pair inside an
+    over-cap INhomogeneous bucket unless another band catches it;
+    for keep/drop dedup (drop anything linked to a smaller id) the
+    semantics are equivalent whenever the bucket is
+    signature-homogeneous, which is how buckets get huge in practice.
+    """
     banded = sigs.select(
         id_col,
         "simhash",
@@ -338,22 +378,44 @@ def simhash_near_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.key")
-    l, r = banded.alias("l"), banded.alias("r")
-    return (
-        l.join(
-            r,
-            on=F.expr(
-                f"l.band = r.band AND l.key = r.key "
-                f"AND l.{id_col} < r.{id_col}"
-            ),
+    grouped = (
+        banded.groupBy("band", "key")
+        .agg(
+            F.expr(
+                f"array_sort(collect_list(struct({id_col}, simhash)))"
+            ).alias("mem")
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
+        .where(F.expr("size(mem) >= 2"))
+    )
+
+    def pair(i: str, j: str) -> str:
+        return (
+            f"named_struct("
+            f"'id_a', mem[{i}].{id_col}, 'id_b', mem[{j}].{id_col}, "
+            f"'hamming', bit_count(mem[{i}].simhash ^ mem[{j}].simhash))"
         )
-        .distinct()
+
+    idx_all = (
+        "flatten(transform(sequence(0, size(mem)-2), i -> "
+        "transform(sequence(i+1, size(mem)-1), j -> "
+        "named_struct('i', i, 'j', j))))"
+    )
+    idx_star = (
+        "transform(sequence(1, size(mem)-1), j -> "
+        "named_struct('i', 0, 'j', j))"
+    )
+    idx = f"IF(size(mem) <= {star_cap}, {idx_all}, {idx_star})"
+    pairs_expr = f"transform({idx}, p -> {pair('p.i', 'p.j')})"
+    raw = (
+        grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        # verify BEFORE the pair-dedup exchange — far fewer rows move
         .where(F.col("hamming") <= max_hamming)
+    )
+    # a pair agreeing in k bands appears k times; hamming is identical
+    # for every occurrence
+    return raw.groupBy("id_a", "id_b").agg(
+        F.first("hamming").alias("hamming")
     )
 
 
@@ -364,6 +426,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     block_exprs: list[str] | None = None,
+    star_cap: int = 64,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity between candidate pairs.
 
@@ -400,20 +463,46 @@ def ngram_jaccard_pairs(
         )
         .where(F.expr("size(__grams) > 0"))
     )
-    l, r = base.alias("l"), base.alias("r")
-    return (
-        l.join(
-            r,
-            on=F.expr(f"l.__block = r.__block AND l.{id_col} < r.{id_col}"),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
+    # Bucket-combine (same shape as minhash/simhash): one group-by
+    # exchange on the block key, pairs generated within each collected
+    # bucket. star_cap guards the degenerate mega-block — n identical
+    # docs share every block key and an unguarded all-pairs would emit
+    # n(n-1)/2 rows from one reducer; past the cap each member pairs
+    # only with the block's min id (O(n), dedup-equivalent for
+    # homogeneous blocks).
+    grouped = (
+        base.groupBy("__block")
+        .agg(
             F.expr(
-                "round(size(array_intersect(l.__grams, r.__grams)) / "
-                "size(array_union(l.__grams, r.__grams)), 6)"
-            ).alias("jaccard"),
+                f"array_sort(collect_list(struct({id_col}, __grams)))"
+            ).alias("mem")
         )
+        .where(F.expr("size(mem) >= 2"))
+    )
+
+    def pair(i: str, j: str) -> str:
+        return (
+            f"named_struct("
+            f"'id_a', mem[{i}].{id_col}, 'id_b', mem[{j}].{id_col}, "
+            f"'jaccard', round("
+            f"size(array_intersect(mem[{i}].__grams, mem[{j}].__grams)) / "
+            f"size(array_union(mem[{i}].__grams, mem[{j}].__grams)), 6))"
+        )
+
+    idx_all = (
+        "flatten(transform(sequence(0, size(mem)-2), i -> "
+        "transform(sequence(i+1, size(mem)-1), j -> "
+        "named_struct('i', i, 'j', j))))"
+    )
+    idx_star = (
+        "transform(sequence(1, size(mem)-1), j -> "
+        "named_struct('i', 0, 'j', j))"
+    )
+    idx = f"IF(size(mem) <= {star_cap}, {idx_all}, {idx_star})"
+    pairs_expr = f"transform({idx}, p -> {pair('p.i', 'p.j')})"
+    return (
+        grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.id_a", "p.id_b", "p.jaccard")
         .where(F.col("jaccard") >= threshold)
         # a pair can share both block keys — dedup to one row
         .groupBy("id_a", "id_b")

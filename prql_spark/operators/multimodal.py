@@ -70,25 +70,95 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def _decode_stub(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB decoder — deterministic fake (no codecs in container).
+class MediaCodec:
+    """The pluggable decode seam.
 
-    A real deployment replaces this with PIL/ffmpeg/torchaudio; the
-    signature (bytes in, dims + feature vector out) is the contract.
+    A codec turns an opaque payload into (width, height, features)
+    and optionally re-encodes a downscaled payload. Codec instances
+    are pickled into the mapInPandas closure and run ON THE
+    EXECUTORS, so implementations must be top-level classes whose
+    state is serializable (open library handles lazily inside
+    ``decode``, not in ``__init__``).
     """
-    h = hashlib.sha256(payload if payload is not None else b"").digest()
-    width = 64 + h[0] % 192
-    height = 64 + h[1] % 192
-    feats = [round(b / 255.0, 6) for b in h[:8]]
-    return width, height, feats
+
+    def decode(
+        self, payload: bytes | None, media_type: str
+    ) -> tuple[int, int, list[float]]:
+        raise NotImplementedError
+
+    def resize_payload(
+        self, payload: bytes | None, max_dim: int
+    ) -> bytes | None:
+        """Default resize: payload truncation (a fake; real codecs
+        decode → downscale → re-encode)."""
+        if payload is None:
+            return None
+        return payload[: max_dim * max_dim // 64]
 
 
-def decode_features(media: DataFrame) -> DataFrame:
-    """Decode + feature-extract via Arrow-batched mapInPandas."""
+class Sha256FakeCodec(MediaCodec):
+    """DEFAULT, a deterministic FAKE (no media libs in this
+    container): dims and features derived from sha256 of the payload.
+    Deterministic ⇒ the DuckDB oracle replays it with digest math, so
+    even the fake path is value-checked end to end."""
+
+    def decode(self, payload, media_type):
+        h = hashlib.sha256(payload if payload is not None else b"").digest()
+        width = 64 + h[0] % 192
+        height = 64 + h[1] % 192
+        feats = [round(b / 255.0, 6) for b in h[:8]]
+        return width, height, feats
+
+
+class PillowCodec(MediaCodec):
+    """Real image codec for deployments with Pillow installed —
+    drops into the same seam; import is deferred to the executor."""
+
+    def __init__(self, n_features: int = 8):
+        self.n_features = n_features
+
+    def decode(self, payload, media_type):
+        import io
+
+        try:
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover - no PIL here
+            raise RuntimeError(
+                "PillowCodec requires Pillow on every executor"
+            ) from e
+        if payload is None:
+            return 0, 0, [0.0] * self.n_features
+        img = Image.open(io.BytesIO(payload))
+        w, h = img.size
+        hist = img.convert("L").histogram()
+        step = max(len(hist) // self.n_features, 1)
+        total = float(sum(hist)) or 1.0
+        feats = [
+            round(sum(hist[i : i + step]) / total, 6)
+            for i in range(0, step * self.n_features, step)
+        ]
+        return w, h, feats
+
+
+_DEFAULT_CODEC: MediaCodec = Sha256FakeCodec()
+
+
+def decode_features(
+    media: DataFrame, codec: MediaCodec | None = None
+) -> DataFrame:
+    """Decode + feature-extract via Arrow-batched mapInPandas.
+
+    ``codec`` picks the decoder implementation (default: the
+    deterministic sha256 fake — see :class:`MediaCodec` for the
+    seam contract)."""
+    codec = codec or _DEFAULT_CODEC
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_decode_stub(p) for p in pdf["media"]]
+            decoded = [
+                codec.decode(p, t)
+                for p, t in zip(pdf["media"], pdf["media_type"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -105,16 +175,19 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, DECODED_SCHEMA)
 
 
-def resize(media: DataFrame, max_dim: int = 256) -> DataFrame:
-    """Resize plumbing: STUB transform truncates the payload to
-    simulate downscaling; schema/row-count contract is the real part."""
+def resize(
+    media: DataFrame, max_dim: int = 256, codec: MediaCodec | None = None
+) -> DataFrame:
+    """Resize plumbing through the codec seam (default codec
+    truncates the payload to simulate downscaling); schema and
+    row-count contracts are the real part."""
+    codec = codec or _DEFAULT_CODEC
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
             pdf["media"] = [
-                p[: max_dim * max_dim // 64] if p is not None else None
-                for p in pdf["media"]
+                codec.resize_payload(p, max_dim) for p in pdf["media"]
             ]
             yield pdf
 

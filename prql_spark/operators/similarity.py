@@ -206,12 +206,19 @@ def ivf_train_centroids(
 
 
 def _nearest_expr(vec: str, centroids: list[list[float]]) -> str:
-    """SQL expr: index of the max-cosine centroid for `vec`."""
+    """SQL expr: index of the max-cosine centroid for `vec`.
+
+    The cosine is rounded to 9 decimals before the argmax so the
+    assignment is reproducible across engines (a last-ulp difference
+    in two engines' double summation must not flip a list
+    assignment); ties break to the larger index (struct comparison).
+    """
     structs = []
     for i, c in enumerate(centroids):
         arr = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in c) + ")"
         structs.append(
-            f"named_struct('cos', {cosine_expr(vec, arr)}, 'i', {i})"
+            f"named_struct('cos', round({cosine_expr(vec, arr)}, 9), "
+            f"'i', {i})"
         )
     return f"array_max(array({', '.join(structs)})).i"
 
@@ -237,11 +244,14 @@ def ivf_topk(
                                         id_col=id_col)
     corpus = df.withColumn("__list", F.expr(_nearest_expr(vec_col, centroids)))
     # per-query probe lists: indexes of the nprobe best centroids
+    # (round-9 cosine for cross-engine-reproducible probe order, as
+    # in _nearest_expr)
     probes = []
     for i, c in enumerate(centroids):
         arr = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in c) + ")"
         probes.append(
-            f"named_struct('cos', {cosine_expr('qvec', arr)}, 'i', {i})"
+            f"named_struct('cos', round({cosine_expr('qvec', arr)}, 9), "
+            f"'i', {i})"
         )
     probe_expr = (
         f"transform(slice(reverse(array_sort(array({', '.join(probes)}))), "
@@ -261,11 +271,27 @@ def ivf_topk(
     return _topk_per_query(scored, k, query_id_col, id_col)
 
 
+def occupancy_planes(
+    n_vectors: int, target_bucket: int = 64, lo: int = 4, hi: int = 24
+) -> int:
+    """Plane count sized from the corpus: 2^n_planes buckets ≈
+    n_vectors / target_bucket, clamped to [lo, hi].
+
+    A FIXED plane count is the scale trap: 8 planes = 256 buckets
+    means O(n²/256) candidate pairs and 256-way max join parallelism
+    no matter how big the corpus gets. Occupancy-derived sizing keeps
+    mean bucket size ~constant, so candidate volume grows linearly
+    with the corpus (10⁸ vectors → 21 planes → ~2M buckets)."""
+    import math
+
+    return min(hi, max(lo, math.ceil(math.log2(max(n_vectors / target_bucket, 2.0)))))
+
+
 def embedding_near_dups(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
@@ -273,7 +299,14 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine, LSH-blocked.
 
-    8 planes → 256 buckets; only bucket-colliding pairs are scored.
+    ``n_planes=None`` (default) derives the plane count from a corpus
+    count via :func:`occupancy_planes` — one cheap count job buys a
+    bucket grid that keeps mean occupancy ~constant at any scale. An
+    explicit ``n_planes`` pins the grid (the oracled driver entry
+    does, for a deterministic cross-engine plan).
+
+    n_planes planes → 2^n_planes buckets; only bucket-colliding pairs
+    are scored.
     With ``multiprobe`` the LEFT side of the self-join also probes the
     n_planes Hamming-1 neighbor buckets (one sign bit flipped), so
     pairs whose signatures differ in one bit are still compared —
@@ -285,6 +318,8 @@ def embedding_near_dups(
     produced exactly once — no dedup stage, candidate volume is
     (n_planes+1)× the exact-collision count, not (n_planes+1)².
     """
+    if n_planes is None:
+        n_planes = occupancy_planes(df.count())
     planes = hyperplanes(dim, n_planes, seed)
     b = _bucket_expr(vec_col, planes)
     base = df.select(

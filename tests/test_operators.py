@@ -1,10 +1,10 @@
 """Training-data operator correctness (SURVEY §2 #26-37).
 
-The xxhash64-based signatures (minhash/simhash) can't be oracled in
-DuckDB, so they are verified here against planted near-duplicates:
-the operators must find the planted pairs and not flood with false
-positives. Multimodal plumbing checks schema and batch-shape
-contracts.
+The minhash/simhash signatures are value-oracled against DuckDB in
+the driver contract (md5-derived hashes both engines compute); the
+planted-near-duplicate tests here pin the BEHAVIOR (find the planted
+pairs, don't flood with false positives) independent of any oracle.
+Multimodal plumbing checks schema and batch-shape contracts.
 """
 
 from __future__ import annotations
@@ -623,3 +623,170 @@ def test_profile_decimal_and_date(spark):
     # date columns auto-selected, min/max as strings
     assert out["d"].min_str == "2024-01-01"
     assert out["d"].max_str == "2024-01-10"
+
+
+def test_simhash_mega_bucket_star_guard(spark):
+    """200 identical docs: star_cap bounds per-bucket pair volume to
+    O(n) (pairs with the bucket min only), and distinct docs survive
+    untouched."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(300)]
+    rows = [
+        Row(doc_id=i, text=" ".join(rng.choice(vocab) for _ in range(40)))
+        for i in range(10)
+    ]
+    mega = "one very repetitive boilerplate page scraped many many times"
+    rows += [Row(doc_id=1000 + i, text=mega) for i in range(200)]
+    df = spark.createDataFrame(rows)
+
+    sigs = dedup.simhash_signatures(df)
+    pairs = dedup.simhash_near_pairs(sigs, max_hamming=3, star_cap=16)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # every mega-group pair is a star pair anchored at the min id
+    mega_pairs = {p for p in got if p[0] >= 1000 or p[1] >= 1000}
+    assert {(1000, 1000 + i) for i in range(1, 200)} <= got
+    assert len(mega_pairs) == 199  # O(n), not 200*199/2
+    # uncapped behavior preserved for normal buckets: same pairs among
+    # the 10 distinct docs (expected: none at hamming<=3)
+    assert not {p for p in got if p[0] < 10 and p[1] < 10}
+
+
+def test_ngram_jaccard_mega_block_star_guard(spark):
+    """Identical docs share every block key; star_cap keeps the block
+    from emitting O(n^2) pairs."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=i, text="completely unique document number %d with words" % i)
+        for i in range(5)
+    ]
+    mega = "the same boilerplate text repeated across the whole crawl"
+    rows += [Row(doc_id=1000 + i, text=mega) for i in range(100)]
+    df = spark.createDataFrame(rows)
+
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.8, star_cap=16)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    mega_pairs = {p for p in got if p[0] >= 1000}
+    assert {(1000, 1000 + i) for i in range(1, 100)} == set(
+        {p for p in got if p[0] == 1000}
+    )
+    assert len(mega_pairs) == 99  # star pairs only
+    assert all(v == 1.0 for k, v in got.items() if k[0] >= 1000)
+
+
+def test_occupancy_planes_sizing():
+    from prql_spark.operators.similarity import occupancy_planes
+
+    assert occupancy_planes(500) == 4          # clamp floor
+    assert occupancy_planes(200_000) == 12     # 4096 buckets > 4k
+    assert occupancy_planes(100_000_000) == 21  # ~2M buckets
+    assert occupancy_planes(10**12) == 24      # clamp ceiling
+
+
+def test_embedding_near_dups_occupancy_scaling(spark):
+    """At 200k vectors the auto-sized grid occupies thousands of
+    buckets (vs 256 with the old fixed 8 planes), and because
+    hyperplanes(dim, k) is a PREFIX of hyperplanes(dim, k+m) (same
+    seeded gauss stream), a coarser grid's candidate set is a strict
+    superset — so recall is monotone in plane count and the planted
+    pairs survive auto-sizing."""
+    import numpy as np
+    import pandas as pd
+
+    from prql_spark.operators.similarity import (
+        _bucket_expr,
+        hyperplanes,
+        occupancy_planes,
+    )
+
+    # prefix property that makes recall monotone across grid sizes
+    assert hyperplanes(16, 4) == hyperplanes(16, 12)[:4]
+
+    rng = np.random.default_rng(3)
+    n = 200_000
+    vecs = rng.normal(size=(n, 16)).astype("float32")
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": list(map(list, vecs))}
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    planes = hyperplanes(16, occupancy_planes(n))
+    occupied = (
+        df.selectExpr(f"{_bucket_expr('embedding', planes)} AS b")
+        .agg(F.countDistinct("b").alias("nb"))
+        .collect()[0]
+        .nb
+    )
+    # 12 planes = 4096-cell grid; ~3.7k occupied at dim=16 (hyperplane
+    # cells aren't equiprobable) — an order of magnitude beyond the
+    # 256-bucket ceiling the fixed-8 default imposed
+    assert occupied > 2500
+
+    # recall: auto-sized grid still finds the planted near-dups
+    dup_rows = [
+        Row(vec_id=1_000_000 + i, embedding=[float(x) for x in vecs[i]])
+        for i in range(20)
+    ]
+    small = spark.createDataFrame(
+        pdf.head(2000)
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    planted = small.unionByName(
+        spark.createDataFrame(dup_rows).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+    )
+    found = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dups(
+            planted, dim=16, threshold=0.999
+        ).collect()
+    }
+    assert {(i, 1_000_000 + i) for i in range(20)} <= found
+
+
+def test_media_codec_seam(spark):
+    """The decode seam: a second (non-default) codec drops in and the
+    mapInPandas plumbing honors it — proving a real Pillow/ffmpeg
+    codec is a constructor argument away."""
+    from prql_spark.operators.multimodal import (
+        MediaCodec,
+        Sha256FakeCodec,
+        decode_features,
+        resize,
+        synthesize_media,
+    )
+
+    class FixedCodec(MediaCodec):
+        def decode(self, payload, media_type):
+            n = len(payload) if payload is not None else 0
+            return 320, 240, [float(n), 1.0]
+
+        def resize_payload(self, payload, max_dim):
+            return b"x" * min(max_dim, 4)
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "s", 11), (2, "bye", "s", 3)],
+        "doc_id LONG, text STRING, source STRING, n_chars LONG",
+    )
+    media = synthesize_media(docs)
+    out = {r.media_id: r for r in decode_features(media, FixedCodec()).collect()}
+    assert out[1].width == 320 and out[1].height == 240
+    assert out[1].features == [11.0, 1.0] and out[2].features == [3.0, 1.0]
+    # default codec unchanged (sha256 fake)
+    dflt = {r.media_id: r for r in decode_features(media).collect()}
+    import hashlib
+
+    h = hashlib.sha256(b"hello world").digest()
+    assert dflt[1].width == 64 + h[0] % 192
+    # resize routes through the codec too
+    rz = {r.media_id: bytes(r.media) for r in resize(media, 4, FixedCodec()).collect()}
+    assert rz[1] == b"xxxx"
+    # codecs must survive pickling into the executor closure
+    import pickle
+
+    assert pickle.loads(pickle.dumps(Sha256FakeCodec())).decode(b"a", "x")[0] > 0

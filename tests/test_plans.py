@@ -124,3 +124,37 @@ def test_core_path_has_codegen_no_python(catalog):
     # '*(n)' prefixes mark WholeStageCodegen spans in plan toString
     assert "*(1)" in plan and "*(2)" in plan
     assert "PythonUDF" not in plan and "ArrowEval" not in plan
+
+
+def test_broadcast_miss_lint(catalog, spark):
+    """The lint fires on a join that shuffles a sub-threshold dim and
+    stays silent when the dim is broadcast (the q5-style plan)."""
+    from prql_spark.plans.lint import lint_broadcast_misses
+
+    q = (
+        "from l=lineitem\n"
+        "join n=nation [n_nationkey == l_suppkey]\n"
+        "group [n_name] (aggregate [cnt = count])"
+    )
+    good = compile_prql(q, catalog)
+    assert lint_broadcast_misses(good, warn=False) == []
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # nation joined WITHOUT the catalog broadcast policy and with
+        # auto-broadcast off → SortMergeJoin over a tiny dim
+        from prql_spark.sources.catalog import Catalog
+
+        bare = Catalog(spark, catalog.data_dir, broadcast=frozenset())
+        missed = compile_prql(q, bare)
+        found = lint_broadcast_misses(missed, threshold=10 * 1024 * 1024,
+                                      warn=False)
+        assert found and "SortMergeJoin" in found[0]
+        import pytest
+        from prql_spark.compiler import PrqlPlanWarning
+
+        with pytest.warns(PrqlPlanWarning):
+            lint_broadcast_misses(missed, threshold=10 * 1024 * 1024)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
