@@ -820,13 +820,14 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
 
 
 # The driver hard-checks (row count + schema + value hash vs DuckDB)
-# only the FIRST 50 entries of queries(), in dict order. All 71
+# only the FIRST 50 entries of queries(), in dict order. All 73
 # entries are green locally (scripts/check_entry.py runs every one),
 # so the explicit order below decides which get a driver CORRECTNESS
-# row this round: the 21 entries that have never had one go first,
-# then a representative core (flagship TPC-H, windows, every dedup /
-# ANN / text family). The 21 behind the cutoff all earned green rows
-# in rounds 1-2 and stay covered by the local mimic + pytest.
+# row this round: the 21 entries that have never had one plus the 2
+# new round-3 operators go first, then a representative core
+# (flagship TPC-H, windows, every dedup / ANN / text family). The 23
+# behind the cutoff all earned green rows in rounds 1-2 and stay
+# covered by the local mimic + pytest.
 _DRIVER_ORDER = [
     # -- never driver-checked before round 3 (21)
     "docs_clean_pipeline",
@@ -839,6 +840,7 @@ _DRIVER_ORDER = [
     "text_bm25_rank",
     "text_contamination",
     "text_gopher_flags",
+    "text_repetition_flags",
     "pack_sequences",
     "stratified_sample",
     "split_by_hash",
@@ -847,6 +849,7 @@ _DRIVER_ORDER = [
     "text_strip_boilerplate",
     "events_sessionize",
     "events_dedup_within_watermark",
+    "events_interval_join",
     "skew_salted_aggregate",
     "multimodal_resize",
     "sources_csv_roundtrip",
@@ -860,7 +863,6 @@ _DRIVER_ORDER = [
     "user_func_cte",
     "window_running_total",
     "group_topk",
-    "window_lag_row_number",
     "window_interval_range",
     "dedup_exact",
     "text_token_count",
@@ -877,7 +879,6 @@ _DRIVER_ORDER = [
     "ann_ivf_topk",
     "embedding_near_dups",
     "multimodal_decode",
-    "multimodal_frame_sample",
     "events_hourly_rollup",
     "asof_join_attribution",
     # -- green in r01/r02, behind the 50-entry driver window (21)
@@ -900,7 +901,9 @@ _DRIVER_ORDER = [
     "events_daily_rollup",
     "agg_stddev_minmax",
     "window_dense_rank_first_last",
+    "window_lag_row_number",
     "multimodal_metadata",
+    "multimodal_frame_sample",
     "asof_forward_tolerance",
 ]
 

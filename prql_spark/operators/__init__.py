@@ -208,14 +208,18 @@ WITH g0 AS (
         CAST(CAST(floor(length({NORM}) / 100) AS INT) AS VARCHAR))
     ]) AS blocks
   FROM documents),
-g AS (SELECT doc_id, grams, unnest(blocks) AS block FROM g0)
+g AS (SELECT doc_id, grams, unnest(blocks) AS block FROM g0
+      WHERE len(grams) > 0),
+bk AS (SELECT block, count(*) AS cnt, min(doc_id) AS mn
+       FROM g GROUP BY block HAVING count(*) >= 2)
 SELECT l.doc_id AS id_a, r.doc_id AS id_b,
   any_value(round(len(list_intersect(l.grams, r.grams)) /
         (len(l.grams) + len(r.grams)
          - len(list_intersect(l.grams, r.grams))), 6)) AS jaccard
 FROM g l JOIN g r
   ON l.block = r.block AND l.doc_id < r.doc_id
-WHERE len(l.grams) > 0
+JOIN bk ON bk.block = l.block
+WHERE (bk.cnt <= 64 OR l.doc_id = bk.mn)  -- engine's star_cap mirror
   AND round(len(list_intersect(l.grams, r.grams)) /
         (len(l.grams) + len(r.grams)
          - len(list_intersect(l.grams, r.grams))), 6) >= 0.5
@@ -231,10 +235,36 @@ def q_dedup_minhash(spark, sf_dir):
     return out.select("doc_id").orderBy("doc_id")
 
 
+def _crc32_table() -> list[int]:
+    """The standard CRC-32 (IEEE 802.3, zlib) byte table."""
+    tbl = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        tbl.append(c)
+    return tbl
+
+
+# zlib-exact crc32 of a VARCHAR `s` in DuckDB: utf-8 bytes via
+# hex(encode()), table-driven fold over a `crct(t)` relation the
+# caller joins in (hoisted — inlining the 256-entry literal in the
+# lambda re-builds it per step, measured 160× slower).
+_CRC32_DD = (
+    "xor(list_reduce("
+    "list_prepend(4294967295::UBIGINT, "
+    "list_transform(generate_series(1, length(hex(encode({s})))//2), "
+    "i -> ('0x' || substr(hex(encode({s})), i*2-1, 2))::UBIGINT)), "
+    "(crc, b) -> xor(crc >> 8, t[((xor(crc, b) & 255) + 1)::BIGINT])), "
+    "4294967295::UBIGINT)"
+)
+
+
 def _sql_minhash_dedup() -> str:
     """Full value oracle for dedup_minhash_lsh: DuckDB replays the
-    ENTIRE signature pipeline — md5-prefix 32-bit shingle hashes
-    (why the engine hashes with md5, not crc32: dedup.py:89),
+    ENTIRE signature pipeline — zlib-exact crc32 shingle hashes (the
+    engine keeps crc32, the measured-fastest hash; the oracle
+    reproduces it with a table-driven fold, where speed is free),
     the 64 multiply-shift permutations as HUGEINT mod-2^64 literals
     (numpy's wrapping uint64 exactly), 16×4 banding by slice equality
     (the engine's xxhash64 bucket key only NAMES a band slice; two
@@ -246,19 +276,23 @@ def _sql_minhash_dedup() -> str:
         f"({j}, {a}::HUGEINT, {b}::HUGEINT)"
         for j, (a, b) in enumerate(dedup._perm_params(64, 42))
     )
+    crct = "[" + ", ".join(f"{x}::UBIGINT" for x in _crc32_table()) + "]"
+    crc = _CRC32_DD.format(s="shingle")
     return f"""
 WITH params AS (SELECT * FROM (VALUES {perms}) p(j, a, b)),
+crct AS (SELECT {crct} AS t),
 d AS (
   SELECT doc_id, {NORM} AS t FROM documents
   WHERE length(trim(text)) > 0),
 w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
-sh AS (
-  SELECT DISTINCT doc_id,
-    ('0x' || substr(md5(array_to_string(
-        list_slice(ws, i, i + 4), ' ')), 1, 8))::UBIGINT AS h
+shs AS (
+  SELECT doc_id,
+    array_to_string(list_slice(ws, i, i + 4), ' ') AS shingle
   FROM (SELECT doc_id, ws,
           unnest(generate_series(1, greatest(len(ws) - 5, 0) + 1)) AS i
         FROM w)),
+sh AS (
+  SELECT DISTINCT doc_id, {crc} AS h FROM shs, crct),
 m AS (
   SELECT doc_id, j,
     min((a * h::HUGEINT + b) % 18446744073709551616) AS v
@@ -294,18 +328,22 @@ def q_simhash_pairs(spark, sf_dir):
 
 def _sql_simhash_pairs() -> str:
     """Full value oracle for dedup_simhash_pairs: the engine's 64-bit
-    token hash is two md5-hex halves (dedup.py:_TOKEN_HASH64), so
-    DuckDB reproduces every signature bit: per-token ±1 bit sums,
-    4×16-bit banding by bit-slice equality, star_cap guard, Hamming
-    verification as a differing-bit count over the bit lists."""
+    token hash is two crc32 calls (dedup.py:_TOKEN_HASH64), which
+    DuckDB reproduces with the zlib-exact table fold — so every
+    signature bit replays: per-token ±1 bit sums, 4×16-bit banding by
+    bit-slice equality, star_cap guard, Hamming verification as a
+    differing-bit count over the bit lists."""
+    crct = "[" + ", ".join(f"{x}::UBIGINT" for x in _crc32_table()) + "]"
+    crc_hi = _CRC32_DD.format(s="tk")
+    crc_lo = _CRC32_DD.format(s="(tk || '#')")
     return f"""
-WITH d AS (SELECT doc_id, {NORM} AS t FROM documents),
+WITH crct AS (SELECT {crct} AS t),
+d AS (SELECT doc_id, {NORM} AS t FROM documents),
 tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM d),
 th AS (
   SELECT doc_id,
-    ('0x' || substr(md5(tk), 1, 8))::UBIGINT * 4294967296::UBIGINT
-      + ('0x' || substr(md5(tk), 9, 8))::UBIGINT AS h
-  FROM tok),
+    {crc_hi} * 4294967296::UBIGINT + {crc_lo} AS h
+  FROM tok, crct),
 bit_sums AS (
   SELECT doc_id, b,
     CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
@@ -1014,6 +1052,46 @@ ORDER BY user_id, event_type
 """
 
 
+def q_events_interval_join(spark, sf_dir):
+    """Batch twin of streaming.interval_join (the stream-stream
+    attribution join live-tested in tests/test_streaming.py): each
+    purchase paired with same-user views at most 2 hours before
+    it."""
+    from prql_spark.streaming import interval_join
+
+    ev = Catalog(spark, sf_dir).load("events")
+    views = ev.where("event_type = 'view'").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = ev.where("event_type = 'purchase'").select(
+        "event_id", "ts", "user_id"
+    )
+    out = interval_join(views, purchases, within_seconds=7200)
+    return out.select(
+        F.col("l_event_id").alias("view_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_ts").alias("view_ts"),
+        F.col("r_ts").alias("purchase_ts"),
+    ).orderBy("purchase_id", "view_id")
+
+
+# CAST(ts AS TIMESTAMP) truncates DuckDB's nanosecond parquet reads
+# to the microsecond precision Spark's nanosAsLong conversion keeps,
+# so interval-boundary pairs agree exactly.
+SQL_INTERVAL_JOIN = """
+WITH v AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+      FROM events WHERE event_type = 'purchase')
+SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+  v.user_id AS user_id, v.ts AS view_ts, p.ts AS purchase_ts
+FROM v JOIN p ON v.user_id = p.user_id
+  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 7200 SECOND
+ORDER BY purchase_id, view_id
+"""
+
+
 SQL_SESSIONIZE = """
 WITH g AS (
   SELECT user_id, ts, event_id, value,
@@ -1318,6 +1396,84 @@ GROUP BY dg.doc_id ORDER BY dg.doc_id
 """
 
 
+_REP_PLANT = (
+    "CASE WHEN doc_id % 7 = 0 THEN "
+    "concat_ws('\\n', text, text, text, 'unique tail line') "
+    "WHEN doc_id % 11 = 0 THEN "
+    "concat(text, ' click here click here click here click here') "
+    "ELSE text END"
+)
+
+_REP_PLANT_DD = """
+CASE WHEN doc_id % 7 = 0 THEN
+  concat_ws(chr(10), text, text, text, 'unique tail line')
+WHEN doc_id % 11 = 0 THEN
+  concat(text, ' click here click here click here click here')
+ELSE text END
+"""
+
+
+def q_repetition_flags(spark, sf_dir):
+    """Gopher repetition rules over documents with planted repetition
+    (docs %7: duplicated lines, %11: a hammered 2-gram) so every rule
+    fires on some rows and the oracle checks real discrimination."""
+    docs = _docs(spark, sf_dir).withColumn("text", F.expr(_REP_PLANT))
+    out = text.repetition_flags(docs)
+    return out.select(
+        "doc_id",
+        "dup_line_frac",
+        "top_2gram_char_frac",
+        "dup_5gram_char_frac",
+        "flag_dup_lines",
+        "flag_top_2gram",
+        "flag_dup_5gram",
+        "passes_repetition",
+    ).orderBy("doc_id")
+
+
+SQL_REPETITION = f"""
+WITH d AS (
+  SELECT doc_id, {_REP_PLANT_DD} AS text FROM documents),
+base AS (
+  SELECT doc_id, text,
+    list_filter(list_transform(string_split(text, chr(10)),
+      x -> trim(x)), x -> x != '') AS lines,
+    string_split_regex(lower(trim(text)), '\\s+') AS ws,
+    greatest(length(text), 1) AS nc
+  FROM d),
+g AS (
+  SELECT doc_id, lines, ws, nc,
+    list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
+      i -> array_to_string(list_slice(ws, i, i + 1), ' ')) AS g2,
+    list_transform(generate_series(1, greatest(len(ws) - 4, 1)),
+      i -> array_to_string(list_slice(ws, i, i + 4), ' ')) AS g5
+  FROM base),
+f AS (
+  SELECT doc_id,
+    round(CASE WHEN len(lines) = 0 THEN 0.0 ELSE
+      (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines)
+      END, 6) AS dup_line_frac,
+    round(CASE WHEN len(ws) < 2 THEN 0.0 ELSE
+      list_max(list_transform(list_distinct(g2),
+        g -> len(list_filter(g2, x -> x = g)) * length(g))) * 1.0 / nc
+      END, 6) AS top_2gram_char_frac,
+    round(CASE WHEN len(ws) < 5 THEN 0.0 ELSE
+      list_sum(list_transform(list_distinct(g5),
+        g -> CASE WHEN len(list_filter(g5, x -> x = g)) > 1
+          THEN len(list_filter(g5, x -> x = g)) * length(g)
+          ELSE 0 END)) * 1.0 / nc
+      END, 6) AS dup_5gram_char_frac
+  FROM g)
+SELECT doc_id, dup_line_frac, top_2gram_char_frac, dup_5gram_char_frac,
+  dup_line_frac <= 0.30 AS flag_dup_lines,
+  top_2gram_char_frac <= 0.20 AS flag_top_2gram,
+  dup_5gram_char_frac <= 0.15 AS flag_dup_5gram,
+  (dup_line_frac <= 0.30 AND top_2gram_char_frac <= 0.20
+   AND dup_5gram_char_frac <= 0.15) AS passes_repetition
+FROM f ORDER BY doc_id
+"""
+
+
 def q_gopher_flags(spark, sf_dir):
     out = text.gopher_quality_flags(_docs(spark, sf_dir))
     return out.select(
@@ -1442,6 +1598,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_strip_boilerplate": q_strip_boilerplate,
         "events_sessionize": q_sessionize,
         "events_dedup_within_watermark": q_events_dedup,
+        "events_interval_join": q_events_interval_join,
         "docs_clean_pipeline": q_docs_clean_pipeline,
         "sketch_distinct_users": q_sketch_distinct,
         "sketch_value_median": q_sketch_quantile,
@@ -1453,6 +1610,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_rank": q_bm25_rank,
         "text_contamination": q_contamination,
         "text_gopher_flags": q_gopher_flags,
+        "text_repetition_flags": q_repetition_flags,
         "profile_orders": q_profile_orders,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -1494,6 +1652,7 @@ def entry_oracles() -> dict[str, str]:
         "text_strip_boilerplate": SQL_STRIP_BOILERPLATE,
         "events_sessionize": SQL_SESSIONIZE,
         "events_dedup_within_watermark": SQL_EVENTS_DEDUP,
+        "events_interval_join": SQL_INTERVAL_JOIN,
         "docs_clean_pipeline": _docs_pipeline_sql(),
         "sketch_distinct_users": SQL_SKETCH_DISTINCT,
         "sketch_value_median": SQL_SKETCH_QUANTILE,
@@ -1505,6 +1664,7 @@ def entry_oracles() -> dict[str, str]:
         "text_bm25_rank": _sql_bm25(),
         "text_contamination": SQL_CONTAMINATION,
         "text_gopher_flags": SQL_GOPHER,
+        "text_repetition_flags": SQL_REPETITION,
         "profile_orders": SQL_PROFILE_ORDERS,
         "stratified_sample": _sql_stratified(),
         "pack_sequences": SQL_PACK_SEQUENCES,

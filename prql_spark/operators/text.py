@@ -420,3 +420,86 @@ def pack_sequences(
         )
         .drop("__cum")
     )
+
+
+def repetition_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.30,
+    max_top_2gram_char_frac: float = 0.20,
+    max_dup_5gram_char_frac: float = 0.15,
+) -> DataFrame:
+    """Gopher repetition-removal rules (Rae et al. 2021, table A1) —
+    the WITHIN-document repetition complement to the cross-document
+    dedup family:
+
+    - ``dup_line_frac``: fraction of lines that repeat an earlier
+      line ((n_lines - n_distinct) / n_lines);
+    - ``top_2gram_char_frac``: characters covered by the most common
+      word 2-gram (count x gram length / doc chars);
+    - ``dup_5gram_char_frac``: characters covered by word 5-grams
+      occurring more than once.
+
+    Each fraction gets a boolean flag (true = passes, consistent with
+    gopher_quality_flags) + ``passes_repetition`` AND. All pure
+    higher-order array expressions over one projection — a narrow
+    map, no shuffle, linear at 100 TB. Per-doc cost is
+    O(distinct-grams x grams), bounded by document length.
+    """
+    lines = (
+        f"filter(transform(split({text_col}, '\\\\n'), "
+        f"x -> trim(x)), x -> x != '')"
+    )
+    words = _words(text_col)
+
+    def grams_expr(n: int) -> str:
+        return (
+            f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)), "
+            f"i -> concat_ws(' ', slice({words}, i, {n})))"
+        )
+
+    n_chars = f"greatest(length({text_col}), 1)"
+    dup_line = (
+        f"CASE WHEN size({lines}) = 0 THEN 0.0 ELSE "
+        f"(size({lines}) - size(array_distinct({lines}))) "
+        f"/ CAST(size({lines}) AS DOUBLE) END"
+    )
+    g2, g5 = grams_expr(2), grams_expr(5)
+    top2 = (
+        f"CASE WHEN size({words}) < 2 THEN 0.0 ELSE "
+        f"array_max(transform(array_distinct({g2}), g -> "
+        f"size(filter({g2}, x -> x = g)) * length(g))) "
+        f"/ CAST({n_chars} AS DOUBLE) END"
+    )
+    dup5 = (
+        f"CASE WHEN size({words}) < 5 THEN 0.0 ELSE "
+        f"aggregate(transform(array_distinct({g5}), g -> "
+        f"named_struct('c', size(filter({g5}, x -> x = g)), "
+        f"'l', length(g))), 0L, "
+        f"(acc, s) -> acc + IF(s.c > 1, CAST(s.c * s.l AS BIGINT), 0L)) "
+        f"/ CAST({n_chars} AS DOUBLE) END"
+    )
+    out = df.withColumns(
+        {
+            "dup_line_frac": F.expr(f"round({dup_line}, 6)"),
+            "top_2gram_char_frac": F.expr(f"round({top2}, 6)"),
+            "dup_5gram_char_frac": F.expr(f"round({dup5}, 6)"),
+        }
+    ).withColumns(
+        {
+            "flag_dup_lines": F.expr(
+                f"dup_line_frac <= {max_dup_line_frac}"
+            ),
+            "flag_top_2gram": F.expr(
+                f"top_2gram_char_frac <= {max_top_2gram_char_frac}"
+            ),
+            "flag_dup_5gram": F.expr(
+                f"dup_5gram_char_frac <= {max_dup_5gram_char_frac}"
+            ),
+        }
+    )
+    return out.withColumn(
+        "passes_repetition",
+        F.expr("flag_dup_lines AND flag_top_2gram AND flag_dup_5gram"),
+    )

@@ -224,3 +224,39 @@ def dedup_streaming(
             ts_col, watermark
         ).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    within_seconds: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream (or batch-twin) interval join: pair each RIGHT
+    row with same-key LEFT rows whose timestamp precedes it by at
+    most ``within_seconds`` — the attribution join (view -> purchase
+    within 10 minutes).
+
+    Columns come back prefixed ``l_`` / ``r_`` so the two sides never
+    collide. When either input is streaming, both sides get
+    watermarks and the time-range predicate is exactly what Spark's
+    state-cleanup needs: each side's buffer holds only
+    ``watermark + within`` of data, so state is bounded no matter how
+    long the streams run — the canonical Structured Streaming
+    stream-stream join shape.
+    """
+    lsel = left.select([F.col(c).alias(f"l_{c}") for c in left.columns])
+    rsel = right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
+    if left.isStreaming:
+        lsel = lsel.withWatermark(f"l_{left_ts}", watermark)
+    if right.isStreaming:
+        rsel = rsel.withWatermark(f"r_{right_ts}", watermark)
+    cond = F.expr(
+        f"l_{by} = r_{by} "
+        f"AND r_{right_ts} >= l_{left_ts} "
+        f"AND r_{right_ts} <= l_{left_ts} + INTERVAL {within_seconds} SECOND"
+    )
+    return lsel.join(rsel, on=cond, how="inner")

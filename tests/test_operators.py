@@ -790,3 +790,32 @@ def test_media_codec_seam(spark):
     import pickle
 
     assert pickle.loads(pickle.dumps(Sha256FakeCodec())).decode(b"a", "x")[0] > 0
+
+
+def test_repetition_flags_planted(spark):
+    from pyspark.sql import Row
+
+    from prql_spark.operators import text as t
+
+    clean = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(20))
+    out = {
+        r.doc_id: r
+        for r in t.repetition_flags(
+            spark.createDataFrame(
+                [
+                    Row(doc_id=1, text=clean),
+                    # 3 of 4 lines are copies of line 1
+                    Row(doc_id=2, text="same line\nsame line\nsame line\nother"),
+                    # one hammered 2-gram dominates the characters
+                    Row(doc_id=3, text="click here " * 30 + "tail"),
+                    # duplicated 5-grams (text repeated twice)
+                    Row(doc_id=4, text=(clean + " " + clean)),
+                ]
+            )
+        ).collect()
+    }
+    assert out[1].passes_repetition
+    assert out[2].dup_line_frac == 0.5 and not out[2].flag_dup_lines
+    assert out[3].top_2gram_char_frac > 0.2 and not out[3].flag_top_2gram
+    assert out[4].dup_5gram_char_frac > 0.15 and not out[4].flag_dup_5gram
+    assert not out[2].passes_repetition
