@@ -72,6 +72,18 @@ def main():
     for name, mode in HEADLINE.items():
         fn = qs[name]
         for target in (cold, times):
+            # Before every measured run (OUTSIDE the timed region):
+            # force a JVM GC so the ContextCleaner drops dead
+            # broadcasts and the heap starts clean. Measured on this
+            # host: without it, whatever runs 14th-16th in the
+            # session degrades 3-10x (ann 0.8->7.8s, order-
+            # independent — reversing HEADLINE moved the spike to
+            # q5), and the minhash UDF query swings 1.3->13s purely
+            # on heap state; with it, every position times like a
+            # fresh session (minhash 1.3s +/- 0.1 across repeats).
+            # Keeps the benchmark about plan quality, not heap
+            # entropy.
+            spark._jvm.System.gc()
             t0 = time.time()
             df = fn(spark, SF_DIR)
             if mode == "count":
