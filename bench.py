@@ -52,6 +52,9 @@ HEADLINE = {
     "docs_clean_pipeline": "count",
     "asof_join_attribution": "count",
     "sketch_distinct_users": "collect",
+    # round-3 additions
+    "text_repetition_flags": "count",
+    "events_interval_join": "count",
 }
 
 

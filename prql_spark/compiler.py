@@ -83,6 +83,9 @@ def _extended_transforms() -> dict:
         "redact_pii": splits.redact_pii,
         "strip_boilerplate": splits.strip_boilerplate,
         "sessionize": sessionize,
+        "gopher_quality_flags": text.gopher_quality_flags,
+        "repetition_flags": text.repetition_flags,
+        "bm25_rank": text.bm25_rank,
     }
 
 
@@ -300,9 +303,15 @@ class Compiler:
                 kwargs[k] = v.value
             elif isinstance(v, Ident):
                 kwargs[k] = v.name
+            elif isinstance(v, ListExpr) and all(
+                isinstance(e, Lit) for e in v.items
+            ):
+                # list-of-literal args (e.g. bm25_rank query:["a","b"])
+                kwargs[k] = [e.value for e in v.items]
             else:
                 raise PrqlCompileError(
-                    f"{name}: named arg {k} must be a literal or identifier"
+                    f"{name}: named arg {k} must be a literal, identifier,"
+                    f" or list of literals"
                 )
         self.df = fn(self.df, **kwargs)
         # operators may add/drop columns — rebuild the bare-name scope,

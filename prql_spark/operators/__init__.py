@@ -2,10 +2,11 @@
 
 ``entry_queries()`` / ``entry_oracles()`` feed __spark_entry__.py:
 each operator gets a (spark, sf_dir) callable and a DuckDB oracle —
-since round 3 EVERY entry is value-oracled: minhash/simhash moved to
-md5-derived hashes DuckDB can replay, IVF searches with pretrained
-centroid literals, and even the multimodal fake decoder is
-value-oracled (sha256-deterministic).
+since round 3 EVERY entry is value-oracled: the oracle replays the
+minhash/simhash signature pipelines exactly (zlib crc32 as a
+table-driven list_reduce fold, permutations in HUGEINT mod-2^64),
+IVF searches with pretrained centroid literals, and even the
+multimodal fake decoder is value-oracled (sha256-deterministic).
 """
 
 from __future__ import annotations

@@ -94,9 +94,13 @@ def main():
 
     def run(name, fn, drain="count"):
         # first run pays per-plan compile + worker spin-up (cold);
-        # second is the number that scales with data (steady)
+        # second is the number that scales with data (steady).
+        # GC before each timed run (outside the timing), same
+        # measurement hygiene as bench.py: heap state otherwise
+        # swings the heavy queries 2-10x.
         secs = []
         for _ in range(2):
+            spark._jvm.System.gc()
             t = time.time()
             df = fn()
             rows = df.count() if drain == "count" else len(df.collect())
@@ -111,6 +115,19 @@ def main():
         ),
         "dedup_minhash_lsh": run(
             "minhash", lambda: dedup.dedup_minhash_lsh(big)
+        ),
+        # round-3 guarded ops: the exact-dup-heavy corpus (every 20th
+        # copy verbatim -> 25k-doc exact-dup classes) is precisely the
+        # mega-bucket case star_cap bounds to O(n) pairs
+        "simhash_pairs": run(
+            "simhash",
+            lambda: dedup.simhash_near_pairs(
+                dedup.simhash_signatures(big), max_hamming=3
+            ),
+        ),
+        "ngram_jaccard_pairs": run(
+            "ngram_jaccard",
+            lambda: dedup.ngram_jaccard_pairs(big, threshold=0.8),
         ),
     }
 
@@ -137,6 +154,21 @@ def main():
         "ann_lsh",
         lambda: similarity.lsh_topk(vecs, queries, dim=64, k=10),
         drain="collect",
+    )
+    # occupancy-derived blocking (round 3): n_planes=None sizes the
+    # grid from the corpus count — record the chosen plane count too
+    res["near_dup_planes"] = similarity.occupancy_planes(
+        res["n_vectors"]
+    )
+    # tight-threshold DEDUP workload: near-identical vectors land in
+    # the same bucket, so Hamming-1 multiprobe's 13x candidate cost
+    # buys ~nothing here — probe only for loose-threshold recall
+    # (the oracled entry keeps multiprobe=True at threshold 0.35)
+    res["embedding_near_dups"] = run(
+        "near_dups",
+        lambda: similarity.embedding_near_dups(
+            vecs, dim=64, threshold=0.98, multiprobe=False
+        ),
     )
     print(json.dumps(res))
     spark.stop()

@@ -516,3 +516,38 @@ sort [o_custkey]
         WHERE lg IS NULL ORDER BY o_custkey
         """,
     )
+
+
+def test_new_operators_prql_callable(catalog):
+    """Round-3 operators compose as PRQL steps, including the
+    list-of-literals named arg (bm25 query terms)."""
+    df = compile_prql(
+        "from documents\n"
+        "repetition_flags\n"
+        "filter passes_repetition\n"
+        "gopher_quality_flags\n"
+        "select [doc_id, passes_gopher]\n"
+        "sort [doc_id]\n"
+        "take 10",
+        catalog,
+    )
+    rows = df.collect()
+    assert len(rows) == 10 and {r.doc_id for r in rows} == set(range(10))
+
+    ranked = compile_prql(
+        'from documents\nbm25_rank query:["table", "scan"] top_n:5',
+        catalog,
+    ).collect()
+    assert len(ranked) == 5
+    assert [r.bm25 for r in ranked] == sorted(
+        (r.bm25 for r in ranked), reverse=True
+    )
+
+    import pytest
+
+    from prql_spark.compiler import PrqlCompileError
+
+    with pytest.raises(PrqlCompileError, match="list of literals"):
+        compile_prql(
+            "from documents\nbm25_rank query:[doc_id]", catalog
+        )

@@ -819,3 +819,46 @@ def test_repetition_flags_planted(spark):
     assert out[3].top_2gram_char_frac > 0.2 and not out[3].flag_top_2gram
     assert out[4].dup_5gram_char_frac > 0.15 and not out[4].flag_dup_5gram
     assert not out[2].passes_repetition
+
+
+def test_simhash_udf_matches_sql_formulation(spark, catalog):
+    """The numpy simhash UDF must produce bit-identical signatures to
+    the declarative SQL definition it replaced (which the DuckDB
+    oracle still replays)."""
+    from prql_spark.operators.dedup import _TOKEN_HASH64
+
+    docs = catalog.load("documents").limit(100)
+    norm = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
+    toks = f"split({norm}, ' ')"
+    th = f"transform({toks}, t -> {_TOKEN_HASH64.format(t='t')})"
+    bits = (
+        "transform(sequence(0, 63), b -> "
+        "CASE WHEN aggregate(__th, 0L, (acc, h) -> "
+        "acc + IF((shiftrightunsigned(h, b) & 1) = 1, 1L, -1L)) > 0 "
+        "THEN 1L ELSE 0L END)"
+    )
+    pack = (
+        "aggregate(zip_with(__bits, sequence(0, 63), "
+        "(bit, i) -> shiftleft(bit, i)), 0L, (acc, v) -> acc | v)"
+    )
+    sql_sigs = {
+        r.doc_id: r.simhash
+        for r in docs.selectExpr("doc_id", f"{th} AS __th")
+        .selectExpr("doc_id", f"{bits} AS __bits")
+        .selectExpr("doc_id", f"{pack} AS simhash")
+        .collect()
+    }
+    udf_sigs = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_signatures(docs).collect()
+    }
+    assert udf_sigs == sql_sigs and len(udf_sigs) == 100
+    # null text -> null signature in both
+    from pyspark.sql import Row
+
+    nulls = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r.simhash for r in dedup.simhash_signatures(nulls).collect()}
+    assert got[1] is None and got[2] is not None
