@@ -853,24 +853,26 @@ _DRIVER_ORDER = [
     "skew_salted_aggregate",
     "multimodal_resize",
     "sources_csv_roundtrip",
-    # -- representative core, green in r01/r02 (29)
+    # -- new in round 3, never driver-checked (5)
+    "dedup_minhash_clusters",
+    "semdedup_prune",
+    "text_unigram_logprob",
+    "dedup_incremental",
+    "sample_per_group",
+    # -- representative core, green in r01/r02 (22)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
-    "q6_forecast_revenue",
     "q8_market_share",
     "top_customers_left_join",
     "user_func_cte",
     "window_running_total",
     "group_topk",
-    "window_interval_range",
     "dedup_exact",
     "text_token_count",
     "text_quality_score",
     "text_lang_id",
-    "text_fingerprint",
     "dedup_ngram_jaccard",
-    "text_ngram_counts",
     "text_doc_frequency",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
@@ -879,9 +881,13 @@ _DRIVER_ORDER = [
     "ann_ivf_topk",
     "embedding_near_dups",
     "multimodal_decode",
-    "events_hourly_rollup",
     "asof_join_attribution",
-    # -- green in r01/r02, behind the 50-entry driver window (21)
+    # -- green in r01/r02, behind the 50-entry driver window (26)
+    "q6_forecast_revenue",
+    "window_interval_range",
+    "text_fingerprint",
+    "text_ngram_counts",
+    "events_hourly_rollup",
     "q4_order_priority",
     "q12_shipmode_priority",
     "q14_promo_revenue",

@@ -86,6 +86,7 @@ def _extended_transforms() -> dict:
         "gopher_quality_flags": text.gopher_quality_flags,
         "repetition_flags": text.repetition_flags,
         "bm25_rank": text.bm25_rank,
+        "sample_per_group": splits.sample_per_group,
     }
 
 
@@ -304,10 +305,14 @@ class Compiler:
             elif isinstance(v, Ident):
                 kwargs[k] = v.name
             elif isinstance(v, ListExpr) and all(
-                isinstance(e, Lit) for e in v.items
+                isinstance(e, (Lit, Ident)) for e in v.items
             ):
-                # list-of-literal args (e.g. bm25_rank query:["a","b"])
-                kwargs[k] = [e.value for e in v.items]
+                # list args of literals (bm25_rank query:["a","b"]) or
+                # column names (sample_per_group group_cols:[lang])
+                kwargs[k] = [
+                    e.value if isinstance(e, Lit) else e.name
+                    for e in v.items
+                ]
             else:
                 raise PrqlCompileError(
                     f"{name}: named arg {k} must be a literal, identifier,"

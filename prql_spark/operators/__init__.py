@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from prql_spark.operators import (
     asof,
     dedup,
+    graph,
     multimodal,
     similarity,
     sketches,
@@ -26,7 +27,8 @@ from prql_spark.operators import (
 )
 from prql_spark.sources.catalog import Catalog
 
-NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"  # duckdb
+NORM_T = "lower(regexp_replace(trim({t}), '\\s+', ' ', 'g'))"  # duckdb
+NORM = NORM_T.format(t="text")
 WORDS_DD = f"string_split({NORM}, ' ')"
 
 
@@ -261,26 +263,20 @@ _CRC32_DD = (
 )
 
 
-def _sql_minhash_dedup() -> str:
-    """Full value oracle for dedup_minhash_lsh: DuckDB replays the
-    ENTIRE signature pipeline — zlib-exact crc32 shingle hashes (the
-    engine keeps crc32, the measured-fastest hash; the oracle
-    reproduces it with a table-driven fold, where speed is free),
-    the 64 multiply-shift permutations as HUGEINT mod-2^64 literals
-    (numpy's wrapping uint64 exactly), 16×4 banding by slice equality
-    (the engine's xxhash64 bucket key only NAMES a band slice; two
-    docs share a bucket iff their slices are equal, which DuckDB can
-    group on directly), the star_cap mega-bucket guard (pair only
-    with the bucket min when over cap), est-jaccard verification, and
-    the keep-min-id anti-join."""
+def _minhash_band_ctes() -> str:
+    """The shared WITH-clause prefix that replays the minhash
+    signature pipeline in DuckDB through the banded signatures
+    (`bands`): zlib-exact crc32 shingle hashes, the 64 multiply-shift
+    permutations as HUGEINT mod-2^64, 16×4 banding by slice equality.
+    Composed by both the dedup oracle (adds star-cap + keep-min) and
+    the cluster oracle (adds pair extraction + recursive closure)."""
     perms = ", ".join(
         f"({j}, {a}::HUGEINT, {b}::HUGEINT)"
         for j, (a, b) in enumerate(dedup._perm_params(64, 42))
     )
     crct = "[" + ", ".join(f"{x}::UBIGINT" for x in _crc32_table()) + "]"
     crc = _CRC32_DD.format(s="shingle")
-    return f"""
-WITH params AS (SELECT * FROM (VALUES {perms}) p(j, a, b)),
+    return f"""params AS (SELECT * FROM (VALUES {perms}) p(j, a, b)),
 crct AS (SELECT {crct} AS t),
 d AS (
   SELECT doc_id, {NORM} AS t FROM documents
@@ -301,7 +297,21 @@ m AS (
 sigl AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM m GROUP BY doc_id),
 bands AS (
   SELECT doc_id, sig, b, list_slice(sig, b * 4 + 1, b * 4 + 4) AS bslice
-  FROM (SELECT doc_id, sig, unnest(generate_series(0, 15)) AS b FROM sigl)),
+  FROM (SELECT doc_id, sig, unnest(generate_series(0, 15)) AS b FROM sigl))"""
+
+
+def _sql_minhash_dedup() -> str:
+    """Full value oracle for dedup_minhash_lsh: DuckDB replays the
+    ENTIRE signature pipeline (see _minhash_band_ctes — the engine
+    keeps crc32, the measured-fastest hash; the oracle reproduces it
+    with a table-driven fold, where speed is free; the engine's
+    xxhash64 bucket key only NAMES a band slice, and two docs share a
+    bucket iff their slices are equal, which DuckDB groups on
+    directly), then the star_cap mega-bucket guard (pair only with
+    the bucket min when over cap), est-jaccard verification, and the
+    keep-min-id anti-join."""
+    return f"""
+WITH {_minhash_band_ctes()},
 bk AS (
   SELECT b, bslice, count(*) AS cnt, min(doc_id) AS mn
   FROM bands GROUP BY b, bslice HAVING count(*) >= 2),
@@ -1571,6 +1581,165 @@ FROM ev GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_minhash_clusters(spark, sf_dir):
+    """Cluster-granular dedup: minhash near-dup pairs → distributed
+    connected components → (doc_id, cluster_id) labels. The
+    transitive closure a pairwise keep-min policy silently skips."""
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+    pairs = dedup.minhash_lsh_pairs(sigs, threshold=0.5)
+    return graph.dedup_clusters(pairs).orderBy("doc_id")
+
+
+def _sql_minhash_clusters() -> str:
+    """Oracle: the shared minhash signature replay, verified pairs
+    (no star cap — the pairs API emits all within-bucket pairs), then
+    min-reachable-id per node via a recursive transitive closure:
+    exactly the fixpoint the engine's label propagation converges
+    to."""
+    return f"""
+WITH RECURSIVE {_minhash_band_ctes()},
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l
+  JOIN bands r ON l.b = r.b AND l.bslice = r.bslice
+              AND l.doc_id < r.doc_id
+  WHERE len(list_filter(generate_series(1, 64),
+            i -> l.sig[i] = r.sig[i])) / 64.0 >= 0.5),
+e AS (SELECT id_a AS u, id_b AS v FROM cand
+      UNION SELECT id_b, id_a FROM cand),
+reach(n, m) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT e.v, reach.m FROM reach JOIN e ON e.u = reach.n)
+SELECT n AS doc_id, min(m) AS cluster_id
+FROM reach GROUP BY n ORDER BY doc_id
+"""
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup pruning with the PRETRAINED coarse quantizer (same
+    centroid literals as ann_ivf_topk — train once, prune many
+    shards). 0.35 for the same reason as embedding_near_dups: the
+    synthetic vectors top out near cosine 0.48."""
+    from prql_spark.operators._ivf_centroids import CENTROIDS
+
+    out = similarity.semdedup(
+        _embs(spark, sf_dir), dim=64, centroids=CENTROIDS, threshold=0.35
+    )
+    return out.select("vec_id", "label").orderBy("vec_id")
+
+
+def _sql_semdedup() -> str:
+    """Oracle: same centroid literals + round-9 argmax assignment as
+    the IVF oracle, within-cluster pairs at round-6 cosine >= 0.35,
+    keep-min anti-join."""
+    from prql_spark.operators._ivf_centroids import CENTROIDS
+
+    cent_rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(CENTROIDS)
+    )
+    cos_dc = _cos_dd("d.embedding", "c.c")
+    cos_lr = _cos_dd("l.embedding", "r.embedding")
+    return f"""
+WITH cent AS (SELECT * FROM (VALUES {cent_rows}) c(i, c)),
+assign AS (
+  SELECT vec_id, embedding, i,
+    row_number() OVER (PARTITION BY vec_id
+      ORDER BY cs DESC, i DESC) AS rk
+  FROM (SELECT d.vec_id, d.embedding, c.i,
+          round({cos_dc}, 9) AS cs
+        FROM embeddings d CROSS JOIN cent c)),
+corpus AS (SELECT vec_id, embedding, i AS lst FROM assign WHERE rk = 1),
+losers AS (
+  SELECT DISTINCT r.vec_id
+  FROM corpus l JOIN corpus r
+    ON l.lst = r.lst AND l.vec_id < r.vec_id
+  WHERE round({cos_lr}, 6) >= 0.35)
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM losers w WHERE w.vec_id = e.vec_id)
+ORDER BY e.vec_id
+"""
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality scoring: corpus unigram model
+    (top-128 vocab collected once — the pretrained-tiny-model
+    pattern), then a zero-shuffle literal-map scoring pass."""
+    docs = _docs(spark, sf_dir)
+    vocab, total = text.unigram_vocab(docs, top_v=128)
+    out = text.unigram_logprob(docs, vocab, total)
+    return out.select("doc_id", "lm_tokens", "lm_logprob").orderBy("doc_id")
+
+
+SQL_UNIGRAM = """
+WITH tok AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id,
+          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+  WHERE w != ''),
+cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT sum(c) AS t FROM cnt),
+vocab AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 128),
+vn AS (SELECT count(*) AS v FROM vocab),
+scored AS (
+  SELECT tok.doc_id, count(*) AS n,
+    round(avg(ln((coalesce(vocab.c, 0) + 1) / (tot.t + vn.v + 1))), 6)
+      AS lp
+  FROM tok LEFT JOIN vocab USING (w), tot, vn
+  GROUP BY tok.doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(s.n, 0) AS BIGINT) AS lm_tokens,
+  s.lp AS lm_logprob
+FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Ingestion-increment dedup: the incoming batch carries fresh
+    docs AND re-crawled copies of corpus docs (same text, new ids);
+    dedup_against drops exactly the re-crawls via a key-only
+    anti-join against the reference corpus."""
+    docs = _docs(spark, sf_dir)
+    ref = docs.where("doc_id % 3 = 0")
+    recrawl = ref.withColumn("doc_id", F.expr("doc_id + 100000"))
+    incoming = docs.where("doc_id % 3 != 0").unionByName(recrawl)
+    out = dedup.dedup_against(incoming, ref, broadcast_ref=True)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH ref AS (SELECT md5({NORM}) AS k FROM documents WHERE doc_id % 3 = 0),
+incoming AS (
+  SELECT doc_id, text, source FROM documents WHERE doc_id % 3 != 0
+  UNION ALL
+  SELECT doc_id + 100000, text, source FROM documents WHERE doc_id % 3 = 0)
+SELECT doc_id, source FROM incoming i
+WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.k = md5({NORM_T.format(t="i.text")}))
+ORDER BY doc_id
+"""
+
+
+def q_sample_per_group(spark, sf_dir):
+    """Deterministic exactly-5-per-(lang, source) eval sample."""
+    out = splits.sample_per_group(
+        _docs(spark, sf_dir), ["lang", "source"], k=5, key_col="doc_id"
+    )
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+SQL_SAMPLE_PER_GROUP = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+    row_number() OVER (PARTITION BY lang, source
+      ORDER BY md5(concat('', CAST(doc_id AS VARCHAR))), doc_id) AS rk
+  FROM documents)
+WHERE rk <= 5 ORDER BY doc_id
+"""
+
+
 def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -1616,6 +1785,11 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "sources_upsert_merge": q_upsert_merge,
+        "dedup_minhash_clusters": q_minhash_clusters,
+        "semdedup_prune": q_semdedup,
+        "text_unigram_logprob": q_unigram_logprob,
+        "dedup_incremental": q_dedup_incremental,
+        "sample_per_group": q_sample_per_group,
     }
 
 
@@ -1670,4 +1844,9 @@ def entry_oracles() -> dict[str, str]:
         "stratified_sample": _sql_stratified(),
         "pack_sequences": SQL_PACK_SEQUENCES,
         "sources_upsert_merge": SQL_UPSERT_MERGE,
+        "dedup_minhash_clusters": _sql_minhash_clusters(),
+        "semdedup_prune": _sql_semdedup(),
+        "text_unigram_logprob": SQL_UNIGRAM,
+        "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+        "sample_per_group": SQL_SAMPLE_PER_GROUP,
     }

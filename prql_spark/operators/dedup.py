@@ -250,13 +250,22 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    star_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs from banded minhash signatures.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b and estimated
     Jaccard (fraction of matching minhash components) >= threshold.
+
+    ``star_cap``: over-cap buckets emit hub-and-spoke pairs against
+    the bucket min instead of all-pairs (O(n) not O(n²)). For
+    connected-components consumers the star edges carry the SAME
+    connectivity for signature-homogeneous buckets — set it whenever
+    the corpus may hold huge exact-dup classes.
     """
-    raw = _minhash_raw_pairs(sigs, id_col, num_perm, bands, threshold)
+    raw = _minhash_raw_pairs(
+        sigs, id_col, num_perm, bands, threshold, star_cap=star_cap
+    )
     # a pair colliding in k bands appears k times; the group-by is the
     # dedup (est_jaccard is identical for every occurrence)
     return raw.groupBy("id_a", "id_b").agg(
@@ -296,6 +305,40 @@ def dedup_minhash_lsh(
     # pair-level group-by would be a wasted extra exchange here
     losers = raw.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+    broadcast_ref: bool = False,
+) -> DataFrame:
+    """Incremental exact dedup: drop rows of ``df`` whose normalized
+    text already appears in ``reference`` — the shape of every
+    ingestion increment ("dedup today's crawl against the corpus")
+    and of benchmark decontamination at document granularity.
+
+    Only the 16-byte md5 keys of the reference move: the reference is
+    projected to a distinct key column before the anti-join, so a
+    100 TB reference corpus contributes one narrow column scan + a
+    hash exchange of keys (or zero exchange of ``df`` with
+    ``broadcast_ref=True`` when the reference key set fits the
+    broadcast threshold). ``df`` itself is never shuffled wider than
+    its key.
+    """
+    norm = "md5(lower(regexp_replace(trim({t}), '\\\\s+', ' ')))"
+    keys = reference.select(
+        F.expr(norm.format(t=ref_text_col or text_col)).alias("__key")
+    ).distinct()
+    if broadcast_ref:
+        keys = F.broadcast(keys)
+    return (
+        df.withColumn("__key", F.expr(norm.format(t=text_col)))
+        .join(keys, "__key", "left_anti")
+        .drop("__key")
+    )
 
 
 # 64-bit token hash from two JVM-native crc32 calls (plain + '#'-

@@ -1,0 +1,145 @@
+"""Distributed graph operators: connected components over dup-pair
+edge lists.
+
+The dedup family (minhash / simhash / ngram-jaccard / embedding)
+emits near-duplicate PAIRS; a real pipeline must then pick ONE
+survivor per duplicate *cluster* — the transitive closure of the
+pair relation — or pairwise keep-min silently keeps one doc per
+chain-link instead of one per group. ``connected_components`` turns
+the pair list into (node, component) labels with component = the
+smallest node id in the component, so "keep doc_id == component"
+is the canonical keep-first policy at cluster granularity.
+
+Scale design (100 TB posture):
+- min-label propagation: each iteration is ONE join (labels ⋈ edges,
+  both hash-partitioned on the node key) + ONE groupBy(min). The edge
+  list is materialized once (localCheckpoint) and reused every
+  iteration; lineage is truncated per iteration so the plan never
+  grows with the iteration count.
+- convergence is detected with a single scalar aggregate: labels only
+  ever DECREASE (monotone min-lattice), so sum(component) strictly
+  decreases until the fixpoint — no per-iteration label self-join.
+- iteration count is O(graph diameter). Near-dup graphs are
+  short-diameter by construction here: the upstream emitters star-cap
+  mega-buckets (every member links to the bucket min — a hub), so the
+  adversarial long-chain topology cannot arise from a single bucket.
+  ``max_iter`` bounds the worst case (default 25 ≈ diameter of any
+  realistic dup graph; raise for pathological chain graphs).
+
+Reference parity: prql/prql has no graph operator (the reference is a
+SQL compiler — see prql-compiler/src/semantic/transforms.prql:1-12);
+this belongs to the LLM-training-data-pipeline surface of the brief.
+The algorithm is the standard "hash-to-min" style propagation
+(Rastogi et al. 2013, "Finding Connected Components in Map-Reduce in
+Logarithmic Rounds" describes the family; plain min-propagation
+converges in diameter rounds, which star-capped dup graphs keep
+small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each node of the undirected pair graph with the smallest
+    node id reachable from it.
+
+    Returns (node, component) for every node that appears in at least
+    one edge. Isolated nodes (docs with no dup pair) are not emitted —
+    callers keep them unconditionally (left_anti join on node).
+
+    Raises ``RuntimeError`` if the labels have not converged after
+    ``max_iter`` rounds (never observed on star-capped dup graphs;
+    indicates a long-chain topology that needs a higher bound).
+    """
+    # Undirected: propagate along both directions of every edge.
+    # localCheckpoint materializes the (possibly expensive) upstream
+    # pair computation ONCE — every iteration re-reads the cached
+    # blocks instead of re-running minhash/LSH per round.
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=False)
+    )
+    # Monotone convergence metric: components only ever shrink toward
+    # the min, so an unchanged sum IS the fixpoint (one scalar agg per
+    # round instead of an old⋈new anti-join).
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iter):
+        msgs = e.join(labels, e.u == labels.node).select(
+            F.col("v").alias("node"), F.col("component")
+        )
+        labels = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            # truncate lineage: the plan would otherwise double per
+            # round and Janino compile cost would dominate by round ~8
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components: no convergence after {max_iter} rounds "
+        "(long-chain graph? raise max_iter)"
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster-granular view of a near-dup pair list.
+
+    Returns (doc_id, cluster_id) for every doc in a duplicate cluster,
+    cluster_id = min doc_id of the cluster. ``doc_id == cluster_id``
+    marks the cluster's canonical survivor.
+    """
+    cc = connected_components(pairs, src, dst, max_iter)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Keep exactly one doc (the min id) per duplicate CLUSTER, plus
+    every doc in no cluster.
+
+    This is the transitively-correct version of the pairwise keep-min
+    policy: for a chain a–b, b–c (a<b<c) pairwise dropping of the
+    larger id of each pair keeps only ``a``, and so does this — but
+    for a star a–b, a–c plus an unseen b–c the two policies already
+    agree; they differ exactly when similarity is non-transitive and
+    cluster semantics ("one representative per group") are what a
+    training-data pipeline means by dedup.
+    """
+    losers = (
+        dedup_clusters(pairs, src, dst, max_iter)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -271,6 +271,85 @@ def ivf_topk(
     return _topk_per_query(scored, k, query_id_col, id_col)
 
 
+def semdedup_pairs(
+    df: DataFrame,
+    dim: int,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic near-dup pairs, k-means-blocked (SemDeDup shape —
+    Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication").
+
+    Where :func:`embedding_near_dups` blocks on random hyperplanes,
+    this blocks on a TRAINED coarse quantizer: each vector is assigned
+    to its nearest centroid (one narrow map over centroid literals —
+    the same pretrained-quantizer pattern as :func:`ivf_topk`), and
+    cosine is evaluated only within a cluster. Trained clusters track
+    the data's own density, so semantically-close pairs land together
+    at much higher rates than under data-oblivious hyperplane cuts.
+
+    Scale: the self-join shuffles the corpus once, partitioned by
+    cluster id — n_lists-way parallel, O(Σ cluster²) candidate work.
+    Size n_lists to the corpus (the paper uses ~100k clusters for
+    LAION-scale; rule of thumb n_lists ≈ corpus / 1k) so cluster
+    occupancy — and with it per-reducer candidate volume — stays
+    bounded; the trainer (:func:`ivf_train_centroids`) is the same
+    one-broadcast-per-iteration Lloyd's loop IVF uses.
+
+    Returns (id_a, id_b, list_id, cosine), id_a < id_b.
+    """
+    assign = _nearest_expr(vec_col, centroids)
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col), F.expr(assign).alias("list_id")
+    )
+    l, r = corpus.alias("l"), corpus.alias("r")
+    return (
+        l.join(
+            r,
+            on=F.expr(
+                f"l.list_id = r.list_id AND l.{id_col} < r.{id_col}"
+            ),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.list_id").alias("list_id"),
+            F.expr(
+                f"round({cosine_expr('l.' + vec_col, 'r.' + vec_col)}, 6)"
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    dim: int,
+    centroids: list[list[float]] | None = None,
+    n_lists: int = 16,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Rows surviving semantic dedup: drop any vector that has a
+    smaller-id within-cluster neighbor at cosine >= threshold (greedy
+    keep-first, matching the dedup family's policy). Pass pretrained
+    ``centroids`` (the production path — train once, prune many
+    shards); ``centroids=None`` trains on the fly."""
+    if centroids is None:
+        centroids = ivf_train_centroids(df, dim, n_lists, vec_col=vec_col,
+                                        id_col=id_col)
+    losers = (
+        semdedup_pairs(df, dim, centroids, threshold, vec_col, id_col)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def occupancy_planes(
     n_vectors: int, target_bucket: int = 64, lo: int = 4, hi: int = 24
 ) -> int:

@@ -88,6 +88,43 @@ def strip_boilerplate(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("text_clean", F.expr(expr))
 
 
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample (eval-set building:
+    "give me 50 docs per (lang, source) cell, the same 50 every run").
+
+    Rank within each group by md5(salt + key) — a content-addressed
+    shuffle order, stable across runs, engines, and cluster sizes
+    (df.sample can't promise any of that) — and keep the first k.
+    One hash exchange on the group key; the rank-filter compiles to
+    Spark's two-stage WindowGroupLimit (partial top-k before the
+    exchange, SPARK-37099), so each input partition forwards at most
+    k rows per group — the same plan shape as ann's top-k.
+    """
+    from prql_spark.compiler import _esc_str
+
+    h = (
+        f"md5(concat({_esc_str(salt)}, CAST({key_col} AS STRING)))"
+    )
+    part = ", ".join(group_cols)
+    return (
+        df.withColumn(
+            "__rk",
+            F.expr(
+                f"row_number() OVER (PARTITION BY {part} "
+                f"ORDER BY {h}, {key_col})"
+            ),
+        )
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
 def stratified_sample_by_hash(
     df: DataFrame,
     key_col: str,

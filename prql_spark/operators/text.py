@@ -171,6 +171,83 @@ def doc_frequency(
     )
 
 
+def unigram_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    top_v: int = 256,
+) -> tuple[list[tuple[str, int]], int]:
+    """Corpus unigram statistics for the LM-score filter: the top-V
+    vocabulary with counts, plus the TOTAL token count.
+
+    One token-count aggregate (explode → map-side-combined hash agg);
+    the top-V selection is a TakeOrdered (count desc, token asc — a
+    total order, so the vocabulary is deterministic across engines)
+    and only V rows plus one scalar ever reach the driver. At 100 TB
+    this is the classic "collect tiny model, score wide" pattern —
+    the same shape as IVF's pretrained centroids.
+    """
+    words = _words(text_col)
+    counts = (
+        df.select(F.explode(F.expr(words)).alias("tok"))
+        .where(F.expr("tok != ''"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c")).first()[0] or 0
+    top = counts.orderBy(F.desc("c"), "tok").limit(top_v).collect()
+    return [(r["tok"], r["c"]) for r in top], int(total)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    vocab: list[tuple[str, int]],
+    total_tokens: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc mean unigram log-probability — the cheap stand-in for
+    LM-perplexity quality filtering (CCNet buckets corpora by LM
+    score; a unigram model keeps the whole scorer inside Spark SQL).
+
+    p(w) = (c_w + 1) / (total + V + 1), Laplace-smoothed; words
+    outside the top-V vocabulary take the OOV mass 1/(total + V + 1).
+    The vocabulary rides along as ONE literal map expression, so
+    scoring is a narrow map over the documents scan — no join, no
+    shuffle, no Python. Adds ``lm_logprob`` (mean ln p per token,
+    round 6; NULL for token-less docs) and ``lm_tokens``.
+    """
+    import math
+
+    V = len(vocab)
+    denom = total_tokens + V + 1
+    oov = math.log(1.0 / denom)
+    if vocab:
+        entries = ", ".join(
+            f"{_esc(t)}, CAST({math.log((c + 1) / denom)!r} AS DOUBLE)"
+            for t, c in vocab
+        )
+        lookup = f"coalesce(element_at(map({entries}), w), {oov!r})"
+    else:
+        lookup = repr(oov)
+    words = _words(text_col)
+    toks = f"filter({words}, w -> w != '')"
+    return df.withColumns(
+        {
+            "lm_tokens": F.expr(f"size({toks})"),
+            "lm_logprob": F.expr(
+                f"IF(size({toks}) = 0, NULL, round("
+                f"aggregate({toks}, CAST(0.0 AS DOUBLE), "
+                f"(acc, w) -> acc + {lookup}) / size({toks}), 6))"
+            ),
+        }
+    )
+
+
+def _esc(s: str) -> str:
+    from prql_spark.compiler import _esc_str
+
+    return _esc_str(s)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints.
 

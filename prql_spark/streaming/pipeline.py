@@ -260,3 +260,48 @@ def interval_join(
         f"AND r_{right_ts} <= l_{left_ts} + INTERVAL {within_seconds} SECOND"
     )
     return lsel.join(rsel, on=cond, how="inner")
+
+
+def stream_upsert_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_col: str | None = None,
+    checkpoint: str | None = None,
+    timeout_s: int = 300,
+):
+    """Continuously merge a streaming aggregation into a plain-parquet
+    lake: ``writeStream.foreachBatch`` + :func:`upsert_parquet`.
+
+    The streaming-ETL tail end: an update-mode aggregation emits
+    changed keys each micro-batch, and each batch is MERGED into the
+    lake by key (update-or-insert) instead of appended — the lake
+    holds exactly one current row per key, readable by any parquet
+    consumer mid-stream. With ``partition_col`` set, each micro-batch
+    rewrites only the partitions it touches (cost tracks the batch's
+    key spread, not the lake size) — the same bounded-work contract as
+    the batch upsert. Checkpointing makes the sink restartable;
+    foreachBatch is at-least-once, and the upsert's key-overwrite
+    semantics make replayed batches idempotent — the standard
+    exactly-once-effect recipe for non-transactional sinks.
+
+    Runs with trigger(availableNow) and blocks until drained (test /
+    bounded-backfill shape); pass a processingTime trigger via the
+    returned query for long-running deployments.
+    """
+    from prql_spark.sources.upsert import upsert_parquet
+
+    def _merge(batch_df: DataFrame, _epoch: int) -> None:
+        if not batch_df.isEmpty():
+            upsert_parquet(batch_df, path, key_cols, partition_col)
+
+    w = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    q.awaitTermination(timeout_s)
+    return q

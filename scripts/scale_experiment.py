@@ -131,6 +131,19 @@ def main():
         ),
     }
 
+    # cluster-granular dedup at scale: star-capped pairs (hub edges —
+    # the O(n) shape AND exactly what min-label propagation wants:
+    # 25k-doc exact-dup classes collapse through their hub in ~2
+    # rounds) -> connected components -> labels
+    from prql_spark.operators import graph
+
+    def _clusters():
+        sigs = dedup.minhash_signatures(big)
+        pairs = dedup.minhash_lsh_pairs(sigs, threshold=0.5, star_cap=64)
+        return graph.dedup_clusters(pairs)
+
+    res["minhash_cc_clusters"] = run("cc", _clusters)
+
     from prql_spark.operators import similarity
 
     vpath = synthesize_vectors(spark, n_copies)

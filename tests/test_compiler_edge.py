@@ -421,6 +421,30 @@ def test_extended_transforms_in_prql(catalog, oracle):
     )
 
 
+def test_sample_per_group_in_prql(catalog, oracle):
+    """List-of-identifier named args (group_cols:[lang, source])."""
+    df = compile_prql(
+        "from documents\n"
+        "sample_per_group group_cols:[lang, source] k:2 key_col:doc_id\n"
+        "select [doc_id, lang, source]\n"
+        "sort [doc_id]",
+        catalog,
+    )
+    assert_df_matches_sql(
+        df,
+        oracle,
+        """
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+            row_number() OVER (PARTITION BY lang, source
+              ORDER BY md5(concat('', CAST(doc_id AS VARCHAR))),
+                doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 2 ORDER BY doc_id
+        """,
+    )
+
+
 def test_extended_transform_bad_args(catalog):
     with pytest.raises(PrqlCompileError):
         compile_prql("from documents\nsplit_by_hash doc_id", catalog)

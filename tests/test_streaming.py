@@ -419,3 +419,31 @@ def test_interval_join_bounds_state(spark, events_dir):
     plan = q.lastProgress["sources"] if q.lastProgress else None
     # the join must have run as a stream-stream join with watermarks
     assert "watermark" in str(q.lastProgress).lower() or plan is not None
+
+
+def test_stream_upsert_to_parquet_lake(spark, events_dir, tmp_path):
+    """foreachBatch + upsert: the lake converges to the batch rollup,
+    holding exactly one current row per key after multiple
+    micro-batches have each merged their updates."""
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    stream = sp.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    rolled = sp.hourly_rollup(stream, watermark="1000 hours").withColumn(
+        "day", F.expr("CAST(CAST(bucket AS DATE) AS STRING)")
+    )
+    sp.stream_upsert_to_parquet(
+        rolled, lake, key_cols=["bucket", "event_type"], partition_col="day",
+        checkpoint=ckpt,
+    )
+    got = {
+        (r.bucket, r.event_type): (r.n, r.value_sum)
+        for r in spark.read.parquet(lake).collect()
+    }
+    batch = sp.hourly_rollup(spark.read.parquet(events_dir))
+    want = {
+        (r.bucket, r.event_type): (r.n, r.value_sum) for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+    # one row per key — the upserts merged rather than appended
+    n_rows = spark.read.parquet(lake).count()
+    assert n_rows == len(want)
