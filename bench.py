@@ -55,6 +55,9 @@ HEADLINE = {
     # round-3 additions
     "text_repetition_flags": "count",
     "events_interval_join": "count",
+    "dedup_minhash_clusters": "count",
+    "semdedup_prune": "count",
+    "text_unigram_logprob": "count",
 }
 
 

@@ -316,7 +316,7 @@ class Compiler:
             else:
                 raise PrqlCompileError(
                     f"{name}: named arg {k} must be a literal, identifier,"
-                    f" or list of literals"
+                    f" or list of literals/identifiers"
                 )
         self.df = fn(self.df, **kwargs)
         # operators may add/drop columns — rebuild the bare-name scope,

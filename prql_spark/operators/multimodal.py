@@ -1,8 +1,11 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the *decode step* is a
-deterministic fake behind ``_decode_stub`` (clearly marked). The
-Spark-side plumbing is real and what matters at 100 TB:
+Decode runs behind the pluggable ``MediaCodec`` seam. In-container
+codecs: ``NetpbmCodec`` (REAL zero-dependency PPM/PGM decode +
+resize with numpy) and the default ``Sha256FakeCodec`` (deterministic
+⇒ DuckDB-oracled); ``PillowCodec`` covers compressed formats where
+Pillow is installed. The Spark-side plumbing is what matters at
+100 TB:
 - media rows are (id, media binary, media_type, meta struct);
 - decode / feature-extract / resize / frame-sample run as
   ``mapInPandas`` with Arrow batches — vectorized transfer, schema
@@ -138,6 +141,95 @@ class PillowCodec(MediaCodec):
             for i in range(0, step * self.n_features, step)
         ]
         return w, h, feats
+
+
+class NetpbmCodec(MediaCodec):
+    """REAL image codec, zero external dependencies: decodes binary
+    netpbm payloads (P6 RGB / P5 grayscale — the standard
+    uncompressed interchange format) with numpy.
+
+    decode → (width, height, 8 features): per-channel means, luma
+    std, and 2×2 quadrant luma means — actual pixel statistics, not
+    digest math. ``resize_payload`` is a REAL nearest-neighbor
+    downscale re-encoded to the same format. Compressed formats
+    (png/jpeg) still need :class:`PillowCodec`; the point here is
+    that the seam's "real codec" contract is exercised end-to-end
+    inside this container.
+    """
+
+    _MAGICS = (b"P6", b"P5")
+
+    @staticmethod
+    def _parse(payload: bytes):
+        import numpy as np
+
+        if payload is None or payload[:2] not in NetpbmCodec._MAGICS:
+            return None
+        # header: magic, then 3 ints (width height maxval) separated
+        # by whitespace, '#' comments allowed, one whitespace byte
+        # before pixel data
+        pos, fields = 2, []
+        n = len(payload)
+        while len(fields) < 3 and pos < n:
+            c = payload[pos : pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                while pos < n and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+            else:
+                start = pos
+                while pos < n and not payload[pos : pos + 1].isspace():
+                    pos += 1
+                fields.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        if len(fields) < 3 or fields[2] > 255:
+            return None
+        w, h, _maxval = fields
+        ch = 3 if payload[:2] == b"P6" else 1
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
+                           offset=pos)
+        return px.reshape(h, w, ch)
+
+    def decode(self, payload, media_type):
+        import numpy as np
+
+        img = self._parse(payload)
+        if img is None:
+            return 0, 0, [0.0] * 8
+        h, w, ch = img.shape
+        f = img.astype(np.float64) / 255.0
+        if ch == 3:
+            means = [f[:, :, i].mean() for i in range(3)]
+            luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+        else:
+            means = [f[:, :, 0].mean()] * 3
+            luma = f[:, :, 0]
+        qh, qw = max(h // 2, 1), max(w // 2, 1)
+        quads = [
+            luma[:qh, :qw].mean(), luma[:qh, qw:].mean() if w > 1 else 0.0,
+            luma[qh:, :qw].mean() if h > 1 else 0.0,
+            luma[qh:, qw:].mean() if h > 1 and w > 1 else 0.0,
+        ]
+        feats = means + [float(luma.std())] + quads[:4]
+        return w, h, [round(float(x), 6) for x in feats]
+
+    def resize_payload(self, payload, max_dim):
+        import numpy as np
+
+        img = self._parse(payload)
+        if img is None:
+            return payload
+        h, w, ch = img.shape
+        if max(h, w) <= max_dim:
+            return payload
+        scale = max_dim / max(h, w)
+        nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
+        rows = (np.arange(nh) * h / nh).astype(np.int64)
+        cols = (np.arange(nw) * w / nw).astype(np.int64)
+        small = img[rows][:, cols]
+        magic = b"P6" if ch == 3 else b"P5"
+        return b"%s\n%d %d\n255\n" % (magic, nw, nh) + small.tobytes()
 
 
 _DEFAULT_CODEC: MediaCodec = Sha256FakeCodec()

@@ -124,3 +124,50 @@ def write_jsonl(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.json(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-file ingestion for multimodal corpora: Spark's built-in
+    ``binaryFile`` source yields (path, modificationTime, length,
+    content binary) — the schema
+    :mod:`prql_spark.operators.multimodal` consumes. Files are read
+    ON THE EXECUTORS (the driver only lists paths), so a 100 TB image
+    dump parallelizes by file; ``glob`` filters server-side via
+    pathGlobFilter (never listed, never opened) and ``max_bytes``
+    prunes oversized payloads by the LENGTH metadata column — before
+    any content is read when the source can push it down.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    if max_bytes is not None:
+        df = df.where(f"length <= {int(max_bytes)}")
+    return df
+
+
+def read_text_files(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Raw-text ingestion: one row per line (default) or per file
+    (``whole_file`` — document-per-file corpora). Adds ``doc_path``
+    via the metadata column so downstream ops get a stable doc key
+    without a second listing."""
+    from pyspark.sql import functions as F
+
+    r = spark.read
+    if line_sep:
+        r = r.option("lineSep", line_sep)
+    df = r.text(path, wholetext=whole_file)
+    return df.select(
+        F.col("_metadata.file_path").alias("doc_path"),
+        F.col("value").alias("text"),
+    )

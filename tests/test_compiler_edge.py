@@ -571,7 +571,10 @@ def test_new_operators_prql_callable(catalog):
 
     from prql_spark.compiler import PrqlCompileError
 
+    # identifiers in list args resolve to their names (column-list
+    # args like sample_per_group group_cols:[lang]); a computed
+    # expression is still rejected
     with pytest.raises(PrqlCompileError, match="list of literals"):
         compile_prql(
-            "from documents\nbm25_rank query:[doc_id]", catalog
+            "from documents\nbm25_rank query:[1 + 2]", catalog
         )

@@ -792,6 +792,55 @@ def test_media_codec_seam(spark):
     assert pickle.loads(pickle.dumps(Sha256FakeCodec())).decode(b"a", "x")[0] > 0
 
 
+def test_netpbm_codec_real_decode(spark):
+    """NetpbmCodec is a REAL decoder: pixel statistics and a real
+    nearest-neighbor resize, verified against numpy ground truth."""
+    import numpy as np
+
+    from prql_spark.operators.multimodal import NetpbmCodec, decode_features
+
+    # 20x10 RGB gradient (P6) with a header comment + 6x4 gray (P5)
+    grad = np.zeros((10, 20, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.arange(20, dtype=np.uint8) * 12
+    grad[:, :, 1] = 100
+    grad[:, :, 2] = np.arange(10, dtype=np.uint8)[:, None] * 20
+    ppm = b"P6\n# comment\n20 10\n255\n" + grad.tobytes()
+    gray = (np.arange(24, dtype=np.uint8) * 10).reshape(4, 6)
+    pgm = b"P5\n6 4\n255\n" + gray.tobytes()
+
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm), "image/x-portable-pixmap", None),
+         (2, bytearray(pgm), "image/x-portable-graymap", None)],
+        "media_id LONG, media BINARY, media_type STRING, meta STRING",
+    )
+    out = {
+        r.media_id: r
+        for r in decode_features(media, NetpbmCodec()).collect()
+    }
+    assert (out[1].width, out[1].height) == (20, 10)
+    assert (out[2].width, out[2].height) == (6, 4)
+    f = grad.astype(np.float64) / 255.0
+    assert out[1].features[0] == pytest.approx(f[:, :, 0].mean(), abs=1e-6)
+    assert out[1].features[1] == pytest.approx(100 / 255.0, abs=1e-6)
+    luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    assert out[1].features[3] == pytest.approx(float(luma.std()), abs=1e-6)
+    assert out[2].features[0] == pytest.approx(gray.mean() / 255.0, abs=1e-6)
+
+    # real resize: re-decoding the downscaled payload gives the new
+    # dims, and the resized pixels are a subsample of the original
+    codec = NetpbmCodec()
+    small = codec.resize_payload(ppm, 5)
+    w, h, feats = codec.decode(small, "image/x-portable-pixmap")
+    assert (w, h) == (5, 2)
+    img = codec._parse(small)
+    assert img.shape == (2, 5, 3)
+    assert set(np.unique(img[:, :, 1])) == {100}
+    # no-op below max_dim; non-netpbm payloads pass through untouched
+    assert codec.resize_payload(ppm, 64) == ppm
+    assert codec.resize_payload(b"\x89PNG...", 4) == b"\x89PNG..."
+    assert codec.decode(b"junk", "image/png") == (0, 0, [0.0] * 8)
+
+
 def test_repetition_flags_planted(spark):
     from pyspark.sql import Row
 

@@ -125,3 +125,43 @@ def test_write_jsonl_roundtrip(spark, catalog, tmp_path):
     assert back.count() == nation.count()
     a = {r.n_nationkey for r in back.collect()}
     assert a == {r.n_nationkey for r in nation.collect()}
+
+
+def test_read_binary_files(spark, tmp_path):
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.ppm").write_bytes(b"P6\n2 1\n255\n" + bytes(6))
+    (d / "b.ppm").write_bytes(b"P6\n1 1\n255\n" + bytes(300))
+    (d / "skip.txt").write_bytes(b"not media")
+    df = pio.read_binary_files(spark, str(d), glob="*.ppm")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.ppm", "b.ppm"}
+    assert bytes(rows["a.ppm"].content)[:2] == b"P6"
+    assert rows["a.ppm"].length == 17
+    # metadata-column pruning by size
+    small = pio.read_binary_files(spark, str(d), glob="*.ppm", max_bytes=100)
+    assert [r.path.rsplit("/", 1)[-1] for r in small.collect()] == ["a.ppm"]
+    # feeds the multimodal decode path end-to-end
+    from prql_spark.operators.multimodal import NetpbmCodec, decode_features
+
+    media = df.select(
+        F.expr("xxhash64(path)").alias("media_id"),
+        F.col("content").alias("media"),
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+    )
+    decoded = decode_features(media, NetpbmCodec()).collect()
+    assert {(r.width, r.height) for r in decoded} == {(2, 1), (1, 1)}
+
+
+def test_read_text_files(spark, tmp_path):
+    d = tmp_path / "texts"
+    d.mkdir()
+    (d / "x.txt").write_text("line one\nline two\n")
+    (d / "y.txt").write_text("single doc body\n")
+    lines = pio.read_text_files(spark, str(d))
+    got = {(r.doc_path.rsplit("/", 1)[-1], r.text) for r in lines.collect()}
+    assert ("x.txt", "line one") in got and ("x.txt", "line two") in got
+    docs = pio.read_text_files(spark, str(d), whole_file=True)
+    by_file = {r.doc_path.rsplit("/", 1)[-1]: r.text for r in docs.collect()}
+    assert by_file["y.txt"].strip() == "single doc body"
+    assert "line one\nline two" in by_file["x.txt"]
