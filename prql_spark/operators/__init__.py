@@ -1617,45 +1617,55 @@ FROM reach GROUP BY n ORDER BY doc_id
 
 
 def q_semdedup(spark, sf_dir):
-    """SemDeDup pruning with the PRETRAINED coarse quantizer (same
-    centroid literals as ann_ivf_topk — train once, prune many
-    shards). 0.35 for the same reason as embedding_near_dups: the
-    synthetic vectors top out near cosine 0.48."""
-    from prql_spark.operators._ivf_centroids import CENTROIDS
+    """SemDeDup pruning with the PRETRAINED 64-list quantizer
+    (train once, prune many shards; 64 lists — not IVF's 8 — because
+    pair volume is ~n²/n_lists). 0.35 for the same reason as
+    embedding_near_dups: the synthetic vectors top out near cosine
+    0.48."""
+    from prql_spark.operators._ivf_centroids import SEMDEDUP_CENTROIDS
 
     out = similarity.semdedup(
-        _embs(spark, sf_dir), dim=64, centroids=CENTROIDS, threshold=0.35
+        _embs(spark, sf_dir), dim=64, centroids=SEMDEDUP_CENTROIDS,
+        threshold=0.35,
     )
     return out.select("vec_id", "label").orderBy("vec_id")
 
 
 def _sql_semdedup() -> str:
-    """Oracle: same centroid literals + round-9 argmax assignment as
-    the IVF oracle, within-cluster pairs at round-6 cosine >= 0.35,
-    keep-min anti-join."""
-    from prql_spark.operators._ivf_centroids import CENTROIDS
+    """Oracle: the SAME unit-normalized centroid literals the engine
+    embeds (normalized once in Python — see similarity.unit_normalize),
+    the same two-step corpus normalization, round-9 argmax assignment
+    (ties to larger index), within-cluster pairs at round-6
+    normalized-dot >= 0.35, keep-min anti-join."""
+    from prql_spark.operators._ivf_centroids import SEMDEDUP_CENTROIDS
 
+    cn = similarity.unit_normalize(SEMDEDUP_CENTROIDS)
     cent_rows = ", ".join(
         "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(x) for x in c))
-        for i, c in enumerate(CENTROIDS)
+        for i, c in enumerate(cn)
     )
-    cos_dc = _cos_dd("d.embedding", "c.c")
-    cos_lr = _cos_dd("l.embedding", "r.embedding")
+    norm = _DOT_DD.format(a="embedding", b="embedding")
+    dot_vc = _DOT_DD.format(a="nv.vn", b="c.c")
+    dot_lr = _DOT_DD.format(a="l.vn", b="r.vn")
     return f"""
 WITH cent AS (SELECT * FROM (VALUES {cent_rows}) c(i, c)),
+nv AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS vn
+  FROM (SELECT vec_id, embedding, sqrt({norm}) AS n FROM embeddings)),
 assign AS (
-  SELECT vec_id, embedding, i,
+  SELECT vec_id, vn, i,
     row_number() OVER (PARTITION BY vec_id
       ORDER BY cs DESC, i DESC) AS rk
-  FROM (SELECT d.vec_id, d.embedding, c.i,
-          round({cos_dc}, 9) AS cs
-        FROM embeddings d CROSS JOIN cent c)),
-corpus AS (SELECT vec_id, embedding, i AS lst FROM assign WHERE rk = 1),
+  FROM (SELECT nv.vec_id, nv.vn, c.i,
+          round({dot_vc}, 9) AS cs
+        FROM nv CROSS JOIN cent c)),
+corpus AS (SELECT vec_id, vn, i AS lst FROM assign WHERE rk = 1),
 losers AS (
   SELECT DISTINCT r.vec_id
   FROM corpus l JOIN corpus r
     ON l.lst = r.lst AND l.vec_id < r.vec_id
-  WHERE round({cos_lr}, 6) >= 0.35)
+  WHERE round({dot_lr}, 6) >= 0.35)
 SELECT e.vec_id, e.label FROM embeddings e
 WHERE NOT EXISTS (SELECT 1 FROM losers w WHERE w.vec_id = e.vec_id)
 ORDER BY e.vec_id

