@@ -859,7 +859,8 @@ _DRIVER_ORDER = [
     "text_unigram_logprob",
     "dedup_incremental",
     "sample_per_group",
-    # -- representative core, green in r01/r02 (22)
+    "text_collocations",
+    # -- representative core, green in r01/r02 (21)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -873,7 +874,6 @@ _DRIVER_ORDER = [
     "text_quality_score",
     "text_lang_id",
     "dedup_ngram_jaccard",
-    "text_doc_frequency",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "ann_bruteforce_topk",
@@ -882,7 +882,8 @@ _DRIVER_ORDER = [
     "embedding_near_dups",
     "multimodal_decode",
     "asof_join_attribution",
-    # -- green in r01/r02, behind the 50-entry driver window (26)
+    # -- green in r01/r02, behind the 50-entry driver window (27)
+    "text_doc_frequency",
     "q6_forecast_revenue",
     "window_interval_range",
     "text_fingerprint",

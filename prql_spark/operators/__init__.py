@@ -1584,26 +1584,35 @@ FROM ev GROUP BY event_type ORDER BY event_type
 def q_minhash_clusters(spark, sf_dir):
     """Cluster-granular dedup: minhash near-dup pairs → distributed
     connected components → (doc_id, cluster_id) labels. The
-    transitive closure a pairwise keep-min policy silently skips."""
+    transitive closure a pairwise keep-min policy silently skips.
+    star_cap=64: over-cap buckets emit hub-and-spoke edges — O(n)
+    pairs on a degenerate corpus, and for CC consumers the hub edges
+    carry the same connectivity a homogeneous mega-bucket's all-pairs
+    would (pinned by tests/test_graph_semdedup.py)."""
     sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
-    pairs = dedup.minhash_lsh_pairs(sigs, threshold=0.5)
+    pairs = dedup.minhash_lsh_pairs(sigs, threshold=0.5, star_cap=64)
     return graph.dedup_clusters(pairs).orderBy("doc_id")
 
 
 def _sql_minhash_clusters() -> str:
     """Oracle: the shared minhash signature replay, verified pairs
-    (no star cap — the pairs API emits all within-bucket pairs), then
+    with the same star_cap-64 mega-bucket guard the engine runs, then
     min-reachable-id per node via a recursive transitive closure:
     exactly the fixpoint the engine's label propagation converges
     to."""
     return f"""
 WITH RECURSIVE {_minhash_band_ctes()},
+bk AS (
+  SELECT b, bslice, count(*) AS cnt, min(doc_id) AS mn
+  FROM bands GROUP BY b, bslice HAVING count(*) >= 2),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
   FROM bands l
   JOIN bands r ON l.b = r.b AND l.bslice = r.bslice
               AND l.doc_id < r.doc_id
-  WHERE len(list_filter(generate_series(1, 64),
+  JOIN bk ON bk.b = l.b AND bk.bslice = l.bslice
+  WHERE (bk.cnt <= 64 OR l.doc_id = bk.mn)
+    AND len(list_filter(generate_series(1, 64),
             i -> l.sig[i] = r.sig[i])) / 64.0 >= 0.5),
 e AS (SELECT id_a AS u, id_b AS v FROM cand
       UNION SELECT id_b, id_a FROM cand),
@@ -1732,6 +1741,42 @@ ORDER BY doc_id
 """
 
 
+def q_collocations(spark, sf_dir):
+    """Top-100 PMI bigram collocations (min_count 5)."""
+    return text.collocations(_docs(spark, sf_dir), min_count=5, top_k=100)
+
+
+SQL_COLLOCATIONS = """
+WITH ws AS (
+  SELECT doc_id,
+    string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+toks AS (
+  SELECT u.w FROM (SELECT unnest(w) AS w FROM ws) u WHERE u.w != ''),
+uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+tot AS (SELECT sum(c) AS t_uni FROM uni),
+bigr AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM ws WHERE len(w) >= 2)
+  WHERE w[i] != '' AND w[i + 1] != ''),
+bi AS (
+  SELECT w1, w2, count(*) AS n_ab FROM bigr GROUP BY w1, w2
+  HAVING count(*) >= 5),
+tot_bi AS (SELECT count(*) AS t_bi FROM bigr),
+scored AS (
+  SELECT bi.w1, bi.w2, bi.n_ab,
+    round(ln((bi.n_ab / CAST(tot_bi.t_bi AS DOUBLE)) /
+      ((u1.c / CAST(tot.t_uni AS DOUBLE)) *
+       (u2.c / CAST(tot.t_uni AS DOUBLE)))), 6) AS pmi
+  FROM bi
+  JOIN uni u1 ON u1.w = bi.w1
+  JOIN uni u2 ON u2.w = bi.w2, tot, tot_bi)
+SELECT w1, w2, n_ab, pmi FROM scored
+ORDER BY pmi DESC, w1, w2 LIMIT 100
+"""
+
+
 def q_sample_per_group(spark, sf_dir):
     """Deterministic exactly-5-per-(lang, source) eval sample."""
     out = splits.sample_per_group(
@@ -1800,6 +1845,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": q_unigram_logprob,
         "dedup_incremental": q_dedup_incremental,
         "sample_per_group": q_sample_per_group,
+        "text_collocations": q_collocations,
     }
 
 
@@ -1859,4 +1905,5 @@ def entry_oracles() -> dict[str, str]:
         "text_unigram_logprob": SQL_UNIGRAM,
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "sample_per_group": SQL_SAMPLE_PER_GROUP,
+        "text_collocations": SQL_COLLOCATIONS,
     }

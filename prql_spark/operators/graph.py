@@ -76,8 +76,16 @@ def connected_components(
     )
     # Monotone convergence metric: components only ever shrink toward
     # the min, so an unchanged sum IS the fixpoint (one scalar agg per
-    # round instead of an old⋈new anti-join).
-    prev_sum = labels.agg(F.sum("component")).first()[0]
+    # round instead of an old⋈new anti-join). Summed as decimal(38,0):
+    # exact at any node count (a BIGINT sum of 10⁹ snowflake-sized ids
+    # overflows, and a DOUBLE sum could round away a small change and
+    # fake convergence).
+    def _sum(lab: DataFrame):
+        return lab.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).first()[0]
+
+    prev_sum = _sum(labels)
     for _ in range(max_iter):
         msgs = e.join(labels, e.u == labels.node).select(
             F.col("v").alias("node"), F.col("component")
@@ -90,7 +98,7 @@ def connected_components(
             # round and Janino compile cost would dominate by round ~8
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("component")).first()[0]
+        cur_sum = _sum(labels)
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum

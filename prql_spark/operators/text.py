@@ -248,6 +248,82 @@ def _esc(s: str) -> str:
     return _esc_str(s)
 
 
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information: bigrams that
+    co-occur far above chance (vocabulary analysis / tokenizer-merge
+    candidates).
+
+    PMI = ln( p(ab) / (p(a)·p(b)) ) with p from corpus counts; rare
+    bigrams below ``min_count`` are dropped (PMI's classic
+    low-frequency instability). Three shuffles total, all map-side
+    combined and all carrying (token, count) pairs only: bigram
+    counts, unigram counts, and the final top-k (TakeOrdered). The
+    unigram table joins in twice, keyed on the word — at corpus scale
+    both sides are count tables, never documents.
+
+    Returns (w1, w2, n_ab, pmi) sorted by pmi desc (ties: bigram
+    text), limited to ``top_k``.
+    """
+    words = _words(text_col)
+    grams = (
+        f"transform(sequence(0, size({words}) - 2), "
+        f"i -> named_struct('w1', element_at({words}, i + 1), "
+        f"'w2', element_at({words}, i + 2)))"
+    )
+    toks = (
+        df.select(F.explode(F.expr(words)).alias("w"))
+        .where(F.expr("w != ''"))
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(
+        F.sum("c").alias("t_uni"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    bi = (
+        df.where(F.expr(f"size({words}) >= 2"))
+        .select(F.explode(F.expr(grams)).alias("g"))
+        .where(F.expr("g.w1 != '' AND g.w2 != ''"))
+        .groupBy("g.w1", "g.w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    # guard size >= 2 BEFORE evaluating grams: sequence(0, size-2) on
+    # a 1-word doc is the descending [0, -1] and element_at(words, 0)
+    # is an ANSI error
+    tot_bi = (
+        df.where(F.expr(f"size({words}) >= 2"))
+        .select(
+            F.expr(
+                f"size(filter({grams}, g -> g.w1 != '' AND g.w2 != ''))"
+            ).alias("nb")
+        )
+        .agg(F.coalesce(F.sum("nb"), F.lit(0)).alias("t_bi"))
+    )
+    scored = (
+        bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"),
+                "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"),
+              "w2")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(tot_bi))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.expr(
+                "round(ln((n_ab / CAST(t_bi AS DOUBLE)) / "
+                "((c1 / CAST(t_uni AS DOUBLE)) * "
+                "(c2 / CAST(t_uni AS DOUBLE)))), 6)"
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints.
 

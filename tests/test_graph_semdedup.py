@@ -239,3 +239,29 @@ def test_star_capped_pairs_preserve_clusters(spark):
     assert {c for _, c in lab_c} == {0, 100}
     # and the capped pair list is O(n), not O(n^2)
     assert capped.count() < full.count()
+
+
+def test_collocations_pmi(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "new york is big"),
+            (2, "new york city"),
+            (3, "in new york"),
+            (4, "big city life is good"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.collocations(docs, min_count=3, top_k=10).collect()
+    assert [(r.w1, r.w2) for r in out] == [("new", "york")]
+    # hand-computed: 15 unigrams, 11 bigrams, c(new)=c(york)=n_ab=3
+    want = math.log((3 / 11) / ((3 / 15) * (3 / 15)))
+    assert out[0].n_ab == 3 and out[0].pmi == round(want, 6)
+    # single-word / empty docs must not break the bigram scan
+    edge = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None), (4, "a b a b a b")],
+        "doc_id long, text string",
+    )
+    rows = text.collocations(edge, min_count=2, top_k=10).collect()
+    assert {(r.w1, r.w2) for r in rows} == {("a", "b"), ("b", "a")}
