@@ -860,14 +860,14 @@ _DRIVER_ORDER = [
     "dedup_incremental",
     "sample_per_group",
     "text_collocations",
-    # -- representative core, green in r01/r02 (21)
+    "skew_salted_join",
+    # -- representative core, green in r01/r02 (20)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
     "q8_market_share",
     "top_customers_left_join",
     "user_func_cte",
-    "window_running_total",
     "group_topk",
     "dedup_exact",
     "text_token_count",
@@ -882,7 +882,8 @@ _DRIVER_ORDER = [
     "embedding_near_dups",
     "multimodal_decode",
     "asof_join_attribution",
-    # -- green in r01/r02, behind the 50-entry driver window (27)
+    # -- green in r01/r02, behind the 50-entry driver window (28)
+    "window_running_total",
     "text_doc_frequency",
     "q6_forecast_revenue",
     "window_interval_range",

@@ -22,6 +22,7 @@ from prql_spark.operators import (
     multimodal,
     similarity,
     sketches,
+    skew,
     splits,
     text,
 )
@@ -1741,6 +1742,26 @@ ORDER BY doc_id
 """
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-proof equi-join: events ⋈ customer on the (hot) user key
+    with an 8-way salt. The oracle is the PLAIN join — salting must
+    be invisible in the result."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.load("events").select("event_id", "user_id", "event_type")
+    cust = cat.load("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    out = skew.salted_join(ev, cust, on=["user_id"], salt_buckets=8)
+    return out.orderBy("event_id")
+
+
+SQL_SALTED_JOIN = """
+SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+ORDER BY e.event_id
+"""
+
+
 def q_collocations(spark, sf_dir):
     """Top-100 PMI bigram collocations (min_count 5)."""
     return text.collocations(_docs(spark, sf_dir), min_count=5, top_k=100)
@@ -1846,6 +1867,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "sample_per_group": q_sample_per_group,
         "text_collocations": q_collocations,
+        "skew_salted_join": q_salted_join,
     }
 
 
@@ -1906,4 +1928,5 @@ def entry_oracles() -> dict[str, str]:
         "dedup_incremental": SQL_DEDUP_INCREMENTAL,
         "sample_per_group": SQL_SAMPLE_PER_GROUP,
         "text_collocations": SQL_COLLOCATIONS,
+        "skew_salted_join": SQL_SALTED_JOIN,
     }

@@ -60,3 +60,48 @@ def salted_aggregate(
         else:  # min/max merge with themselves
             stage2_aggs.append(F.expr(f"{fn}(__p_{name})").alias(name))
     return partial.groupBy(*keys).agg(*stage2_aggs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: spread each hot LEFT key over
+    ``salt_buckets`` reducers by salting the join key; the RIGHT side
+    is replicated once per salt value (explode of a plan-constant
+    sequence — a narrow map, NOT a shuffle multiplier: the exchange
+    moves salt_buckets× right-side rows, which is the price of
+    splitting a hot key).
+
+    AQE's skew-join handles most cases by splitting oversized
+    partitions post-shuffle; salting is the explicit fallback when a
+    SINGLE key exceeds what one task can hold (AQE cannot split one
+    key) or when AQE is disabled. Use when the right side is too big
+    to broadcast and the left key histogram is pathological.
+
+    The left salt is derived from xxhash64 over the whole left row
+    (struct(*)) — deterministic for a given row, uniform within a hot
+    key, and requiring no unique-id column. Join semantics for
+    ``inner`` / ``left`` equal the unsalted join exactly: every left
+    row carries exactly one salt, and the matching right replica
+    exists for every salt value.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join supports inner/left joins (a right/full "
+            "join's unmatched RIGHT rows would appear once per salt)"
+        )
+    lcols, rcols = left.columns, right.columns
+    l = left.withColumn(
+        "__salt",
+        F.expr(f"pmod(xxhash64(struct(*)), {salt_buckets})").cast("int"),
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.expr(f"sequence(0, {salt_buckets - 1})"))
+    )
+    joined = l.join(r, on=on + ["__salt"], how=how)
+    out_cols = lcols + [c for c in rcols if c not in set(lcols)]
+    return joined.select(*out_cols)

@@ -265,3 +265,41 @@ def test_collocations_pmi(spark):
     )
     rows = text.collocations(edge, min_count=2, top_k=10).collect()
     assert {(r.w1, r.w2) for r in rows} == {("a", "b"), ("b", "a")}
+
+
+def test_salted_join_parity_and_spread(spark):
+    from prql_spark.operators import skew
+
+    # planted skew: one hot key carries 5000 of 5200 left rows
+    left = spark.range(5000).selectExpr(
+        "1 AS k", "id AS lid"
+    ).unionAll(
+        spark.range(200).selectExpr("CAST(id + 2 AS INT) AS k",
+                                    "id + 10000 AS lid")
+    )
+    right = spark.range(50).selectExpr(
+        "CAST(id AS INT) AS k", "concat('v', id) AS payload"
+    )
+    plain = left.join(right, "k").selectExpr("k", "lid", "payload")
+    salted = skew.salted_join(left, right, on=["k"], salt_buckets=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # left join: unmatched left rows appear exactly once, null-filled
+    lkeep = spark.createDataFrame([(999, 1)], "k int, lid long")
+    lj = skew.salted_join(
+        lkeep.unionAll(left.limit(3)), right, on=["k"], how="left",
+        salt_buckets=4,
+    ).collect()
+    assert sum(1 for r in lj if r.k == 999) == 1
+    assert next(r.payload for r in lj if r.k == 999) is None
+    # the hot key's rows really spread across salts (uniformity)
+    l2 = left.withColumn(
+        "__salt", F.expr("pmod(xxhash64(struct(*)), 8)")
+    )
+    n_salts = l2.where("k = 1").select("__salt").distinct().count()
+    assert n_salts == 8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        skew.salted_join(left, right, on=["k"], how="right")
