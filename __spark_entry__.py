@@ -861,13 +861,13 @@ _DRIVER_ORDER = [
     "sample_per_group",
     "text_collocations",
     "skew_salted_join",
-    # -- representative core, green in r01/r02 (20)
+    "sources_diff_snapshots",
+    # -- representative core, green in r01/r02 (19)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
     "q8_market_share",
     "top_customers_left_join",
-    "user_func_cte",
     "group_topk",
     "dedup_exact",
     "text_token_count",
@@ -882,7 +882,8 @@ _DRIVER_ORDER = [
     "embedding_near_dups",
     "multimodal_decode",
     "asof_join_attribution",
-    # -- green in r01/r02, behind the 50-entry driver window (28)
+    # -- green in r01/r02, behind the 50-entry driver window (29)
+    "user_func_cte",
     "window_running_total",
     "text_doc_frequency",
     "q6_forecast_revenue",

@@ -1762,6 +1762,46 @@ ORDER BY e.event_id
 """
 
 
+def q_diff_snapshots(spark, sf_dir):
+    """Lake snapshot diff: synthesize a new orders version (drop %11
+    keys, bump %13 prices, add %17 re-keyed rows) and classify every
+    differing key. The oracle derives the classification
+    INDEPENDENTLY from the mutation rules — not by mirroring the
+    hash-join — so it checks the semantics, not the implementation."""
+    from prql_spark.sources.diff import diff_datasets
+
+    orders = Catalog(spark, sf_dir).load("orders")
+    new = (
+        orders.where("o_orderkey % 11 != 0")
+        .withColumn(
+            "o_totalprice",
+            F.expr(
+                "IF(o_orderkey % 13 = 0, "
+                "round(o_totalprice + 1.5, 2), o_totalprice)"
+            ),
+        )
+        .unionByName(
+            orders.where("o_orderkey % 17 = 0").withColumn(
+                "o_orderkey", F.expr("o_orderkey + 1000000000")
+            )
+        )
+    )
+    out = diff_datasets(orders, new, ["o_orderkey"])
+    return out.orderBy("o_orderkey", "change")
+
+
+SQL_DIFF_SNAPSHOTS = """
+SELECT o_orderkey, 'removed' AS change FROM orders WHERE o_orderkey % 11 = 0
+UNION ALL
+SELECT o_orderkey, 'changed' FROM orders
+WHERE o_orderkey % 11 != 0 AND o_orderkey % 13 = 0
+UNION ALL
+SELECT o_orderkey + 1000000000, 'added' FROM orders
+WHERE o_orderkey % 17 = 0
+ORDER BY o_orderkey, change
+"""
+
+
 def q_collocations(spark, sf_dir):
     """Top-100 PMI bigram collocations (min_count 5)."""
     return text.collocations(_docs(spark, sf_dir), min_count=5, top_k=100)
@@ -1868,6 +1908,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": q_sample_per_group,
         "text_collocations": q_collocations,
         "skew_salted_join": q_salted_join,
+        "sources_diff_snapshots": q_diff_snapshots,
     }
 
 
@@ -1929,4 +1970,5 @@ def entry_oracles() -> dict[str, str]:
         "sample_per_group": SQL_SAMPLE_PER_GROUP,
         "text_collocations": SQL_COLLOCATIONS,
         "skew_salted_join": SQL_SALTED_JOIN,
+        "sources_diff_snapshots": SQL_DIFF_SNAPSHOTS,
     }

@@ -187,6 +187,10 @@ class NetpbmCodec(MediaCodec):
             return None
         w, h, _maxval = fields
         ch = 3 if payload[:2] == b"P6" else 1
+        # corrupt/truncated payloads (or a lying header) must decode
+        # to None, not kill the executor task mid-batch
+        if w <= 0 or h <= 0 or n - pos < w * h * ch:
+            return None
         px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
                            offset=pos)
         return px.reshape(h, w, ch)

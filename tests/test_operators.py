@@ -911,3 +911,15 @@ def test_simhash_udf_matches_sql_formulation(spark, catalog):
     )
     got = {r.doc_id: r.simhash for r in dedup.simhash_signatures(nulls).collect()}
     assert got[1] is None and got[2] is not None
+
+
+def test_netpbm_codec_truncated_payload(spark):
+    from prql_spark.operators.multimodal import NetpbmCodec
+
+    c = NetpbmCodec()
+    # lying header / truncated pixel data / nonsense dims: decode to
+    # the zero tuple, never raise (a corrupt file must not kill the
+    # executor batch)
+    assert c.decode(b"P6\n100 100\n255\nxx", "x") == (0, 0, [0.0] * 8)
+    assert c.decode(b"P6\n-3 7\n255\n", "x") == (0, 0, [0.0] * 8)
+    assert c.resize_payload(b"P6\n9 9\n255\nxx", 4) == b"P6\n9 9\n255\nxx"

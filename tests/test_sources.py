@@ -165,3 +165,37 @@ def test_read_text_files(spark, tmp_path):
     by_file = {r.doc_path.rsplit("/", 1)[-1]: r.text for r in docs.collect()}
     assert by_file["y.txt"].strip() == "single doc body"
     assert "line one\nline two" in by_file["x.txt"]
+
+
+def test_diff_datasets(spark):
+    from prql_spark.sources.diff import diff_datasets
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (5, "e", 50), (4, None, 40)],
+        "k int, s string, v int",
+    )
+    got = {
+        (r.k, r.change) for r in diff_datasets(old, new, ["k"]).collect()
+    }
+    assert got == {(2, "changed"), (3, "removed"), (5, "added")}
+    # NULL values inside compared columns are hashed, not skipped
+    n2 = spark.createDataFrame([(4, "x", 40)], "k int, s string, v int")
+    got2 = {
+        (r.k, r.change)
+        for r in diff_datasets(old.where("k = 4"), n2, ["k"]).collect()
+    }
+    assert got2 == {(4, "changed")}
+    # concat ambiguity guard: ('ab','') vs ('a','b') must differ
+    a = spark.createDataFrame([(1, "ab", "")], "k int, x string, y string")
+    b = spark.createDataFrame([(1, "a", "b")], "k int, x string, y string")
+    assert {(r.k, r.change) for r in diff_datasets(a, b, ["k"]).collect()} == {
+        (1, "changed")
+    }
+    # compare_cols narrows the comparison
+    assert diff_datasets(old, new, ["k"], compare_cols=["v"]).where(
+        "k = 2"
+    ).count() == 0
