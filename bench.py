@@ -58,6 +58,9 @@ HEADLINE = {
     "dedup_minhash_clusters": "count",
     "semdedup_prune": "count",
     "text_unigram_logprob": "count",
+    "skew_salted_join": "count",
+    "sources_diff_snapshots": "count",
+    "text_collocations": "collect",
 }
 
 

@@ -87,6 +87,7 @@ def _extended_transforms() -> dict:
         "repetition_flags": text.repetition_flags,
         "bm25_rank": text.bm25_rank,
         "sample_per_group": splits.sample_per_group,
+        "collocations": text.collocations,
     }
 
 

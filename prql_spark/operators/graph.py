@@ -94,9 +94,12 @@ def connected_components(
             labels.union(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            # truncate lineage: the plan would otherwise double per
-            # round and Janino compile cost would dominate by round ~8
-            .localCheckpoint(eager=True)
+            # truncate lineage (the plan would otherwise double per
+            # round and Janino compile cost would dominate by round
+            # ~8). LAZY: the convergence aggregate right below is the
+            # round's single action — it materializes the checkpoint
+            # and reads the sum in ONE job instead of two.
+            .localCheckpoint(eager=False)
         )
         cur_sum = _sum(labels)
         if cur_sum == prev_sum:

@@ -578,3 +578,15 @@ def test_new_operators_prql_callable(catalog):
         compile_prql(
             "from documents\nbm25_rank query:[1 + 2]", catalog
         )
+
+
+def test_collocations_in_prql(catalog):
+    df = compile_prql(
+        "from documents\ncollocations min_count:5 top_k:20", catalog
+    )
+    rows = df.collect()
+    assert df.columns == ["w1", "w2", "n_ab", "pmi"]
+    assert 0 < len(rows) <= 20
+    assert [r.pmi for r in rows] == sorted(
+        (r.pmi for r in rows), reverse=True
+    )
