@@ -514,23 +514,34 @@ def ngram_jaccard_pairs(
     so the exact string grams stay.
     """
     norm = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
-    words = f"split({norm}, ' ')"
+    # words materialized as a column BEFORE the gram lambda slices it:
+    # inlining the split expression re-splits the document per gram —
+    # O(words²) per doc (measured 8× on the comparable bigram shape,
+    # see text.collocations).
     grams = (
         f"array_distinct(transform("
-        f"sequence(0, greatest(size({words}) - {n}, 0)), "
-        f"i -> concat_ws(' ', slice({words}, i + 1, {n}))))"
+        f"sequence(0, greatest(size(__ws) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(__ws, i + 1, {n}))))"
     )
     if block_exprs is None:
         # floor() explicitly: CAST(double AS INT) truncates in Spark
         # but rounds in DuckDB — floor agrees everywhere.
-        bucket = f"CAST(CAST(floor(length({norm}) / 100) AS INT) AS STRING)"
+        bucket = "CAST(CAST(floor(length(__norm) / 100) AS INT) AS STRING)"
         block_exprs = [
-            f"concat('f#', element_at({words}, 1), '#', {bucket})",
-            f"concat('l#', element_at({words}, -1), '#', {bucket})",
+            f"concat('f#', element_at(__ws, 1), '#', {bucket})",
+            f"concat('l#', element_at(__ws, -1), '#', {bucket})",
         ]
     blocks = ", ".join(block_exprs)
     base = (
-        df.select(
+        # original columns stay visible so caller-supplied block
+        # exprs can reference them alongside __norm/__ws
+        df.withColumns(
+            {
+                "__norm": F.expr(norm),
+                "__ws": F.expr(f"split({norm}, ' ')"),
+            }
+        )
+        .select(
             F.col(id_col),
             F.expr(grams).alias("__grams"),
             F.explode(

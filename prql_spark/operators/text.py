@@ -135,13 +135,17 @@ def ngram_counts(
     pairs, never documents. Ties broken by ngram text for
     determinism.
     """
-    words = _words(text_col)
+    # words materialized as a column first: slicing the inline split
+    # expression inside the gram lambda would re-split the doc per
+    # gram (O(words²) per doc — see `collocations` for the measured
+    # cost of that shape)
     grams = (
-        f"transform(sequence(0, greatest(size({words}) - {n}, 0)), "
-        f"i -> concat_ws(' ', slice({words}, i + 1, {n})))"
+        f"transform(sequence(0, greatest(size(__ws) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(__ws, i + 1, {n})))"
     )
     return (
-        df.select(F.explode(F.expr(grams)).alias("ngram"))
+        df.select(F.expr(_words(text_col)).alias("__ws"))
+        .select(F.explode(F.expr(grams)).alias("ngram"))
         .where(F.expr("ngram != ''"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -278,10 +282,19 @@ def collocations(
     text), limited to ``top_k``.
     """
     words = _words(text_col)
-    grams = (
-        f"transform(sequence(0, size({words}) - 2), "
-        f"i -> named_struct('w1', element_at({words}, i + 1), "
-        f"'w2', element_at({words}, i + 2)))"
+    # Bigrams as zip_with(ws, slice(ws, 2, ...)) — the word array is
+    # evaluated ONCE PER ROW. The index form
+    # transform(sequence(0, n-2), i -> element_at({words}, i+1)) would
+    # inline the split expression INSIDE the lambda, re-splitting the
+    # document per element — O(words²) per doc, measured 8× slower at
+    # sf0.1 (5.8 s → 0.8 s for the bigram count). zip_with pads the
+    # shorter side with NULL, so the trailing (last_word, NULL) pair
+    # is filtered along with empties — single-word and empty docs
+    # yield [] with no pre-filter needed.
+    bigrams = (
+        f"filter(zip_with({words}, slice({words}, 2, size({words})), "
+        f"(a, b) -> named_struct('w1', a, 'w2', b)), "
+        f"g -> g.w1 != '' AND g.w2 IS NOT NULL AND g.w2 != '')"
     )
     toks = (
         df.select(F.explode(F.expr(words)).alias("w"))
@@ -292,25 +305,14 @@ def collocations(
         F.sum("c").alias("t_uni"), F.count(F.lit(1)).alias("n_vocab")
     )
     bi = (
-        df.where(F.expr(f"size({words}) >= 2"))
-        .select(F.explode(F.expr(grams)).alias("g"))
-        .where(F.expr("g.w1 != '' AND g.w2 != ''"))
+        df.select(F.explode(F.expr(bigrams)).alias("g"))
         .groupBy("g.w1", "g.w2")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= min_count)
     )
-    # guard size >= 2 BEFORE evaluating grams: sequence(0, size-2) on
-    # a 1-word doc is the descending [0, -1] and element_at(words, 0)
-    # is an ANSI error
-    tot_bi = (
-        df.where(F.expr(f"size({words}) >= 2"))
-        .select(
-            F.expr(
-                f"size(filter({grams}, g -> g.w1 != '' AND g.w2 != ''))"
-            ).alias("nb")
-        )
-        .agg(F.coalesce(F.sum("nb"), F.lit(0)).alias("t_bi"))
-    )
+    tot_bi = df.select(
+        F.expr(f"size({bigrams})").alias("nb")
+    ).agg(F.coalesce(F.sum("nb"), F.lit(0)).alias("t_bi"))
     scored = (
         bi.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"),
                 "w1")
@@ -342,23 +344,35 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
       distinct-sorted (robust to small edits; Schleimer et al. 2003).
     """
     norm = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
-    words = f"split({norm}, ' ')"
     k, w = 5, 4
-    grams = (
-        f"transform(sequence(0, greatest(size({words}) - {k}, 0)), "
-        f"i -> xxhash64(concat_ws(' ', slice({words}, i + 1, {k}))))"
+    # Materialize each array stage as its OWN column: a lambda like
+    # slice(<words-expr>, i+1, k) inlines the split per element, and
+    # the winnow lambda then inlines the whole gram transform per
+    # window — O(words³) per doc. CollapseProject keeps these
+    # projections separate (the aliases are non-cheap and referenced
+    # more than once), so each stage evaluates once per row: measured
+    # 227 s → 0.9 s for the sf0.1 corpus, identical output.
+    out = (
+        df.withColumn("__fp_ws", F.expr(f"split({norm}, ' ')"))
+        .withColumn(
+            "__fp_g",
+            F.expr(
+                f"transform(sequence(0, greatest(size(__fp_ws) - {k}, 0)), "
+                f"i -> xxhash64(concat_ws(' ', slice(__fp_ws, i + 1, {k}))))"
+            ),
+        )
+        .withColumns(
+            {
+                "fp_md5": F.expr(f"md5({norm})"),
+                "fp_winnow": F.expr(
+                    f"array_sort(array_distinct(transform("
+                    f"sequence(0, greatest(size(__fp_g) - {w}, 0)), "
+                    f"i -> array_min(slice(__fp_g, i + 1, {w})))))"
+                ),
+            }
+        )
     )
-    winnow = (
-        f"array_sort(array_distinct(transform("
-        f"sequence(0, greatest(size({grams}) - {w}, 0)), "
-        f"i -> array_min(slice({grams}, i + 1, {w})))))"
-    )
-    return df.withColumns(
-        {
-            "fp_md5": F.expr(f"md5({norm})"),
-            "fp_winnow": F.expr(winnow),
-        }
-    )
+    return out.drop("__fp_ws", "__fp_g")
 
 
 def bm25_rank(
@@ -390,12 +404,14 @@ def bm25_rank(
     terms = [w for t in query for w in t.lower().split()]
     if not terms:
         raise ValueError("bm25_rank: empty query")
+    # one split per row: every per-term tf filters a materialized
+    # __ws column instead of re-evaluating the split per term
     tf_exprs = {
-        f"__tf_{i}": f"size(filter({words}, w -> w = {_esc_str(t)}))"
+        f"__tf_{i}": f"size(filter(__ws, w -> w = {_esc_str(t)}))"
         for i, t in enumerate(terms)
     }
-    base = df.withColumns(
-        {"__dl": F.expr(f"size({words})")}
+    base = df.withColumn("__ws", F.expr(words)).withColumns(
+        {"__dl": F.expr("size(__ws)")}
         | {k: F.expr(v) for k, v in tf_exprs.items()}
     )
     stats = base.agg(
@@ -444,23 +460,24 @@ def ngram_contamination(
     never shuffled by content — only (doc_id, hit) pairs move.
     """
     probe_text_col = probe_text_col or text_col
-    pw = _words(probe_text_col)
-    dw = _words(text_col)
 
-    def grams(words: str, nn: int) -> str:
-        return (
-            f"array_distinct(filter(transform("
-            f"sequence(0, greatest(size({words}) - {nn}, 0)), "
-            f"i -> concat_ws(' ', slice({words}, i + 1, {nn}))), "
-            f"g -> g != ''))"
-        )
-
-    probe_grams = probes.select(
-        F.explode(F.expr(grams(pw, n))).alias("__gram")
-    ).distinct()
-    doc_grams = df.select(
-        F.col(id_col), F.explode(F.expr(grams(dw, n))).alias("__gram")
+    # gram lambdas slice a materialized __ws COLUMN — inlining the
+    # split expression would re-split per gram (O(words²) per doc;
+    # see `collocations`)
+    grams = (
+        f"array_distinct(filter(transform("
+        f"sequence(0, greatest(size(__ws) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(__ws, i + 1, {n}))), "
+        f"g -> g != ''))"
     )
+    probe_grams = (
+        probes.select(F.expr(_words(probe_text_col)).alias("__ws"))
+        .select(F.explode(F.expr(grams)).alias("__gram"))
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col), F.expr(_words(text_col)).alias("__ws")
+    ).select(F.col(id_col), F.explode(F.expr(grams)).alias("__gram"))
     hits = (
         doc_grams.join(
             F.broadcast(probe_grams.withColumn("__hit", F.lit(1))),
@@ -494,15 +511,18 @@ def gopher_quality_flags(
     Emits one boolean per rule + ``passes_gopher`` (AND of all).
     Single projection, no shuffle, linear at 100 TB.
     """
-    words = _words(text_col)
-    nw = f"size({words})"
+    # one split per row: the five rules reference a materialized
+    # __gq_ws column instead of re-evaluating the split expression
+    # per rule
+    staged = df.withColumn("__gq_ws", F.expr(_words(text_col)))
+    nw = "size(__gq_ws)"
     mean_wl = (
         f"CASE WHEN {nw} = 0 THEN 0.0 ELSE "
-        f"aggregate({words}, 0, (a, w) -> a + length(w)) / {nw} END"
+        f"aggregate(__gq_ws, 0, (a, w) -> a + length(w)) / {nw} END"
     )
     alpha_frac = (
         f"CASE WHEN {nw} = 0 THEN 0.0 ELSE "
-        f"size(filter({words}, w -> w rlike '[a-z]')) / {nw} END"
+        f"size(filter(__gq_ws, w -> w rlike '[a-z]')) / {nw} END"
     )
     sym_ratio = (
         f"CASE WHEN {nw} = 0 THEN 1.0 ELSE "
@@ -512,9 +532,9 @@ def gopher_quality_flags(
     )
     distinct_ratio = (
         f"CASE WHEN {nw} = 0 THEN 0.0 ELSE "
-        f"size(array_distinct({words})) / {nw} END"
+        f"size(array_distinct(__gq_ws)) / {nw} END"
     )
-    out = df.withColumns(
+    out = staged.withColumns(
         {
             "flag_word_count": F.expr(f"{nw} BETWEEN 50 AND 100000"),
             "flag_mean_word_len": F.expr(
@@ -531,7 +551,7 @@ def gopher_quality_flags(
             "flag_word_count AND flag_mean_word_len AND flag_alpha_words"
             " AND flag_symbol_ratio AND flag_distinct_words"
         ),
-    )
+    ).drop("__gq_ws")
 
 
 def pack_sequences(
@@ -608,40 +628,54 @@ def repetition_flags(
     map, no shuffle, linear at 100 TB. Per-doc cost is
     O(distinct-grams x grams), bounded by document length.
     """
-    lines = (
-        f"filter(transform(split({text_col}, '\\\\n'), "
-        f"x -> trim(x)), x -> x != '')"
+    # Every array (lines, words, gram lists) is materialized as its
+    # own column before any lambda references it: inlining the
+    # expressions would re-evaluate them per array ELEMENT (the g2/g5
+    # occurrence-count lambdas reference the gram list per distinct
+    # gram — O(grams²·words) per doc when inlined). Column references
+    # inside lambdas are free; CollapseProject keeps the stages
+    # separate because the aliases are non-cheap and multiply-used.
+    staged = df.withColumns(
+        {
+            "__rep_lines": F.expr(
+                f"filter(transform(split({text_col}, '\\\\n'), "
+                f"x -> trim(x)), x -> x != '')"
+            ),
+            "__rep_ws": F.expr(_words(text_col)),
+        }
+    ).withColumns(
+        {
+            "__rep_g2": F.expr(
+                "transform(sequence(1, greatest(size(__rep_ws) - 1, 1)), "
+                "i -> concat_ws(' ', slice(__rep_ws, i, 2)))"
+            ),
+            "__rep_g5": F.expr(
+                "transform(sequence(1, greatest(size(__rep_ws) - 4, 1)), "
+                "i -> concat_ws(' ', slice(__rep_ws, i, 5)))"
+            ),
+        }
     )
-    words = _words(text_col)
-
-    def grams_expr(n: int) -> str:
-        return (
-            f"transform(sequence(1, greatest(size({words}) - {n - 1}, 1)), "
-            f"i -> concat_ws(' ', slice({words}, i, {n})))"
-        )
-
     n_chars = f"greatest(length({text_col}), 1)"
     dup_line = (
-        f"CASE WHEN size({lines}) = 0 THEN 0.0 ELSE "
-        f"(size({lines}) - size(array_distinct({lines}))) "
-        f"/ CAST(size({lines}) AS DOUBLE) END"
+        "CASE WHEN size(__rep_lines) = 0 THEN 0.0 ELSE "
+        "(size(__rep_lines) - size(array_distinct(__rep_lines))) "
+        "/ CAST(size(__rep_lines) AS DOUBLE) END"
     )
-    g2, g5 = grams_expr(2), grams_expr(5)
     top2 = (
-        f"CASE WHEN size({words}) < 2 THEN 0.0 ELSE "
-        f"array_max(transform(array_distinct({g2}), g -> "
-        f"size(filter({g2}, x -> x = g)) * length(g))) "
+        f"CASE WHEN size(__rep_ws) < 2 THEN 0.0 ELSE "
+        f"array_max(transform(array_distinct(__rep_g2), g -> "
+        f"size(filter(__rep_g2, x -> x = g)) * length(g))) "
         f"/ CAST({n_chars} AS DOUBLE) END"
     )
     dup5 = (
-        f"CASE WHEN size({words}) < 5 THEN 0.0 ELSE "
-        f"aggregate(transform(array_distinct({g5}), g -> "
-        f"named_struct('c', size(filter({g5}, x -> x = g)), "
+        f"CASE WHEN size(__rep_ws) < 5 THEN 0.0 ELSE "
+        f"aggregate(transform(array_distinct(__rep_g5), g -> "
+        f"named_struct('c', size(filter(__rep_g5, x -> x = g)), "
         f"'l', length(g))), 0L, "
         f"(acc, s) -> acc + IF(s.c > 1, CAST(s.c * s.l AS BIGINT), 0L)) "
         f"/ CAST({n_chars} AS DOUBLE) END"
     )
-    out = df.withColumns(
+    out = staged.withColumns(
         {
             "dup_line_frac": F.expr(f"round({dup_line}, 6)"),
             "top_2gram_char_frac": F.expr(f"round({top2}, 6)"),
@@ -663,4 +697,4 @@ def repetition_flags(
     return out.withColumn(
         "passes_repetition",
         F.expr("flag_dup_lines AND flag_top_2gram AND flag_dup_5gram"),
-    )
+    ).drop("__rep_lines", "__rep_ws", "__rep_g2", "__rep_g5")
