@@ -238,17 +238,25 @@ def unigram_logprob(
         lookup = f"coalesce(element_at(map({entries}), w), {oov!r})"
     else:
         lookup = repr(oov)
-    words = _words(text_col)
-    toks = f"filter({words}, w -> w != '')"
-    return df.withColumns(
-        {
-            "lm_tokens": F.expr(f"size({toks})"),
-            "lm_logprob": F.expr(
-                f"IF(size({toks}) = 0, NULL, round("
-                f"aggregate({toks}, CAST(0.0 AS DOUBLE), "
-                f"(acc, w) -> acc + {lookup}) / size({toks}), 6))"
-            ),
-        }
+    # token array materialized once per row (three references below);
+    # the vocab map literal is constant-folded at plan time, so the
+    # per-token lookup is a hash probe, not a map rebuild
+    return (
+        df.withColumn(
+            "__lm_toks",
+            F.expr(f"filter({_words(text_col)}, w -> w != '')"),
+        )
+        .withColumns(
+            {
+                "lm_tokens": F.expr("size(__lm_toks)"),
+                "lm_logprob": F.expr(
+                    f"IF(size(__lm_toks) = 0, NULL, round("
+                    f"aggregate(__lm_toks, CAST(0.0 AS DOUBLE), "
+                    f"(acc, w) -> acc + {lookup}) / size(__lm_toks), 6))"
+                ),
+            }
+        )
+        .drop("__lm_toks")
     )
 
 
