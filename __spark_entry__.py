@@ -820,16 +820,16 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
 
 
 # The driver hard-checks (row count + schema + value hash vs DuckDB)
-# only the FIRST 50 entries of queries(), in dict order. All 73
+# only the FIRST 50 entries of queries(), in dict order. All 81
 # entries are green locally (scripts/check_entry.py runs every one),
 # so the explicit order below decides which get a driver CORRECTNESS
-# row this round: the 21 entries that have never had one plus the 2
+# row this round: the 23 entries that have never had one plus the 10
 # new round-3 operators go first, then a representative core
-# (flagship TPC-H, windows, every dedup / ANN / text family). The 23
+# (flagship TPC-H, windows, every dedup / ANN / text family). The 29
 # behind the cutoff all earned green rows in rounds 1-2 and stay
 # covered by the local mimic + pytest.
 _DRIVER_ORDER = [
-    # -- never driver-checked before round 3 (21)
+    # -- never driver-checked before round 3 (23)
     "docs_clean_pipeline",
     "sketch_distinct_users",
     "sketch_value_median",
