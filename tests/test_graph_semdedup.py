@@ -48,10 +48,61 @@ def test_connected_components_merges_via_shared_node(spark):
 
 
 def test_connected_components_max_iter_guard(spark):
-    # a 12-node chain needs ~11 propagation rounds; 2 must raise
-    chain = [(i, i + 1) for i in range(12)]
+    # propagate+pointer-jump roughly triples reach per round, so a
+    # 60-node chain is far beyond 2 rounds; the guard must fire
+    chain = [(i, i + 1) for i in range(60)]
     with pytest.raises(RuntimeError, match="no convergence"):
         graph.connected_components(_edges(spark, chain), max_iter=2)
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    # pointer jumping: a 40-node chain (diameter 39) must converge
+    # well under 39 rounds — 8 is plenty for ~3^r reach
+    chain = [(i, i + 1) for i in range(40)]
+    comps = {
+        r.node: r.component
+        for r in graph.connected_components(
+            _edges(spark, chain), max_iter=8
+        ).collect()
+    }
+    assert set(comps.values()) == {0} and len(comps) == 41
+
+
+def test_connected_components_matches_union_find(spark):
+    # randomized graphs vs a plain union-find reference
+    import random
+
+    rng = random.Random(99)
+    for trial in range(3):
+        nodes = list(range(0, 60, 2))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(35)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        for a, b in edges:
+            for x in (a, b):
+                want[x] = find(x)
+        got = {
+            r.node: r.component
+            for r in graph.connected_components(
+                _edges(spark, edges)
+            ).collect()
+        }
+        assert got == want, f"trial {trial}"
 
 
 def test_dedup_by_clusters_transitive(spark):
