@@ -87,7 +87,7 @@ def main(argv: list[str] | None = None) -> int:
     if not text.strip():
         ap.error("empty query (pass as argument or on stdin)")
 
-    from prql_spark import Catalog, build_spark, compile_prql, explain, to_sql
+    from prql_spark import Catalog, build_spark, compile_prql, to_sql
     from prql_spark.compiler import PrqlCompileError
     from prql_spark.parser import PrqlParseError
 
@@ -135,9 +135,16 @@ def main(argv: list[str] | None = None) -> int:
             _maybe_lint(df, args)
             print(df.schema.simpleString())
         else:
-            if args.lint:
-                _maybe_lint(compile_prql(text, catalog), args)
-            print(explain(text, catalog))
+            # compile once; lint and the plan dump share the DataFrame
+            df = compile_prql(text, catalog)
+            _maybe_lint(df, args)
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            print(buf.getvalue())
     except (PrqlParseError, PrqlCompileError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

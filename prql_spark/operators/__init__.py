@@ -1661,7 +1661,8 @@ def _sql_semdedup() -> str:
 WITH cent AS (SELECT * FROM (VALUES {cent_rows}) c(i, c)),
 nv AS (
   SELECT vec_id,
-    list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS vn
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      CASE WHEN n = 0 THEN 1 ELSE n END) AS vn
   FROM (SELECT vec_id, embedding, sqrt({norm}) AS n FROM embeddings)),
 assign AS (
   SELECT vec_id, vn, i,
@@ -1671,11 +1672,16 @@ assign AS (
           round({dot_vc}, 9) AS cs
         FROM nv CROSS JOIN cent c)),
 corpus AS (SELECT vec_id, vn, i AS lst FROM assign WHERE rk = 1),
+bk AS (
+  SELECT lst, count(*) AS cnt, min(vec_id) AS mn
+  FROM corpus GROUP BY lst),
 losers AS (
   SELECT DISTINCT r.vec_id
   FROM corpus l JOIN corpus r
     ON l.lst = r.lst AND l.vec_id < r.vec_id
-  WHERE round({dot_lr}, 6) >= 0.35)
+  JOIN bk ON bk.lst = l.lst
+  WHERE (bk.cnt <= 256 OR l.vec_id = bk.mn)
+    AND round({dot_lr}, 6) >= 0.35)
 SELECT e.vec_id, e.label FROM embeddings e
 WHERE NOT EXISTS (SELECT 1 FROM losers w WHERE w.vec_id = e.vec_id)
 ORDER BY e.vec_id

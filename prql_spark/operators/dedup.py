@@ -58,6 +58,43 @@ def dedup_exact(
     )
 
 
+def pairs_from_buckets(
+    grouped: DataFrame, pair: str, star_cap: int | None
+) -> DataFrame:
+    """Shared bucket-combine tail for every pair-generating operator
+    (minhash / simhash / ngram-jaccard / semdedup): explode the
+    within-bucket (i, j) index pairs of the collected ``mem`` array
+    and apply ``pair`` — a named_struct expression over ``mem[p.i]``
+    / ``mem[p.j]`` — once per chosen index pair.
+
+    ``star_cap``: over-cap buckets star-link every member against the
+    bucket min (O(n) pairs instead of O(n²) from one reducer on a
+    degenerate corpus); the branch is on cheap INDEX structs so the
+    heavyweight pair math appears exactly once in the generated code
+    (duplicating it across both IF branches measurably bloats
+    per-plan Janino compile). Non-``mem`` columns pass through.
+    """
+    idx_all = (
+        "flatten(transform(sequence(0, size(mem)-2), i -> "
+        "transform(sequence(i+1, size(mem)-1), j -> "
+        "named_struct('i', i, 'j', j))))"
+    )
+    idx_star = (
+        "transform(sequence(1, size(mem)-1), j -> "
+        "named_struct('i', 0, 'j', j))"
+    )
+    idx = (
+        idx_all
+        if star_cap is None
+        else f"IF(size(mem) <= {star_cap}, {idx_all}, {idx_star})"
+    )
+    keep = [c for c in grouped.columns if c != "mem"]
+    return grouped.select(
+        *keep,
+        F.explode(F.expr(f"transform({idx}, p -> {pair})")).alias("p"),
+    )
+
+
 def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     # multiply-shift family: odd 64-bit multiplier + 64-bit offset,
     # evaluated with wrapping uint64 arithmetic (numpy). Small
@@ -203,42 +240,20 @@ def _minhash_raw_pairs(
         )
         .where(F.expr("size(mem) >= 2"))
     )
-    def pair(i: str, j: str) -> str:
-        return (
-            f"named_struct("
-            f"'id_a', mem[{i}].{id_col}, 'id_b', mem[{j}].{id_col}, "
-            f"'est_jaccard', size(filter(zip_with("
-            f"mem[{i}].minhash, mem[{j}].minhash, (x, y) -> x = y), "
-            f"v -> v)) / size(mem[{i}].minhash))"
-        )
-
-    # Branch on cheap (i, j) INDEX structs and apply the heavyweight
-    # pair math exactly once over the chosen index list. Putting the
-    # full pair expression on both IF branches doubles the generated
-    # code for this projection — measured as several extra seconds of
-    # per-plan compile (plan-size cost, independent of data volume).
-    idx_all = (
-        "flatten(transform(sequence(0, size(mem)-2), i -> "
-        "transform(sequence(i+1, size(mem)-1), j -> "
-        "named_struct('i', i, 'j', j))))"
+    # mega-bucket guard (star_cap): beyond the cap, all-pairs is
+    # O(n²) — a degenerate corpus of n identical docs would emit
+    # n(n-1)/2 rows from ONE reducer; star-linking against the bucket
+    # min is O(n) and dedup-equivalent for signature-homogeneous
+    # buckets (the only way buckets get huge).
+    pair = (
+        f"named_struct("
+        f"'id_a', mem[p.i].{id_col}, 'id_b', mem[p.j].{id_col}, "
+        f"'est_jaccard', size(filter(zip_with("
+        f"mem[p.i].minhash, mem[p.j].minhash, (x, y) -> x = y), "
+        f"v -> v)) / size(mem[p.i].minhash))"
     )
-    if star_cap is None:
-        idx = idx_all
-    else:
-        # mega-bucket guard: beyond star_cap members, all-pairs is
-        # O(n²) (a degenerate corpus of n identical docs would emit
-        # n(n-1)/2 rows from ONE reducer). Star-link instead: every
-        # member pairs only with the bucket's min id — O(n), and for
-        # keep/drop dedup semantics equivalent whenever the bucket is
-        # signature-homogeneous (the only way buckets get huge).
-        idx_star = (
-            "transform(sequence(1, size(mem)-1), j -> "
-            "named_struct('i', 0, 'j', j))"
-        )
-        idx = f"IF(size(mem) <= {star_cap}, {idx_all}, {idx_star})"
-    pairs_expr = f"transform({idx}, p -> {pair('p.i', 'p.j')})"
     return (
-        grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        pairs_from_buckets(grouped, pair, star_cap)
         .select("p.id_a", "p.id_b", "p.est_jaccard")
         .where(F.col("est_jaccard") >= threshold)
     )
@@ -459,26 +474,13 @@ def simhash_near_pairs(
         .where(F.expr("size(mem) >= 2"))
     )
 
-    def pair(i: str, j: str) -> str:
-        return (
-            f"named_struct("
-            f"'id_a', mem[{i}].{id_col}, 'id_b', mem[{j}].{id_col}, "
-            f"'hamming', bit_count(mem[{i}].simhash ^ mem[{j}].simhash))"
-        )
-
-    idx_all = (
-        "flatten(transform(sequence(0, size(mem)-2), i -> "
-        "transform(sequence(i+1, size(mem)-1), j -> "
-        "named_struct('i', i, 'j', j))))"
+    pair = (
+        f"named_struct("
+        f"'id_a', mem[p.i].{id_col}, 'id_b', mem[p.j].{id_col}, "
+        f"'hamming', bit_count(mem[p.i].simhash ^ mem[p.j].simhash))"
     )
-    idx_star = (
-        "transform(sequence(1, size(mem)-1), j -> "
-        "named_struct('i', 0, 'j', j))"
-    )
-    idx = f"IF(size(mem) <= {star_cap}, {idx_all}, {idx_star})"
-    pairs_expr = f"transform({idx}, p -> {pair('p.i', 'p.j')})"
     raw = (
-        grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        pairs_from_buckets(grouped, pair, star_cap)
         .select("p.id_a", "p.id_b", "p.hamming")
         # verify BEFORE the pair-dedup exchange — far fewer rows move
         .where(F.col("hamming") <= max_hamming)
@@ -535,12 +537,8 @@ def ngram_jaccard_pairs(
     base = (
         # original columns stay visible so caller-supplied block
         # exprs can reference them alongside __norm/__ws
-        df.withColumns(
-            {
-                "__norm": F.expr(norm),
-                "__ws": F.expr(f"split({norm}, ' ')"),
-            }
-        )
+        df.withColumn("__norm", F.expr(norm))
+        .withColumn("__ws", F.expr("split(__norm, ' ')"))
         .select(
             F.col(id_col),
             F.expr(grams).alias("__grams"),
@@ -567,28 +565,15 @@ def ngram_jaccard_pairs(
         .where(F.expr("size(mem) >= 2"))
     )
 
-    def pair(i: str, j: str) -> str:
-        return (
-            f"named_struct("
-            f"'id_a', mem[{i}].{id_col}, 'id_b', mem[{j}].{id_col}, "
-            f"'jaccard', round("
-            f"size(array_intersect(mem[{i}].__grams, mem[{j}].__grams)) / "
-            f"size(array_union(mem[{i}].__grams, mem[{j}].__grams)), 6))"
-        )
-
-    idx_all = (
-        "flatten(transform(sequence(0, size(mem)-2), i -> "
-        "transform(sequence(i+1, size(mem)-1), j -> "
-        "named_struct('i', i, 'j', j))))"
+    pair = (
+        f"named_struct("
+        f"'id_a', mem[p.i].{id_col}, 'id_b', mem[p.j].{id_col}, "
+        f"'jaccard', round("
+        f"size(array_intersect(mem[p.i].__grams, mem[p.j].__grams)) / "
+        f"size(array_union(mem[p.i].__grams, mem[p.j].__grams)), 6))"
     )
-    idx_star = (
-        "transform(sequence(1, size(mem)-1), j -> "
-        "named_struct('i', 0, 'j', j))"
-    )
-    idx = f"IF(size(mem) <= {star_cap}, {idx_all}, {idx_star})"
-    pairs_expr = f"transform({idx}, p -> {pair('p.i', 'p.j')})"
     return (
-        grouped.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        pairs_from_buckets(grouped, pair, star_cap)
         .select("p.id_a", "p.id_b", "p.jaccard")
         .where(F.col("jaccard") >= threshold)
         # a pair can share both block keys — dedup to one row

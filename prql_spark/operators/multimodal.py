@@ -181,7 +181,10 @@ class NetpbmCodec(MediaCodec):
                 start = pos
                 while pos < n and not payload[pos : pos + 1].isspace():
                     pos += 1
-                fields.append(int(payload[start:pos]))
+                tok = payload[start:pos]
+                if not tok.isdigit():  # malformed header ⇒ not netpbm
+                    return None
+                fields.append(int(tok))
         pos += 1  # the single whitespace after maxval
         if len(fields) < 3 or fields[2] > 255:
             return None

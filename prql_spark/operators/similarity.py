@@ -291,6 +291,7 @@ def semdedup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    star_cap: int = 256,
 ) -> DataFrame:
     """Semantic near-dup pairs, k-means-blocked (SemDeDup shape —
     Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -314,19 +315,43 @@ def semdedup_pairs(
     sf0.1 entry 13 s → ~2 s with identical semantics. The self-join
     shuffles the corpus once, hash-partitioned by cluster id.
 
+    ``star_cap``: clusters larger than the cap (a huge
+    exact-duplicate embedding class lands in ONE cluster no matter
+    how n_lists is sized) star-link against the cluster min instead
+    of emitting O(n²) pairs from one reducer — the same guard the
+    minhash/simhash/ngram bucket-combines carry, equivalent for
+    keep/drop pruning of homogeneous duplicate classes.
+
     Returns (id_a, id_b, list_id, cosine), id_a < id_b.
     """
+    if centroids and len(centroids[0]) != dim:
+        raise ValueError(
+            f"semdedup_pairs: centroid dim {len(centroids[0])} != {dim}"
+        )
     cn = unit_normalize(centroids)
     # two-step normalize: materialize the norm as a column first — a
     # sqrt-fold INSIDE the transform lambda would re-run per element
-    # (64× the work)
-    base = df.select(
-        F.col(id_col), F.expr(_norm(vec_col)).alias("__n"), F.col(vec_col)
-    ).select(
-        F.col(id_col),
-        F.expr(
-            f"transform({vec_col}, x -> CAST(x AS DOUBLE) / __n)"
-        ).alias("__vn"),
+    # (64× the work). Zero-norm vectors (missing/failed embeddings)
+    # divide by 1 instead of erroring the job under ANSI mode; their
+    # all-zero unit vector dots to 0 with everything, so they never
+    # pair — mirroring unit_normalize's `or 1.0` guard.
+    base = (
+        df.select(
+            F.col(id_col),
+            F.expr(_norm(vec_col)).alias("__n0"),
+            F.col(vec_col),
+        )
+        .select(
+            F.col(id_col),
+            F.expr("IF(__n0 = 0.0, 1.0, __n0)").alias("__n"),
+            F.col(vec_col),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"transform({vec_col}, x -> CAST(x AS DOUBLE) / __n)"
+            ).alias("__vn"),
+        )
     )
     # Assignment = broadcast-join against a tiny centroid FRAME, then
     # an argmax aggregate (max over (cos, i) structs → round-9 cos,
@@ -372,20 +397,15 @@ def semdedup_pairs(
         )
         .where(F.expr("size(mem) >= 2"))
     )
-    dot_ij = _dot("mem[p.i].__vn", "mem[p.j].__vn")
-    pairs_expr = (
-        "transform(flatten(transform(sequence(0, size(mem)-2), i -> "
-        "transform(sequence(i+1, size(mem)-1), j -> "
-        "named_struct('i', i, 'j', j)))), p -> "
+    from prql_spark.operators.dedup import pairs_from_buckets
+
+    pair = (
         f"named_struct('id_a', mem[p.i].{id_col}, "
         f"'id_b', mem[p.j].{id_col}, "
-        f"'cosine', round({dot_ij}, 6)))"
+        f"'cosine', round({_dot('mem[p.i].__vn', 'mem[p.j].__vn')}, 6))"
     )
     return (
-        grouped.select(
-            F.col("list_id"),
-            F.explode(F.expr(pairs_expr)).alias("p"),
-        )
+        pairs_from_buckets(grouped, pair, star_cap)
         .select("p.id_a", "p.id_b", "list_id", "p.cosine")
         .where(F.col("cosine") >= threshold)
     )
@@ -399,6 +419,7 @@ def semdedup(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    star_cap: int = 256,
 ) -> DataFrame:
     """Rows surviving semantic dedup: drop any vector that has a
     smaller-id within-cluster neighbor at cosine >= threshold (greedy
@@ -409,7 +430,9 @@ def semdedup(
         centroids = ivf_train_centroids(df, dim, n_lists, vec_col=vec_col,
                                         id_col=id_col)
     losers = (
-        semdedup_pairs(df, dim, centroids, threshold, vec_col, id_col)
+        semdedup_pairs(
+            df, dim, centroids, threshold, vec_col, id_col, star_cap
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

@@ -82,12 +82,15 @@ def salted_join(
     key) or when AQE is disabled. Use when the right side is too big
     to broadcast and the left key histogram is pathological.
 
-    The left salt is derived from xxhash64 over the whole left row
-    (struct(*)) — deterministic for a given row, uniform within a hot
-    key, and requiring no unique-id column. Join semantics for
-    ``inner`` / ``left`` equal the unsalted join exactly: every left
-    row carries exactly one salt, and the matching right replica
-    exists for every salt value.
+    The left salt hashes ``monotonically_increasing_id()`` — unique
+    per physical row, so even fully-duplicate rows of a hot key (the
+    raw-event-log case) spread across all buckets; a row-content hash
+    would send byte-identical duplicates to ONE bucket and leave the
+    hot key unsplit. The salt value itself is not stable across
+    retries, but the join RESULT is salt-invariant for inner/left
+    (every salt value has its matching right replica), so
+    recomputation is harmless. Join semantics equal the unsalted
+    join exactly.
     """
     if how not in ("inner", "left"):
         raise ValueError(
@@ -97,7 +100,9 @@ def salted_join(
     lcols, rcols = left.columns, right.columns
     l = left.withColumn(
         "__salt",
-        F.expr(f"pmod(xxhash64(struct(*)), {salt_buckets})").cast("int"),
+        F.expr(
+            f"pmod(xxhash64(monotonically_increasing_id()), {salt_buckets})"
+        ).cast("int"),
     )
     r = right.withColumn(
         "__salt", F.explode(F.expr(f"sequence(0, {salt_buckets - 1})"))

@@ -39,12 +39,16 @@ def diff_datasets(
     ``added`` (only in new), ``removed`` (only in old), ``changed``
     (both, compared columns differ). Unchanged keys are not emitted.
 
-    ``compare_cols`` defaults to every non-key column of ``old``.
-    Keys are assumed unique per snapshot (a lake primary key — the
-    same contract upsert_parquet merges by); NULL keys never match
-    across sides, so a NULL-keyed row shows up as removed+added.
+    ``compare_cols=None`` compares every non-key column of ``old``;
+    an explicit empty list is a presence-only diff (added/removed,
+    never changed). Keys are assumed unique per snapshot (a lake
+    primary key — the same contract upsert_parquet merges by); NULL
+    keys never match across sides, so a NULL-keyed row shows up as
+    removed+added.
     """
-    cc = compare_cols or [c for c in old.columns if c not in key_cols]
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in key_cols]
+    cc = compare_cols
     h = row_hash_expr(cc)
     o = old.select(*key_cols, F.expr(h).alias("__h_old"))
     n = new.select(*key_cols, F.expr(h).alias("__h_new"))

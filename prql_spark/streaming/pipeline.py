@@ -303,5 +303,11 @@ def stream_upsert_to_parquet(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     q = w.start()
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # a partially-merged lake must never be handed back silently
+        q.stop()
+        raise TimeoutError(
+            f"stream_upsert_to_parquet: backfill not drained within "
+            f"{timeout_s}s — lake at {path!r} is partially merged"
+        )
     return q

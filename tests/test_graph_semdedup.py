@@ -344,12 +344,19 @@ def test_salted_join_parity_and_spread(spark):
     ).collect()
     assert sum(1 for r in lj if r.k == 999) == 1
     assert next(r.payload for r in lj if r.k == 999) is None
-    # the hot key's rows really spread across salts (uniformity)
-    l2 = left.withColumn(
-        "__salt", F.expr("pmod(xxhash64(struct(*)), 8)")
+    # the hot key's rows really spread across salts — even when every
+    # row is byte-identical (the raw-event-log worst case a
+    # row-content hash would send to ONE bucket)
+    dup_hot = spark.createDataFrame(
+        [(1, 7)] * 2000, "k int, lid long"
     )
-    n_salts = l2.where("k = 1").select("__salt").distinct().count()
-    assert n_salts == 8
+    l2 = dup_hot.withColumn(
+        "__salt", F.expr("pmod(xxhash64(monotonically_increasing_id()), 8)")
+    )
+    assert l2.select("__salt").distinct().count() == 8
+    # and parity holds on the duplicate-heavy frame too
+    dup_out = skew.salted_join(dup_hot, right, on=["k"], salt_buckets=8)
+    assert dup_out.count() == 2000
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="inner/left"):
