@@ -180,9 +180,36 @@ def ivf_train_centroids(
     )
     centroids = [[float(x) for x in r[0]] for r in seed_rows]
     for _ in range(iters):
-        assigned = df.select(
-            F.expr(_nearest_expr(vec_col, centroids)).alias("__list"),
-            F.col(vec_col),
+        # assignment via broadcast centroid FRAME + argmax aggregate —
+        # the same shape (and the same round-9 / ties-to-larger-index
+        # contract) as _nearest_expr, but it scales to thousands of
+        # lists: the inline-literal array_max form falls out of
+        # whole-stage codegen past ~dozens of centroids (measured
+        # 108 s vs 2 s on 64 lists in semdedup). Verified to
+        # reproduce _nearest_expr's assignments bit-for-bit — the
+        # regenerated pretrained centroids are byte-identical.
+        cents_df = df.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "i int, c array<double>",
+        )
+        assigned = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .join(F.broadcast(cents_df))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.expr(
+                    f"named_struct("
+                    f"'cos', round({cosine_expr(vec_col, 'c')}, 9), "
+                    f"'i', i)"
+                ).alias("__s"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.max("__s").alias("__m"),
+                F.first(vec_col).alias(vec_col),
+            )
+            .select(F.col("__m.i").alias("__list"), F.col(vec_col))
         )
         # component-wise mean via posexplode + partial-sum: the
         # shuffle carries only (list, pos, partial_sum) — never

@@ -183,6 +183,19 @@ def main():
             vecs, dim=64, threshold=0.98, multiprobe=False
         ),
     )
+    # semantic dedup with the pretrained 64-list quantizer: the
+    # assignment (n_vectors × 64 dot folds) and in-cluster pair
+    # verification both scale linearly in corpus size at fixed
+    # occupancy; star_cap bounds the duplicate-class clusters this
+    # perturbed corpus is full of
+    from prql_spark.operators._ivf_centroids import SEMDEDUP_CENTROIDS
+
+    res["semdedup_prune"] = run(
+        "semdedup",
+        lambda: similarity.semdedup(
+            vecs, dim=64, centroids=SEMDEDUP_CENTROIDS, threshold=0.98
+        ),
+    )
     print(json.dumps(res))
     spark.stop()
 
