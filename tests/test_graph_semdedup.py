@@ -361,3 +361,19 @@ def test_salted_join_parity_and_spread(spark):
 
     with _pytest.raises(ValueError, match="inner/left"):
         skew.salted_join(left, right, on=["k"], how="right")
+
+
+def test_ivf_trainer_scales_to_many_lists(spark, catalog):
+    # the broadcast-frame argmax assignment keeps the trainer inside
+    # codegen at list counts where the inline-literal form fell out
+    # (the 108s lesson); 100 lists on 500 vectors must train quickly
+    # and produce a usable quantizer
+    embs = catalog.load("embeddings")
+    cents = similarity.ivf_train_centroids(
+        embs, dim=64, n_lists=100, iters=2
+    )
+    assert len(cents) == 100 and len(cents[0]) == 64
+    pairs = similarity.semdedup_pairs(
+        embs, dim=64, centroids=cents, threshold=0.35
+    )
+    assert pairs.count() >= 0  # plan builds and executes
