@@ -1,0 +1,124 @@
+"""End-to-end training-corpus preparation: the composed pipeline the
+individual operators exist for.
+
+    raw text/parquet
+      → strip boilerplate → quality + Gopher + repetition + LM filters
+      → exact dedup → minhash near-dup clusters → keep one per cluster
+      → deterministic train/val/test split → sequence packing
+      → JSONL (or parquet) shards
+
+Every stage is one of the repo's oracled operators; the composition
+stays fully lazy until the final write, so Catalyst sees ONE plan per
+action: the narrow cleaning/scoring maps fuse over a single corpus
+scan, the only corpus-wide exchanges are the dedup hash, the minhash
+band-bucket group-by, the CC label rounds, and the packing window —
+the same shuffle budget the operators pay individually.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from prql_spark.operators import dedup, graph, splits, text
+
+
+@dataclass
+class CorpusStats:
+    """Row counts per stage, filled when ``collect_stats=True`` (each
+    count is an extra job over the cached stage — off by default)."""
+
+    input_rows: int | None = None
+    after_quality: int | None = None
+    after_dedup: int | None = None
+    extras: dict = field(default_factory=dict)
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.4,
+    langs: tuple[str, ...] = ("en",),
+    lm_vocab_top_v: int = 256,
+    min_lm_logprob: float | None = None,
+    minhash_threshold: float = 0.5,
+    star_cap: int = 64,
+    split_fracs: tuple[float, float] = (0.9, 0.05),
+    pack_target_tokens: int = 2048,
+    collect_stats: bool = False,
+) -> tuple[DataFrame, CorpusStats]:
+    """Run the full cleaning → filtering → dedup → split → pack chain.
+
+    Returns (result, stats): one row per surviving document with the
+    cleaned text, quality/LM scores, ``split`` assignment and packing
+    ``(shard, chunk_id)``. ``min_lm_logprob=None`` keeps the unigram
+    LM score as a column without filtering on it (the CCNet-style
+    cut-off is corpus-specific — callers pick it from the score
+    distribution).
+
+    Scale notes: the unigram vocabulary is collected ONCE up front
+    (two tiny driver results); minhash cluster dedup is
+    transitively-correct keep-one-per-cluster via star-capped pairs +
+    connected components — the O(n) posture on duplicate-heavy
+    corpora.
+    """
+    stats = CorpusStats()
+    if collect_stats:
+        stats.input_rows = docs.count()
+
+    # -- clean + score (narrow maps, fuse over one scan)
+    cleaned = splits.strip_boilerplate(docs, text_col)
+    scored = text.quality_score(cleaned, "text_clean")
+    scored = text.lang_id(scored, "text_clean")
+    scored = text.gopher_quality_flags(scored, "text_clean")
+    scored = text.repetition_flags(scored, "text_clean", id_col)
+
+    vocab, total = text.unigram_vocab(cleaned, "text_clean", lm_vocab_top_v)
+    scored = text.unigram_logprob(scored, vocab, total, "text_clean")
+
+    lang_set = ", ".join(f"'{v}'" for v in langs)
+    keep = (
+        f"quality >= {min_quality} AND lang_guess IN ({lang_set}) "
+        f"AND passes_gopher AND passes_repetition"
+    )
+    if min_lm_logprob is not None:
+        keep += f" AND lm_logprob >= {min_lm_logprob}"
+    filtered = scored.where(F.expr(keep))
+    if collect_stats:
+        stats.after_quality = filtered.count()
+
+    # -- dedup: exact first (collapses the duplicate classes that
+    # would otherwise bloat minhash buckets), then cluster-granular
+    # near-dup removal
+    exact = dedup.dedup_exact(filtered, "text_clean", id_col)
+    sigs = dedup.minhash_signatures(exact, "text_clean", id_col)
+    pairs = dedup.minhash_lsh_pairs(
+        sigs, id_col, threshold=minhash_threshold, star_cap=star_cap
+    )
+    deduped = graph.dedup_by_clusters(exact, pairs, id_col)
+    if collect_stats:
+        deduped = deduped.localCheckpoint(eager=True)
+        stats.after_dedup = deduped.count()
+
+    # -- deterministic split + packing
+    train, val = split_fracs
+    out = splits.split_by_hash(deduped, id_col, train=train, val=val)
+    packed = text.pack_sequences(
+        out, target_tokens=pack_target_tokens, text_col="text_clean",
+        id_col=id_col,
+    )
+    result = out.join(
+        packed.select(id_col, "shard", "chunk_id", "n_tokens"), id_col
+    )
+    return result, stats
+
+
+def write_corpus_jsonl(result: DataFrame, path: str) -> None:
+    """Write the prepared corpus as split-partitioned JSONL shards —
+    the training-interchange layout (one directory per split, one
+    line per document)."""
+    from prql_spark.sources.io import write_jsonl
+
+    write_jsonl(result, path, partition_by=["split"])

@@ -1,0 +1,55 @@
+"""End-to-end corpus-preparation pipeline (prql_spark/pipelines.py):
+the composed chain every operator exists for.
+
+One action drives the whole chain (clean → 4 quality filters → LM
+score → exact dedup → minhash clusters → split → pack) — per-stage
+correctness is pinned by each operator's own tests/oracles; this
+checks the COMPOSITION contract: planted duplicates removed, schema
+complete, split/pack columns attached, JSONL export readable.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from prql_spark.pipelines import prepare_training_corpus, write_corpus_jsonl
+
+
+def test_prepare_training_corpus_end_to_end(spark, catalog, tmp_path):
+    docs = catalog.load("documents").where("doc_id < 200")
+    # plant exact duplicates that must lose to their originals
+    dup = docs.where("doc_id < 5").withColumn(
+        "doc_id", F.expr("doc_id + 900000")
+    )
+    corpus = docs.unionByName(dup)
+    result, _stats = prepare_training_corpus(
+        corpus,
+        min_quality=0.3,
+        langs=("en", "de", "fr", "es"),
+        minhash_threshold=0.5,
+    )
+    rows = result.collect()
+    assert 0 < len(rows) <= 200
+    ids = {r.doc_id for r in rows}
+    # every planted re-keyed duplicate lost to its lower-id original
+    assert not any(i >= 900000 for i in ids)
+    # schema contract: scores, split, packing all present
+    cols = set(result.columns)
+    assert {"text_clean", "quality", "lang_guess", "lm_logprob",
+            "split", "shard", "chunk_id", "n_tokens"} <= cols
+    splits_seen = {r.split for r in rows}
+    assert splits_seen <= {"train", "val", "test"} and "train" in splits_seen
+    assert all(r.n_tokens > 0 for r in rows)
+
+    # JSONL export: split-partitioned dirs, one JSON object per line
+    out = str(tmp_path / "corpus")
+    write_corpus_jsonl(result.select("doc_id", "text_clean", "split"), out)
+    train_files = glob.glob(os.path.join(out, "split=train", "*.json"))
+    assert train_files
+    with open(train_files[0]) as f:
+        first = json.loads(f.readline())
+    assert "doc_id" in first and "text_clean" in first
