@@ -214,3 +214,21 @@ def test_semdedup_bucket_combine_shape(catalog):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_docs_clean_pipeline_plan_shape(catalog, spark):
+    # flagship composition: ONE parquet scan feeds the whole chain
+    # (strip/quality/lang fuse as narrow projections), zero Python,
+    # and at most three exchanges — the local single-file spread
+    # (gated off on already-parallel inputs), the dedup window's
+    # __key hash, and the entry's final sort
+    from prql_spark.operators import entry_queries
+
+    df = entry_queries()["docs_clean_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1
+    assert "Python" not in plan
+    assert plan.count("Exchange") <= 3
+    assert plan.count("hashpartitioning(__key") == 1
