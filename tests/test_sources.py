@@ -199,3 +199,14 @@ def test_diff_datasets(spark):
     assert diff_datasets(old, new, ["k"], compare_cols=["v"]).where(
         "k = 2"
     ).count() == 0
+
+
+def test_read_text_files_linesep(spark, tmp_path):
+    d = tmp_path / "recsep"
+    d.mkdir()
+    (d / "r.rec").write_text("alpha|beta|gamma")
+    rows = {
+        r.text
+        for r in pio.read_text_files(spark, str(d), line_sep="|").collect()
+    }
+    assert rows == {"alpha", "beta", "gamma"}
