@@ -820,69 +820,29 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
 
 
 # The driver hard-checks (row count + schema + value hash vs DuckDB)
-# only the FIRST 50 entries of queries(), in dict order. All 81
-# entries are green locally (scripts/check_entry.py runs every one),
-# so the explicit order below decides which get a driver CORRECTNESS
-# row this round: the 23 entries that have never had one plus the 10
-# new round-3 operators go first, then a representative core
-# (flagship TPC-H, windows, every dedup / ANN / text family). The 29
-# behind the cutoff all earned green rows in rounds 1-2 and stay
-# covered by the local mimic + pytest.
-_DRIVER_ORDER = [
-    # -- never driver-checked before round 3 (23)
-    "docs_clean_pipeline",
-    "sketch_distinct_users",
-    "sketch_value_median",
-    "profile_orders",
-    "sources_upsert_merge",
-    "sources_zorder_roundtrip",
-    "kafka_json_roundtrip",
-    "text_bm25_rank",
-    "text_contamination",
-    "text_gopher_flags",
-    "text_repetition_flags",
-    "pack_sequences",
-    "stratified_sample",
-    "split_by_hash",
-    "sample_by_hash",
-    "text_redact_pii",
-    "text_strip_boilerplate",
-    "events_sessionize",
-    "events_dedup_within_watermark",
-    "events_interval_join",
-    "skew_salted_aggregate",
-    "multimodal_resize",
-    "sources_csv_roundtrip",
-    # -- new in round 3, never driver-checked (5)
-    "dedup_minhash_clusters",
-    "semdedup_prune",
-    "text_unigram_logprob",
-    "dedup_incremental",
-    "sample_per_group",
-    "text_collocations",
-    "skew_salted_join",
-    "sources_diff_snapshots",
-    # -- representative core, green in r01/r02 (19)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q8_market_share",
-    "top_customers_left_join",
-    "group_topk",
-    "dedup_exact",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_near_dups",
-    "multimodal_decode",
-    "asof_join_attribution",
-    # -- green in r01/r02, behind the 50-entry driver window (29)
+# only the FIRST 50 entries of queries(), in dict order. All entries
+# are green locally (scripts/check_entry.py runs every one); the
+# rotation policy below decides who gets a driver CORRECTNESS row
+# this round, and the composition is DERIVED (sections concatenated,
+# window membership asserted in tests/test_entry_contract.py) so the
+# counts can never drift from the lists again:
+#   1. entries NEW this round (never driver-checked),
+#   2. the entries whose most recent driver row is oldest (for round
+#      4: the 31 checked last in rounds 1-2, displaced by round 3's
+#      never-checked-first window),
+#   3. representative core (flagship TPC-H + one per operator
+#      family), refreshed round 3 — fills the window to 50,
+#   4. the rest (driver-green in round 3, re-verified by the mimic
+#      every session) behind the window.
+_DRIVER_WINDOW = 50
+
+# new in round 4 — never driver-checked
+_NEW_THIS_ROUND = [
+    "multimodal_netpbm_decode",
+]
+
+# most recent driver row is from rounds 1-2 (behind round 3's window)
+_STALE_R1R2 = [
     "user_func_cte",
     "window_running_total",
     "text_doc_frequency",
@@ -915,6 +875,74 @@ _DRIVER_ORDER = [
     "multimodal_frame_sample",
     "asof_forward_tolerance",
 ]
+
+# representative core (refreshed round 3): fills the window to 50 in
+# this priority order; whatever doesn't fit falls behind with r3 rows
+_CORE_R3 = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q8_market_share",
+    "top_customers_left_join",
+    "group_topk",
+    "dedup_exact",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dups",
+    "multimodal_decode",
+    "asof_join_attribution",
+]
+
+# driver-green in round 3, behind the window this round
+_FRESH_R3 = [
+    "docs_clean_pipeline",
+    "sketch_distinct_users",
+    "sketch_value_median",
+    "profile_orders",
+    "sources_upsert_merge",
+    "sources_zorder_roundtrip",
+    "kafka_json_roundtrip",
+    "text_bm25_rank",
+    "text_contamination",
+    "text_gopher_flags",
+    "text_repetition_flags",
+    "pack_sequences",
+    "stratified_sample",
+    "split_by_hash",
+    "sample_by_hash",
+    "text_redact_pii",
+    "text_strip_boilerplate",
+    "events_sessionize",
+    "events_dedup_within_watermark",
+    "events_interval_join",
+    "skew_salted_aggregate",
+    "multimodal_resize",
+    "sources_csv_roundtrip",
+    "dedup_minhash_clusters",
+    "semdedup_prune",
+    "text_unigram_logprob",
+    "dedup_incremental",
+    "sample_per_group",
+    "text_collocations",
+    "skew_salted_join",
+    "sources_diff_snapshots",
+]
+
+_core_fit = max(_DRIVER_WINDOW - len(_NEW_THIS_ROUND) - len(_STALE_R1R2), 0)
+_DRIVER_ORDER = (
+    _NEW_THIS_ROUND
+    + _STALE_R1R2
+    + _CORE_R3[:_core_fit]
+    + _CORE_R3[_core_fit:]
+    + _FRESH_R3
+)
 
 
 def _ordered(d: dict) -> dict:

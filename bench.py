@@ -61,13 +61,31 @@ HEADLINE = {
     "skew_salted_join": "count",
     "sources_diff_snapshots": "count",
     "text_collocations": "collect",
+    # round-4 additions
+    "prepare_training_corpus": "count",
 }
+
+
+def _prepare_corpus(spark, sf_dir):
+    """The composed flagship pipeline (SURVEY §2 #85) — benched as a
+    whole so the end-to-end composition carries a measured number,
+    not just a plan gate. Includes the two tiny eager vocab jobs the
+    unigram LM pays at composition time (documented cost)."""
+    from prql_spark import Catalog
+    from prql_spark.pipelines import prepare_training_corpus
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    result, _ = prepare_training_corpus(
+        docs, min_quality=0.3, langs=("en", "de", "fr", "es")
+    )
+    return result
 
 
 def main():
     spark = build_spark("prql_spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
+    qs["prepare_training_corpus"] = _prepare_corpus
     # untimed warmup: JVM/codegen/parquet-footer costs and Python
     # worker spin-up are session constants, not per-query costs
     qs["q6_forecast_revenue"](spark, SF_DIR).collect()

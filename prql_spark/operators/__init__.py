@@ -596,6 +596,56 @@ def q_multimodal_meta(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q_multimodal_netpbm_decode(spark, sf_dir):
+    """The REAL codec path graduated to driver-row evidence: planted
+    netpbm payloads (multimodal.netpbm_planted_payloads) through
+    NetpbmCodec's actual pixel decode; the oracle is the offline-
+    computed expected statistics as a VALUES table. (The sha256 fake
+    stays the default codec elsewhere for digest-math oracles.)"""
+    rows = [
+        (i, bytearray(p), mt)
+        for i, p, mt in multimodal.netpbm_planted_payloads()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media binary, media_type string"
+    )
+    out = multimodal.decode_features(media, multimodal.NetpbmCodec())
+    return out.selectExpr(
+        "media_id", "media_type", "width", "height", "n_bytes",
+        "features[0] AS f_mean_r",
+        "features[3] AS f_luma_std",
+        "features[7] AS f_quad_br",
+    ).orderBy("media_id")
+
+
+# expected values computed OFFLINE by running NetpbmCodec on the
+# planted payloads (deterministic float64 pixel statistics, round-6).
+# Every float is CAST to DOUBLE: DuckDB types a bare 0.439216 literal
+# DECIMAL(7,6), which would fail the schema/hash match.
+SQL_MULTIMODAL_NETPBM = """
+SELECT media_id, media_type,
+  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+  n_bytes,
+  CAST(f_mean_r AS DOUBLE) AS f_mean_r,
+  CAST(f_luma_std AS DOUBLE) AS f_luma_std,
+  CAST(f_quad_br AS DOUBLE) AS f_quad_br
+FROM (VALUES
+  (CAST(1 AS BIGINT), 'image/x-portable-pixmap', 9, 6, CAST(183 AS BIGINT),
+   0.439216, 0.090104, 0.445769),
+  (CAST(2 AS BIGINT), 'image/x-portable-graymap', 7, 5, CAST(46 AS BIGINT),
+   0.466667, 0.277241, 0.7),
+  (CAST(3 AS BIGINT), 'image/x-portable-graymap', 4, 3, CAST(22 AS BIGINT),
+   0.366667, 0.230137, 0.566667),
+  (CAST(4 AS BIGINT), 'image/x-portable-pixmap', 0, 0, CAST(20 AS BIGINT),
+   0.0, 0.0, 0.0),
+  (CAST(5 AS BIGINT), 'image/x-portable-graymap', 0, 0, CAST(47 AS BIGINT),
+   0.0, 0.0, 0.0)
+) AS t(media_id, media_type, width, height, n_bytes,
+       f_mean_r, f_luma_std, f_quad_br)
+ORDER BY media_id
+"""
+
+
 def _hexbyte_dd(h: str, i: int) -> str:
     """DuckDB: byte ``i`` of a lowercase hex digest as an integer."""
     a, b = 2 * i + 1, 2 * i + 2
@@ -1915,6 +1965,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations": q_collocations,
         "skew_salted_join": q_salted_join,
         "sources_diff_snapshots": q_diff_snapshots,
+        "multimodal_netpbm_decode": q_multimodal_netpbm_decode,
     }
 
 
@@ -1943,6 +1994,9 @@ def entry_oracles() -> dict[str, str]:
         "multimodal_decode": _sql_multimodal_decode(),
         "multimodal_frame_sample": SQL_MULTIMODAL_FRAMES,
         "multimodal_metadata": SQL_MULTIMODAL_META,
+        # the REAL decoder on planted payloads: expected pixel stats
+        # computed offline, pinned as VALUES
+        "multimodal_netpbm_decode": SQL_MULTIMODAL_NETPBM,
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
         "asof_forward_tolerance": SQL_ASOF_FORWARD,

@@ -24,17 +24,53 @@ from pyspark.sql import DataFrame, functions as F
 MERSENNE61 = (1 << 61) - 1
 
 
+def _parse_byte_conf(v: str) -> int:
+    """Spark size-conf string ('134217728b', '128m', '1g') → bytes."""
+    s = str(v).strip().lower()
+    for suf, mult in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(s[: -len(suf)]) * mult
+    return int(s)
+
+
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition only when the scan is under-parallel.
 
     Local single-file parquet scans arrive as 1 partition and would
     serialize compute-heavy maps; but a 100 TB input already has
     thousands of splits, where an unconditional repartition is a
-    gratuitous extra full shuffle. Gate on the actual partition count.
+    gratuitous extra full shuffle.
+
+    The decision reads the OPTIMIZED-plan size statistic (file-source
+    listing sizes, already cached in the FileIndex) against
+    ``maxPartitionBytes`` — estimated scan parallelism ≈ size/split —
+    instead of probing ``df.rdd.getNumPartitions()``, which forces
+    full physical planning + RDD materialization per call. Unknown
+    stats (Long.MaxValue sentinel) read as "big" → no repartition,
+    the safe default at scale. ``spark.prql.spread`` = auto (default)
+    / always / never overrides the heuristic either way.
     """
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n_parts:
+    sess = df.sparkSession
+    mode = sess.conf.get("spark.prql.spread", "auto")
+    if mode == "never":
         return df
+    n_parts = sess.sparkContext.defaultParallelism
+    if mode != "always":
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            split = _parse_byte_conf(
+                sess.conf.get("spark.sql.files.maxPartitionBytes",
+                              "134217728b")
+            )
+        except Exception:
+            return df
+        if size >= n_parts * split:
+            return df
     return df.repartition(n_parts, *cols) if cols else df.repartition(n_parts)
 
 
@@ -59,11 +95,12 @@ def dedup_exact(
 
 
 def pairs_from_buckets(
-    grouped: DataFrame, pair: str, star_cap: int | None
+    grouped: DataFrame, pair: str, star_cap: int | None,
+    idx_filter: str | None = None, cap_on: str | None = None,
 ) -> DataFrame:
     """Shared bucket-combine tail for every pair-generating operator
-    (minhash / simhash / ngram-jaccard / semdedup): explode the
-    within-bucket (i, j) index pairs of the collected ``mem`` array
+    (minhash / simhash / ngram-jaccard / semdedup / embedding): explode
+    the within-bucket (i, j) index pairs of the collected ``mem`` array
     and apply ``pair`` — a named_struct expression over ``mem[p.i]``
     / ``mem[p.j]`` — once per chosen index pair.
 
@@ -73,6 +110,19 @@ def pairs_from_buckets(
     heavyweight pair math appears exactly once in the generated code
     (duplicating it across both IF branches measurably bloats
     per-plan Janino compile). Non-``mem`` columns pass through.
+
+    ``idx_filter``: optional boolean expr over the index struct ``p``
+    (may reference ``mem[p.i]`` / ``mem[p.j]``) applied BEFORE the
+    heavyweight ``pair`` math — a necessary-condition prefilter (e.g.
+    a Jaccard size-ratio bound, or membership flags) runs on cheap
+    struct fields and skips the expensive fold for most rejects.
+
+    ``cap_on``: expr the cap compares against (default ``size(mem)``).
+    Operators whose buckets mix member kinds (embedding multiprobe:
+    exact rows + probe rows) cap on the count that actually drives
+    quadratic pair volume — the EXACT members — so healthy
+    probe-inflated buckets keep all-pairs recall while a degenerate
+    duplicate class still star-links.
     """
     idx_all = (
         "flatten(transform(sequence(0, size(mem)-2), i -> "
@@ -83,11 +133,14 @@ def pairs_from_buckets(
         "transform(sequence(1, size(mem)-1), j -> "
         "named_struct('i', 0, 'j', j))"
     )
+    cap_on = cap_on or "size(mem)"
     idx = (
         idx_all
         if star_cap is None
-        else f"IF(size(mem) <= {star_cap}, {idx_all}, {idx_star})"
+        else f"IF({cap_on} <= {star_cap}, {idx_all}, {idx_star})"
     )
+    if idx_filter is not None:
+        idx = f"filter({idx}, p -> ({idx_filter}))"
     keep = [c for c in grouped.columns if c != "mem"]
     return grouped.select(
         *keep,
@@ -572,8 +625,19 @@ def ngram_jaccard_pairs(
         f"size(array_intersect(mem[p.i].__grams, mem[p.j].__grams)) / "
         f"size(array_union(mem[p.i].__grams, mem[p.j].__grams)), 6))"
     )
+    # necessary-size prefilter: |A∩B| <= min(|A|,|B|) and
+    # |A∪B| >= max(|A|,|B|), so J(A,B) <= min/max — a pair whose gram
+    # counts differ by more than the threshold ratio cannot pass, and
+    # the cheap struct-size comparison skips the expensive
+    # intersect/union folds for most non-dup candidates. Output is
+    # IDENTICAL (the filter is implied by `jaccard >= threshold`).
+    size_guard = (
+        f"least(size(mem[p.i].__grams), size(mem[p.j].__grams)) >= "
+        f"{threshold} * greatest(size(mem[p.i].__grams), "
+        f"size(mem[p.j].__grams))"
+    )
     return (
-        pairs_from_buckets(grouped, pair, star_cap)
+        pairs_from_buckets(grouped, pair, star_cap, idx_filter=size_guard)
         .select("p.id_a", "p.id_b", "p.jaccard")
         .where(F.col("jaccard") >= threshold)
         # a pair can share both block keys — dedup to one row

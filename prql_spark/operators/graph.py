@@ -46,6 +46,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label each node of the undirected pair graph with the smallest
     node id reachable from it.
@@ -53,6 +54,10 @@ def connected_components(
     Returns (node, component) for every node that appears in at least
     one edge. Isolated nodes (docs with no dup pair) are not emitted —
     callers keep them unconditionally (left_anti join on node).
+
+    ``stats``: optional dict that receives ``{"rounds": k}`` on
+    convergence — the measured evidence for the O(log D) pointer-
+    jumping claim (the scale experiment reports it).
 
     Raises ``RuntimeError`` if the labels have not converged after
     ``max_iter`` rounds (never observed on star-capped dup graphs;
@@ -79,14 +84,31 @@ def connected_components(
     # round instead of an old⋈new anti-join). Summed as decimal(38,0):
     # exact at any node count (a BIGINT sum of 10⁹ snowflake-sized ids
     # overflows, and a DOUBLE sum could round away a small change and
-    # fake convergence).
+    # fake convergence). Numeric ids ONLY: a string id would cast to
+    # NULL under non-ANSI mode and sum(NULL) == sum(NULL) would fake
+    # convergence on round 1 — non-numeric graphs use the
+    # changed-label count instead (one slim labels⋈labels join per
+    # round; min-propagation itself is type-agnostic).
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(e.schema["u"].dataType, NumericType)
+
     def _sum(lab: DataFrame):
         return lab.agg(
             F.sum(F.col("component").cast("decimal(38,0)"))
         ).first()[0]
 
-    prev_sum = _sum(labels)
-    for _ in range(max_iter):
+    def _changed(prev: DataFrame, cur: DataFrame) -> int:
+        p, c = prev.alias("pv"), cur.alias("cv")
+        return (
+            p.join(c, F.col("pv.node") == F.col("cv.node"))
+            .where(F.col("pv.component") != F.col("cv.component"))
+            .count()
+        )
+
+    prev_labels = labels
+    prev_sum = _sum(labels) if numeric_ids else None
+    for rnd in range(max_iter):
         msgs = e.join(labels, e.u == labels.node).select(
             F.col("v").alias("node"), F.col("component")
         )
@@ -116,10 +138,17 @@ def connected_components(
             # and reads the sum in ONE job instead of two.
             .localCheckpoint(eager=False)
         )
-        cur_sum = _sum(labels)
-        if cur_sum == prev_sum:
+        if numeric_ids:
+            cur_sum = _sum(labels)
+            converged = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            converged = _changed(prev_labels, labels) == 0
+            prev_labels = labels
+        if converged:
+            if stats is not None:
+                stats["rounds"] = rnd + 1
             return labels
-        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components: no convergence after {max_iter} rounds "
         "(long-chain graph? raise max_iter)"
@@ -131,6 +160,7 @@ def dedup_clusters(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cluster-granular view of a near-dup pair list.
 
@@ -138,7 +168,7 @@ def dedup_clusters(
     cluster_id = min doc_id of the cluster. ``doc_id == cluster_id``
     marks the cluster's canonical survivor.
     """
-    cc = connected_components(pairs, src, dst, max_iter)
+    cc = connected_components(pairs, src, dst, max_iter, stats=stats)
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )

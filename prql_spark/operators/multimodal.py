@@ -185,10 +185,23 @@ class NetpbmCodec(MediaCodec):
                 if not tok.isdigit():  # malformed header ⇒ not netpbm
                     return None
                 fields.append(int(tok))
-        pos += 1  # the single whitespace after maxval
-        if len(fields) < 3 or fields[2] > 255:
+        # exactly ONE whitespace byte separates maxval from pixel
+        # data (netpbm spec). Validate it IS whitespace (a payload
+        # ending right at the header would otherwise read pixels from
+        # a bogus offset), and reject the CRLF case: a "\r\n" there is
+        # a nonconforming Windows-style writer whose true pixel data
+        # starts one byte later — indistinguishable from a legal
+        # \r-separated file whose first pixel value is 10, so the safe
+        # choice is None over silently corrupt statistics.
+        sep = payload[pos : pos + 1]
+        if not sep.isspace():
             return None
-        w, h, _maxval = fields
+        if sep == b"\r" and payload[pos + 1 : pos + 2] == b"\n":
+            return None
+        pos += 1
+        if len(fields) < 3 or fields[2] > 255 or fields[2] <= 0:
+            return None
+        w, h, maxval = fields
         ch = 3 if payload[:2] == b"P6" else 1
         # corrupt/truncated payloads (or a lying header) must decode
         # to None, not kill the executor task mid-batch
@@ -196,16 +209,20 @@ class NetpbmCodec(MediaCodec):
             return None
         px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
                            offset=pos)
-        return px.reshape(h, w, ch)
+        return px.reshape(h, w, ch), maxval
 
     def decode(self, payload, media_type):
         import numpy as np
 
-        img = self._parse(payload)
-        if img is None:
+        parsed = self._parse(payload)
+        if parsed is None:
             return 0, 0, [0.0] * 8
+        img, maxval = parsed
         h, w, ch = img.shape
-        f = img.astype(np.float64) / 255.0
+        # normalize by the PARSED maxval: a maxval-15 image's pixel
+        # range is 0..15 and dividing by a fixed 255 would skew every
+        # feature toward black
+        f = img.astype(np.float64) / maxval
         if ch == 3:
             means = [f[:, :, i].mean() for i in range(3)]
             luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
@@ -224,9 +241,10 @@ class NetpbmCodec(MediaCodec):
     def resize_payload(self, payload, max_dim):
         import numpy as np
 
-        img = self._parse(payload)
-        if img is None:
+        parsed = self._parse(payload)
+        if parsed is None:
             return payload
+        img, maxval = parsed
         h, w, ch = img.shape
         if max(h, w) <= max_dim:
             return payload
@@ -236,7 +254,35 @@ class NetpbmCodec(MediaCodec):
         cols = (np.arange(nw) * w / nw).astype(np.int64)
         small = img[rows][:, cols]
         magic = b"P6" if ch == 3 else b"P5"
-        return b"%s\n%d %d\n255\n" % (magic, nw, nh) + small.tobytes()
+        # keep the source maxval: pixel values are untouched samples,
+        # so re-encoding with a hardcoded 255 would rescale semantics
+        return b"%s\n%d %d\n%d\n" % (magic, nw, nh, maxval) + small.tobytes()
+
+
+def netpbm_planted_payloads() -> list[tuple[int, bytes, str]]:
+    """Deterministic netpbm payloads for the value-oracled driver
+    entry: the REAL decoder's pixel statistics on these are computed
+    offline and pinned as a VALUES oracle. Covers a P6 gradient with
+    a header comment, a P5 gradient, a maxval-15 image (normalization
+    by parsed maxval), a lying-header payload and a CRLF-header
+    payload (both must decode to the zero tuple, not corrupt data)."""
+    import numpy as np
+
+    grad = np.zeros((6, 9, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.arange(9, dtype=np.uint8) * 28
+    grad[:, :, 1] = 77
+    grad[:, :, 2] = np.arange(6, dtype=np.uint8)[:, None] * 40
+    gray = (np.arange(35, dtype=np.uint8) * 7).reshape(5, 7)
+    g15 = (np.arange(12, dtype=np.uint8) % 16).reshape(3, 4)
+    ppm = "image/x-portable-pixmap"
+    pgm = "image/x-portable-graymap"
+    return [
+        (1, b"P6\n# planted\n9 6\n255\n" + grad.tobytes(), ppm),
+        (2, b"P5\n7 5\n255\n" + gray.tobytes(), pgm),
+        (3, b"P5\n4 3\n15\n" + g15.tobytes(), pgm),
+        (4, b"P6\n100 100\n255\nshort", ppm),
+        (5, b"P5\n7 5\n255\r\n" + gray.tobytes(), pgm),
+    ]
 
 
 _DEFAULT_CODEC: MediaCodec = Sha256FakeCodec()

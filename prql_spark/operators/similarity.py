@@ -255,7 +255,7 @@ def ivf_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    n_lists: int = 16,
+    n_lists: int | None = 16,
     nprobe: int = 4,
     centroids: list[list[float]] | None = None,
     vec_col: str = "embedding",
@@ -265,30 +265,99 @@ def ivf_topk(
     """IVF approximate top-k: corpus bucketed by nearest centroid
     (one narrow map), queries probe their nprobe closest lists, exact
     cosine rerank within probed lists only. Candidate volume is
-    ~nprobe/n_lists of the corpus."""
+    ~nprobe/n_lists of the corpus. ``n_lists=None`` sizes the
+    quantizer from a corpus count (:func:`occupancy_lists`).
+
+    Assignment strategy splits on quantizer size: a pretrained SMALL
+    quantizer (≤64 lists — the driver entry's shape) keeps the
+    inline-centroid-literal map, which is zero-shuffle (the corpus
+    never exchanges at all). Past that, inline literals fall out of
+    whole-stage codegen (measured 108 s vs 2 s on 64 lists —
+    SURVEY §2 #77), so large quantizers assign via the broadcast
+    centroid FRAME + argmax aggregate, paying ONE map-side-combined
+    corpus exchange for assignment that stays in codegen at any list
+    count. Both strategies produce identical assignments (round-9
+    cosine, ties to larger index)."""
     if centroids is None:
+        if n_lists is None:
+            n_lists = occupancy_lists(df.count())
         centroids = ivf_train_centroids(df, dim, n_lists, vec_col=vec_col,
                                         id_col=id_col)
-    corpus = df.withColumn("__list", F.expr(_nearest_expr(vec_col, centroids)))
+    small_quantizer = len(centroids) <= 64
+    if small_quantizer:
+        corpus = df.withColumn(
+            "__list", F.expr(_nearest_expr(vec_col, centroids))
+        )
+    else:
+        cents_df = df.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "i int, c array<double>",
+        )
+        corpus = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .join(F.broadcast(cents_df))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.expr(
+                    f"named_struct("
+                    f"'cos', round({cosine_expr(vec_col, 'c')}, 9), "
+                    f"'i', i)"
+                ).alias("__s"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.max("__s").alias("__m"),
+                F.first(vec_col).alias(vec_col),
+            )
+            .select(id_col, vec_col, F.col("__m.i").alias("__list"))
+        )
     # per-query probe lists: indexes of the nprobe best centroids
     # (round-9 cosine for cross-engine-reproducible probe order, as
-    # in _nearest_expr)
-    probes = []
-    for i, c in enumerate(centroids):
-        arr = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in c) + ")"
-        probes.append(
-            f"named_struct('cos', round({cosine_expr('qvec', arr)}, 9), "
-            f"'i', {i})"
+    # in _nearest_expr). Queries are tiny, but the inline probe expr
+    # also grows with the quantizer — large quantizers rank against
+    # the centroid frame instead (queries × centroids is still a
+    # broadcast-sized frame).
+    if small_quantizer:
+        probes = []
+        for i, c in enumerate(centroids):
+            arr = "array(" + ", ".join(
+                f"CAST({x} AS DOUBLE)" for x in c
+            ) + ")"
+            probes.append(
+                f"named_struct('cos', round({cosine_expr('qvec', arr)}, 9), "
+                f"'i', {i})"
+            )
+        probe_expr = (
+            f"transform(slice(reverse(array_sort(array("
+            f"{', '.join(probes)}))), 1, {nprobe}), s -> s.i)"
         )
-    probe_expr = (
-        f"transform(slice(reverse(array_sort(array({', '.join(probes)}))), "
-        f"1, {nprobe}), s -> s.i)"
-    )
-    qs = queries.select(
-        F.col(query_id_col),
-        F.col("qvec"),
-        F.explode(F.expr(probe_expr)).alias("__list"),
-    )
+        qs = queries.select(
+            F.col(query_id_col),
+            F.col("qvec"),
+            F.explode(F.expr(probe_expr)).alias("__list"),
+        )
+    else:
+        qs = (
+            queries.join(F.broadcast(cents_df))
+            .select(
+                F.col(query_id_col),
+                F.col("qvec"),
+                F.col("i").alias("__list"),
+                F.expr(
+                    f"round({cosine_expr('qvec', 'c')}, 9)"
+                ).alias("__pc"),
+            )
+            .withColumn(
+                "__rk",
+                F.expr(
+                    f"row_number() OVER (PARTITION BY {query_id_col} "
+                    "ORDER BY __pc DESC, __list DESC)"
+                ),
+            )
+            .where(F.col("__rk") <= nprobe)
+            .select(query_id_col, "qvec", "__list")
+        )
     j = corpus.join(F.broadcast(qs), on="__list")
     scored = j.select(
         F.col(query_id_col),
@@ -442,7 +511,7 @@ def semdedup(
     df: DataFrame,
     dim: int,
     centroids: list[list[float]] | None = None,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -452,8 +521,13 @@ def semdedup(
     smaller-id within-cluster neighbor at cosine >= threshold (greedy
     keep-first, matching the dedup family's policy). Pass pretrained
     ``centroids`` (the production path — train once, prune many
-    shards); ``centroids=None`` trains on the fly."""
+    shards); ``centroids=None`` trains on the fly with
+    ``n_lists=None`` sized from a corpus count via
+    :func:`occupancy_lists` (n ≈ corpus/1k — mean cluster size, and
+    with it pair volume per reducer, stays ~constant at any scale)."""
     if centroids is None:
+        if n_lists is None:
+            n_lists = occupancy_lists(df.count())
         centroids = ivf_train_centroids(df, dim, n_lists, vec_col=vec_col,
                                         id_col=id_col)
     losers = (
@@ -464,6 +538,26 @@ def semdedup(
         .distinct()
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def occupancy_lists(
+    n_vectors: int, target_cluster: int = 1000, lo: int = 8,
+    hi: int = 1 << 17,
+) -> int:
+    """Cluster count sized from the corpus: n_lists ≈
+    n_vectors / target_cluster, clamped to [lo, hi].
+
+    The k-means-blocked pair emitters (semdedup) and IVF probing both
+    have cost ~n²/n_lists — a FIXED list count is the same scale trap
+    as a fixed plane count: at 10⁸ vectors, 64 lists would put ~1.5M
+    vectors in every cluster and the star_cap would truncate real
+    (non-duplicate) neighborhoods, not just degenerate classes.
+    Deriving n_lists from a corpus count keeps mean cluster size
+    ~constant (the SemDeDup paper trains ~100k clusters at LAION
+    scale — exactly this rule). The trainer's broadcast-frame argmax
+    assignment scales to these list counts (the inline-literal form
+    does not — see :func:`ivf_train_centroids`)."""
+    return min(hi, max(lo, round(n_vectors / target_cluster)))
 
 
 def occupancy_planes(
@@ -491,6 +585,7 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     seed: int = 42,
     multiprobe: bool = True,
+    star_cap: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine, LSH-blocked.
 
@@ -501,17 +596,28 @@ def embedding_near_dups(
     does, for a deterministic cross-engine plan).
 
     n_planes planes → 2^n_planes buckets; only bucket-colliding pairs
-    are scored.
-    With ``multiprobe`` the LEFT side of the self-join also probes the
-    n_planes Hamming-1 neighbor buckets (one sign bit flipped), so
-    pairs whose signatures differ in one bit are still compared —
-    at cos≈0.95 exact-collision recall is already (1-θ/π)^8 ≈ 0.87,
-    but at looser thresholds (θ≈70°) it is ~2% and Hamming-1 probing
-    lifts it ~6×. Probing is asymmetric (right side keeps its exact
-    bucket) and each left row's probe set has distinct buckets, so
-    with the ``id_a < id_b`` constraint every candidate pair is
-    produced exactly once — no dedup stage, candidate volume is
-    (n_planes+1)× the exact-collision count, not (n_planes+1)².
+    are scored. Bucket-combine shape (shared with minhash / simhash /
+    ngram / semdedup): ONE group-by exchange on the probed bucket id,
+    pairs generated inside each collected bucket — no self-join
+    re-bucketing the corpus on both sides.
+
+    ``star_cap`` closes the mega-bucket hole occupancy sizing cannot:
+    n IDENTICAL embeddings share a bucket at ANY plane count and
+    would emit n(n-1)/2 pairs from one reducer; past the cap every
+    member pairs only with the bucket min (O(n), dedup-equivalent for
+    the homogeneous duplicate classes that produce huge buckets).
+
+    With ``multiprobe`` each vector ALSO probes its n_planes
+    Hamming-1 neighbor buckets (one sign bit flipped), so pairs whose
+    signatures differ in one bit are still compared — at cos≈0.95
+    exact-collision recall is already (1-θ/π)^8 ≈ 0.87, but at looser
+    thresholds (θ≈70°) it is ~2% and Hamming-1 probing lifts it ~6×.
+    Probing is asymmetric: a pair is emitted only when its LARGER id
+    sits in its exact bucket (``mem[p.j].__exact``) — the same
+    exactly-once contract the old ``l.probe = r.bucket AND
+    l.id < r.id`` join enforced, so no dedup stage, and candidate
+    volume is (n_planes+1)× the exact-collision count, not
+    (n_planes+1)².
     """
     if n_planes is None:
         n_planes = occupancy_planes(df.count())
@@ -520,32 +626,50 @@ def embedding_near_dups(
     base = df.select(
         F.col(id_col), F.col(vec_col), F.expr(b).alias("__bucket")
     )
-    if multiprobe:
-        masks = [0] + [1 << j for j in range(n_planes)]
-        probe_arr = "array(" + ", ".join(
-            f"__bucket ^ {m}" for m in masks
-        ) + ")"
-        left = base.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.explode(F.expr(probe_arr)).alias("__probe"),
-        )
-    else:
-        left = base.withColumnRenamed("__bucket", "__probe")
-    l, r = left.alias("l"), base.alias("r")
-    return (
-        l.join(
-            r,
-            on=F.expr(
-                f"l.__probe = r.__bucket AND l.{id_col} < r.{id_col}"
-            ),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
+    masks = [0] + ([1 << j for j in range(n_planes)] if multiprobe else [])
+    probe_arr = "array(" + ", ".join(
+        f"named_struct('g', __bucket ^ {m}, 'e', {str(m == 0).upper()})"
+        for m in masks
+    ) + ")"
+    rows = base.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(F.expr(probe_arr)).alias("__pr"),
+    ).select(
+        id_col, vec_col,
+        F.col("__pr.g").alias("__grp"),
+        F.col("__pr.e").alias("__exact"),
+    )
+    # mem sorts by id (first struct field) — ids are unique within a
+    # group because a vector's probe buckets are pairwise distinct
+    grouped = (
+        rows.groupBy("__grp")
+        .agg(
             F.expr(
-                f"round({cosine_expr('l.' + vec_col, 'r.' + vec_col)}, 6)"
-            ).alias("cosine"),
+                f"array_sort(collect_list("
+                f"struct({id_col}, __exact, {vec_col})))"
+            ).alias("mem")
         )
+        .where(F.expr("size(mem) >= 2"))
+    )
+    from prql_spark.operators.dedup import pairs_from_buckets
+
+    pair = (
+        f"named_struct("
+        f"'id_a', mem[p.i].{id_col}, 'id_b', mem[p.j].{id_col}, "
+        f"'cosine', round({cosine_expr(f'mem[p.i].{vec_col}', f'mem[p.j].{vec_col}')}, 6))"
+    )
+    return (
+        pairs_from_buckets(
+            grouped, pair, star_cap,
+            idx_filter="mem[p.j].__exact",
+            # cap on EXACT members: quadratic pair volume is
+            # size × n_exact, and a probe-inflated healthy bucket
+            # (multiprobe adds n_planes× rows) must not lose
+            # all-pairs recall — only a genuine duplicate class
+            # (huge EXACT count in one bucket) star-links
+            cap_on="size(filter(mem, m -> m.__exact))",
+        )
+        .select("p.id_a", "p.id_b", "p.cosine")
         .where(F.col("cosine") >= threshold)
     )

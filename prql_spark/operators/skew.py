@@ -98,6 +98,15 @@ def salted_join(
             "join's unmatched RIGHT rows would appear once per salt)"
         )
     lcols, rcols = left.columns, right.columns
+    clash = [c for c in rcols if c in set(lcols) and c not in set(on)]
+    if clash:
+        raise ValueError(
+            f"salted_join: column(s) {clash} exist on both sides "
+            "outside the join keys — the output projection would be "
+            "ambiguous. Rename or drop them on one side first "
+            "(the plain join has the same ambiguity, deferred to "
+            "first access)."
+        )
     l = left.withColumn(
         "__salt",
         F.expr(

@@ -568,6 +568,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_shards: int = 64,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: assign documents to fixed-token-budget
     training chunks (the standard pretraining "packing" step).
@@ -581,9 +582,17 @@ def pack_sequences(
     sharding keeps the layout engine-agnostic (oracle-able) and
     stable across runs.
 
+    ``partition_by``: extra columns prepended to the packing window
+    partition (and to the chunk key). A frame that carries a
+    train/val/test ``split`` column MUST pack with
+    ``partition_by=["split"]`` — otherwise a (shard, chunk_id) chunk
+    interleaves rows from different splits and downstream
+    concat-by-chunk either leaks val/test text into training
+    sequences or fragments chunks when re-grouped per split.
+
     Output: one row per doc with (shard, chunk_id, n_tokens); chunk
-    membership is ``(shard, chunk_id)``. Downstream concat/tokenize
-    groups by that key.
+    membership is ``(*partition_by, shard, chunk_id)``. Downstream
+    concat/tokenize groups by that key.
     """
     toks = (
         f"CASE WHEN trim({text_col}) = '' THEN 0 "
@@ -593,13 +602,15 @@ def pack_sequences(
         f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 4), 16, 10) "
         f"AS INT) % {n_shards}"
     )
+    part_cols = ", ".join([*(partition_by or []), "shard"])
     return (
         df.withColumn("n_tokens", F.expr(toks))
         .withColumn("shard", F.expr(shard))
         .withColumn(
             "__cum",
             F.expr(
-                f"sum(n_tokens) OVER (PARTITION BY shard ORDER BY {id_col} "
+                f"sum(n_tokens) OVER (PARTITION BY {part_cols} "
+                f"ORDER BY {id_col} "
                 "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
             ),
         )

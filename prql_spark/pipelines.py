@@ -102,12 +102,15 @@ def prepare_training_corpus(
         deduped = deduped.localCheckpoint(eager=True)
         stats.after_dedup = deduped.count()
 
-    # -- deterministic split + packing
+    # -- deterministic split + packing. Packing is PARTITIONED BY
+    # (split, shard): chunk membership must never cross a split
+    # boundary, or downstream concat-by-(shard, chunk) would mix
+    # val/test text into training sequences (leakage).
     train, val = split_fracs
     out = splits.split_by_hash(deduped, id_col, train=train, val=val)
     packed = text.pack_sequences(
         out, target_tokens=pack_target_tokens, text_col="text_clean",
-        id_col=id_col,
+        id_col=id_col, partition_by=["split"],
     )
     result = out.join(
         packed.select(id_col, "shard", "chunk_id", "n_tokens"), id_col

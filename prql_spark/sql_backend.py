@@ -97,8 +97,10 @@ class SqlCompiler(Compiler):
 
     # ------------------------------------------------- dialect seam
 
+    QUOTE = "double"  # identifier quoting: "double" | "backtick"
+
     def _qi(self, name: str) -> str:
-        if self.DIALECT == "spark":
+        if self.QUOTE == "backtick":
             return _q(name)  # the DataFrame path's quoting, verbatim
         if name.startswith('"'):
             return name
@@ -356,19 +358,60 @@ class SqlCompiler(Compiler):
 
 class _SparkSqlCompiler(SqlCompiler):
     DIALECT = "spark"
+    QUOTE = "backtick"
     SYNTH_ORDER = Compiler.SYNTH_ORDER  # spark.sql requires the order
 
 
-def to_sql(text: str, catalog: Catalog, dialect: str = "spark") -> str:
-    """Compile PRQL to SQL text (reference parity: ``to_sql``).
+class _BacktickAnsiCompiler(SqlCompiler):
+    """MySQL / BigQuery-style: backtick identifiers, ANSI ''-escaped
+    string literals."""
 
-    ``dialect="spark"`` emits Spark SQL (runnable via ``spark.sql``);
-    ``"duckdb"``/``"ansi"`` emit double-quoted ANSI SQL runnable by
-    the DuckDB oracle. Raises for DataFrame-native extended operators.
+    QUOTE = "backtick"
+
+
+# Reference dialect enum (prql-compiler/src/ast/dialect.rs:6-27). The
+# reference v0's per-dialect handlers are nearly empty — dialects
+# differ only in surface conventions at this stage — so each name maps
+# onto one of the three emitters by identifier-quoting convention:
+# double-quoted ANSI (runnable under DuckDB/Postgres/SQLite/...) or
+# backtick (Spark/Hive/MySQL/BigQuery). Spark's own emitter also
+# synthesizes window ORDER BY (its analyzer requires it).
+_DIALECT_EMITTERS: dict[str, type] = {
+    "spark": _SparkSqlCompiler,
+    "hive": _SparkSqlCompiler,
+    "duckdb": SqlCompiler,
+    "ansi": SqlCompiler,
+    "generic": SqlCompiler,
+    "postgres": SqlCompiler,
+    "sqlite": SqlCompiler,
+    "snowflake": SqlCompiler,
+    "mssql": SqlCompiler,
+    "clickhouse": SqlCompiler,
+    "mysql": _BacktickAnsiCompiler,
+    "bigquery": _BacktickAnsiCompiler,
+}
+
+
+def to_sql(text: str, catalog: Catalog, dialect: str = "spark") -> str:
+    """Compile PRQL to SQL text (reference parity: ``to_sql``,
+    prql-compiler/src/ast/dialect.rs:6-27 for the dialect surface).
+
+    ``dialect="spark"``/``"hive"`` emit backtick-quoted SQL (runnable
+    via ``spark.sql``); ``"duckdb"``/``"ansi"``/``"generic"``/
+    ``"postgres"``/``"sqlite"``/``"snowflake"``/``"mssql"``/
+    ``"clickhouse"`` emit double-quoted ANSI SQL (the DuckDB oracle
+    runs it); ``"mysql"``/``"bigquery"`` emit backtick identifiers
+    with ANSI string literals. Raises for DataFrame-native extended
+    operators or an unknown dialect.
     """
     from prql_spark.parser import parse
 
-    cls = _SparkSqlCompiler if dialect == "spark" else SqlCompiler
+    cls = _DIALECT_EMITTERS.get(dialect)
+    if cls is None:
+        raise PrqlCompileError(
+            f"unknown SQL dialect {dialect!r}; expected one of "
+            + ", ".join(sorted(_DIALECT_EMITTERS))
+        )
     c = cls(catalog, src=text)
     c.compile_query(parse(text))
     return c.emit()

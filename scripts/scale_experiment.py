@@ -134,15 +134,20 @@ def main():
     # cluster-granular dedup at scale: star-capped pairs (hub edges —
     # the O(n) shape AND exactly what min-label propagation wants:
     # 25k-doc exact-dup classes collapse through their hub in ~2
-    # rounds) -> connected components -> labels
+    # rounds) -> connected components -> labels. cc_stats records the
+    # measured rounds-to-converge — the number behind the O(log D)
+    # pointer-jumping claim.
     from prql_spark.operators import graph
+
+    cc_stats: dict = {}
 
     def _clusters():
         sigs = dedup.minhash_signatures(big)
         pairs = dedup.minhash_lsh_pairs(sigs, threshold=0.5, star_cap=64)
-        return graph.dedup_clusters(pairs)
+        return graph.dedup_clusters(pairs, stats=cc_stats)
 
     res["minhash_cc_clusters"] = run("cc", _clusters)
+    res["minhash_cc_clusters"]["rounds"] = cc_stats.get("rounds")
 
     from prql_spark.operators import similarity
 
@@ -196,6 +201,43 @@ def main():
             vecs, dim=64, centroids=SEMDEDUP_CENTROIDS, threshold=0.98
         ),
     )
+    # occupancy-sized quantizer (round 4): n_lists ≈ corpus/1k trained
+    # AT THIS SCALE — pair volume is ~n²/n_lists, so vs the (under-
+    # sized) 64-list pretrained row this is the honest production
+    # sizing. Train once (timed separately, like the offline trainer
+    # a deployment would run), then prune with the trained quantizer.
+    auto_lists = similarity.occupancy_lists(res["n_vectors"])
+    res["semdedup_auto_lists"] = auto_lists
+    t_train = time.time()
+    trained = similarity.ivf_train_centroids(
+        vecs, dim=64, n_lists=auto_lists, iters=2
+    )
+    res["semdedup_train_sec"] = round(time.time() - t_train, 2)
+    res["semdedup_prune_auto"] = run(
+        "semdedup_auto",
+        lambda: similarity.semdedup(
+            vecs, dim=64, centroids=trained, threshold=0.98
+        ),
+    )
+    res["semdedup_pairs_64"] = similarity.semdedup_pairs(
+        vecs, dim=64, centroids=SEMDEDUP_CENTROIDS, threshold=0.98
+    ).count()
+    res["semdedup_pairs_auto"] = similarity.semdedup_pairs(
+        vecs, dim=64, centroids=trained, threshold=0.98
+    ).count()
+
+    # the composed flagship pipeline at scale (strip → filters → LM →
+    # exact dedup → minhash pairs → CC cluster dedup → split → pack):
+    # docs in → docs out and wall time for the whole chain
+    from prql_spark.pipelines import prepare_training_corpus
+
+    def _pipeline():
+        result, _ = prepare_training_corpus(
+            big, min_quality=0.3, langs=("en", "de", "fr", "es")
+        )
+        return result
+
+    res["prepare_training_corpus"] = run("pipeline", _pipeline)
     print(json.dumps(res))
     spark.stop()
 

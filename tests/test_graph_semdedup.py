@@ -47,6 +47,25 @@ def test_connected_components_merges_via_shared_node(spark):
     assert len(comps) == 7
 
 
+def test_connected_components_string_ids(spark):
+    # non-numeric node ids: the decimal-sum convergence check would
+    # see NULL == NULL and fake convergence on round 1 — the
+    # changed-label fallback must converge CORRECTLY instead (labels
+    # compare lexicographically; min reachable id still well-defined)
+    e = spark.createDataFrame(
+        [("url-b", "url-c"), ("url-a", "url-b"), ("url-x", "url-y")],
+        "id_a string, id_b string",
+    )
+    comps = {
+        r.node: r.component
+        for r in graph.connected_components(e).collect()
+    }
+    assert comps == {
+        "url-a": "url-a", "url-b": "url-a", "url-c": "url-a",
+        "url-x": "url-x", "url-y": "url-x",
+    }
+
+
 def test_connected_components_max_iter_guard(spark):
     # propagate+pointer-jump roughly triples reach per round, so a
     # 60-node chain is far beyond 2 rounds; the guard must fire
@@ -361,6 +380,11 @@ def test_salted_join_parity_and_spread(spark):
 
     with _pytest.raises(ValueError, match="inner/left"):
         skew.salted_join(left, right, on=["k"], how="right")
+    # a shared non-key column would make the output projection
+    # ambiguous — fail loudly up front, not at first column access
+    rdup = spark.createDataFrame([(1, 5)], "k int, lid long")
+    with _pytest.raises(ValueError, match="lid"):
+        skew.salted_join(left, rdup, on=["k"])
 
 
 def test_ivf_trainer_scales_to_many_lists(spark, catalog):

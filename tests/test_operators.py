@@ -581,6 +581,43 @@ def test_pack_sequences(spark):
     }
 
 
+def test_pack_sequences_partition_by_split(spark):
+    """With partition_by=["split"], chunk membership never crosses a
+    split boundary (the training-leakage invariant), and within each
+    split the packing equals packing that split alone."""
+    from pyspark.sql import Row
+
+    from prql_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, split=("train" if i % 3 else "val"),
+                text=" ".join(["w"] * (10 + i)))
+            for i in range(60)
+        ]
+    )
+    out = t.pack_sequences(
+        docs, target_tokens=50, n_shards=4, partition_by=["split"]
+    ).collect()
+    chunks = {}
+    for r in out:
+        chunks.setdefault((r.shard, r.chunk_id), set()).add(r.split)
+    # keyed WITH the split column a chunk is single-split by
+    # construction; the invariant that matters is that per-split
+    # packing is independent: packing only the train rows yields the
+    # identical assignment for every train doc
+    train_only = t.pack_sequences(
+        docs.where("split = 'train'"), target_tokens=50, n_shards=4,
+        partition_by=["split"],
+    ).collect()
+    assert {(r.doc_id, r.shard, r.chunk_id) for r in train_only} == {
+        (r.doc_id, r.shard, r.chunk_id) for r in out if r.split == "train"
+    }
+    # default (no partition_by) keeps the round-3 behavior
+    legacy = t.pack_sequences(docs, target_tokens=50, n_shards=4).collect()
+    assert len(legacy) == 60
+
+
 def test_bm25_term_quoting_and_multiword(spark):
     from pyspark.sql import Row
 
@@ -678,6 +715,101 @@ def test_ngram_jaccard_mega_block_star_guard(spark):
     assert all(v == 1.0 for k, v in got.items() if k[0] >= 1000)
 
 
+def test_embedding_near_dups_mega_bucket_star_guard(spark):
+    """A duplicate CLASS of identical embeddings shares one bucket at
+    any plane count — occupancy sizing can't split it. star_cap must
+    bound the emission to O(n) star pairs (anchored at the class min)
+    while distinct vectors pair normally."""
+    from pyspark.sql import Row
+
+    from prql_spark.operators.similarity import embedding_near_dups
+
+    dup_vec = [1.0] + [0.0] * 15
+    rows = [Row(vec_id=1000 + i, embedding=dup_vec) for i in range(300)]
+    # two genuinely-near distinct vectors in some other bucket; ids
+    # ABOVE the class so a stray Hamming-1 probe of theirs landing in
+    # the mega bucket can't displace the star anchor
+    rows += [
+        Row(vec_id=5000, embedding=[0.0] * 14 + [1.0, 0.02]),
+        Row(vec_id=5001, embedding=[0.0] * 14 + [1.0, 0.03]),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = embedding_near_dups(
+        df, dim=16, threshold=0.95, n_planes=6, multiprobe=True,
+        star_cap=32,
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    mega = {p for p in got if p[1] < 5000}
+    assert {(1000, 1000 + i) for i in range(1, 300)} == mega  # O(n)
+    assert (5000, 5001) in got  # normal pairs unaffected
+    # and uncapped the same class would emit O(n²)
+    uncapped = embedding_near_dups(
+        df.where("vec_id >= 1000 AND vec_id < 1020"), dim=16,
+        threshold=0.95, n_planes=6, multiprobe=False, star_cap=10**9,
+    ).count()
+    assert uncapped == 20 * 19 // 2
+
+
+def test_embedding_near_dups_bucket_combine_matches_join(spark):
+    """The bucket-combine rework must emit the exact pair set of the
+    reference join formulation (probe = bucket XOR mask on the left,
+    exact bucket on the right, id_a < id_b), each pair exactly once."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from prql_spark.operators.similarity import (
+        _bucket_expr,
+        cosine_expr,
+        embedding_near_dups,
+        hyperplanes,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8))
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in base[i]])
+        for i in range(40)
+    ]
+    # planted near-dups one bit apart with decent probability
+    rows += [
+        Row(vec_id=100 + i,
+            embedding=[float(x) for x in base[i] + rng.normal(scale=0.05, size=8)])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    got = embedding_near_dups(
+        df, dim=8, threshold=0.2, n_planes=5, multiprobe=True,
+        star_cap=10**9,
+    )
+    gl = sorted((r.id_a, r.id_b, r.cosine) for r in got.collect())
+    # reference formulation: the pre-rework self-join
+    planes = hyperplanes(8, 5, seed=42)
+    b = _bucket_expr("embedding", planes)
+    bdf = df.selectExpr("vec_id", "embedding", f"{b} AS bucket")
+    masks = [0] + [1 << j for j in range(5)]
+    probe = bdf.selectExpr(
+        "vec_id", "embedding",
+        "explode(array(%s)) AS probe"
+        % ", ".join(f"bucket ^ {m}" for m in masks),
+    )
+    import pyspark.sql.functions as _F
+
+    ref = (
+        probe.alias("l")
+        .join(
+            bdf.alias("r"),
+            on=_F.expr("l.probe = r.bucket AND l.vec_id < r.vec_id"),
+        )
+        .selectExpr(
+            "l.vec_id AS id_a", "r.vec_id AS id_b",
+            f"round({cosine_expr('l.embedding', 'r.embedding')}, 6) AS cosine",
+        )
+        .where("cosine >= 0.2")
+    )
+    rl = sorted((r.id_a, r.id_b, r.cosine) for r in ref.collect())
+    assert gl == rl and len(gl) == len(set((a, b) for a, b, _ in gl))
+
+
 def test_occupancy_planes_sizing():
     from prql_spark.operators.similarity import occupancy_planes
 
@@ -685,6 +817,98 @@ def test_occupancy_planes_sizing():
     assert occupancy_planes(200_000) == 12     # 4096 buckets > 4k
     assert occupancy_planes(100_000_000) == 21  # ~2M buckets
     assert occupancy_planes(10**12) == 24      # clamp ceiling
+
+
+def test_occupancy_lists_sizing():
+    from prql_spark.operators.similarity import occupancy_lists
+
+    assert occupancy_lists(500) == 8             # clamp floor
+    assert occupancy_lists(200_000) == 200       # corpus / 1k
+    assert occupancy_lists(100_000_000) == 100_000
+    assert occupancy_lists(10**12) == 1 << 17    # clamp ceiling
+
+
+def test_ivf_large_quantizer_matches_inline_formulation(spark, catalog):
+    """Past 64 lists ivf_topk switches to the broadcast-frame argmax
+    (the codegen-safe shape); assignments and probe order must equal
+    the inline-literal formulation exactly (round-9 cosine, ties to
+    the larger index)."""
+    from prql_spark.operators.similarity import (
+        _nearest_expr,
+        _topk_per_query,
+        cosine_expr,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    embs = catalog.load("embeddings").limit(400)
+    qs = (
+        catalog.load("embeddings")
+        .orderBy("vec_id")
+        .limit(3)
+        .selectExpr("vec_id AS query_id", "embedding AS qvec")
+    )
+    cents = ivf_train_centroids(embs, dim=64, n_lists=70, iters=1)
+    assert len(cents) == 70  # forces the large-quantizer path
+    got = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                embs, qs, dim=64, k=5, nprobe=3, centroids=cents
+            ).collect(),
+        )
+    )
+    # inline-literal reference (the ≤64-list formulation, applied by
+    # hand — slow on big quantizers, exact on this tiny frame)
+    corpus = embs.selectExpr(
+        "vec_id", "embedding",
+        f"{_nearest_expr('embedding', cents)} AS __list",
+    )
+    probes = ", ".join(
+        "named_struct('cos', round(%s, 9), 'i', %d)"
+        % (
+            cosine_expr(
+                "qvec",
+                "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in c) + ")",
+            ),
+            i,
+        )
+        for i, c in enumerate(cents)
+    )
+    qref = qs.selectExpr(
+        "query_id", "qvec",
+        f"explode(transform(slice(reverse(array_sort(array({probes}))), "
+        f"1, 3), s -> s.i)) AS __list",
+    )
+    import pyspark.sql.functions as _F
+
+    scored = corpus.join(_F.broadcast(qref), on="__list").selectExpr(
+        "query_id", "vec_id",
+        f"round({cosine_expr('embedding', 'qvec')}, 6) AS cosine",
+    )
+    ref = sorted(
+        map(tuple, _topk_per_query(scored, 5, "query_id", "vec_id")
+            .select("query_id", "vec_id", "cosine").collect())
+    )
+    got_cols = [(q, v, c) for q, v, c in got]
+    assert got_cols == ref
+
+
+def test_semdedup_auto_lists(spark, catalog):
+    """centroids=None + n_lists=None derives the list count from the
+    corpus (clamp floor on a tiny frame) and still dedups."""
+    from pyspark.sql import Row
+
+    from prql_spark.operators.similarity import semdedup
+
+    base = catalog.load("embeddings").select("vec_id", "embedding").limit(100)
+    dup = base.where("vec_id < 5").selectExpr(
+        "vec_id + 100000 AS vec_id", "embedding"
+    )
+    out = semdedup(base.unionByName(dup), dim=64, threshold=0.9999)
+    ids = {r.vec_id for r in out.select("vec_id").collect()}
+    assert not {i for i in ids if i >= 100000}  # exact dups dropped
+    assert len(ids) == 100
 
 
 def test_embedding_near_dups_occupancy_scaling(spark):
@@ -832,13 +1056,30 @@ def test_netpbm_codec_real_decode(spark):
     small = codec.resize_payload(ppm, 5)
     w, h, feats = codec.decode(small, "image/x-portable-pixmap")
     assert (w, h) == (5, 2)
-    img = codec._parse(small)
-    assert img.shape == (2, 5, 3)
+    img, maxval = codec._parse(small)
+    assert img.shape == (2, 5, 3) and maxval == 255
     assert set(np.unique(img[:, :, 1])) == {100}
     # no-op below max_dim; non-netpbm payloads pass through untouched
     assert codec.resize_payload(ppm, 64) == ppm
     assert codec.resize_payload(b"\x89PNG...", 4) == b"\x89PNG..."
     assert codec.decode(b"junk", "image/png") == (0, 0, [0.0] * 8)
+
+    # maxval < 255: features normalize by the PARSED maxval, and a
+    # resize re-encodes with the same maxval (pixels are untouched
+    # samples)
+    g15 = np.full((4, 8), 15, dtype=np.uint8)
+    pgm15 = b"P5\n8 4\n15\n" + g15.tobytes()
+    w15, h15, f15 = codec.decode(pgm15, "image/x-portable-graymap")
+    assert (w15, h15) == (8, 4)
+    assert f15[0] == pytest.approx(1.0, abs=1e-6)  # 15/15, not 15/255
+    small15 = codec.resize_payload(pgm15, 4)
+    assert small15.startswith(b"P5\n4 2\n15\n")
+    # CRLF after maxval = ambiguous nonconforming writer: reject
+    # (returning None) instead of silently reading pixels off by one
+    crlf = b"P5\n6 4\n255\r\n" + gray.tobytes()
+    assert codec.decode(crlf, "x") == (0, 0, [0.0] * 8)
+    # header that ends exactly at maxval (no separator byte at all)
+    assert codec.decode(b"P5\n6 4\n255", "x") == (0, 0, [0.0] * 8)
 
 
 def test_repetition_flags_planted(spark):

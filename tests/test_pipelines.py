@@ -44,6 +44,14 @@ def test_prepare_training_corpus_end_to_end(spark, catalog, tmp_path):
     splits_seen = {r.split for r in rows}
     assert splits_seen <= {"train", "val", "test"} and "train" in splits_seen
     assert all(r.n_tokens > 0 for r in rows)
+    # leakage guard: packing is partitioned by (split, shard), so each
+    # split's packing restarts at chunk 0 per shard — chunk membership
+    # is (split, shard, chunk_id) and never crosses a split boundary
+    for s in splits_seen:
+        for shard in {r.shard for r in rows if r.split == s}:
+            cids = {r.chunk_id for r in rows
+                    if r.split == s and r.shard == shard}
+            assert min(cids) == 0
 
     # JSONL export: split-partitioned dirs, one JSON object per line
     out = str(tmp_path / "corpus")

@@ -74,6 +74,33 @@ def test_spark_dialect_quotes_backticks(catalog):
     assert "`o_orderkey`" in sql and '"' not in sql
 
 
+def test_dialect_aliases_cover_reference_enum(catalog, oracle):
+    """Every dialect of the reference enum (ast/dialect.rs:6-27) has
+    an emitter; the double-quoted ones are runnable (DuckDB stands in
+    for postgres/sqlite/... — same ANSI surface at this stage), the
+    backtick ones emit valid identifiers, and an unknown dialect
+    fails with a PRQL error, not a KeyError."""
+    prql = "from orders\nfilter o_totalprice > 100\ntake 5"
+    ansi_sql = to_sql(prql, catalog, dialect="ansi")
+    for d in ("generic", "postgres", "sqlite", "snowflake", "mssql",
+              "clickhouse", "duckdb"):
+        sql = to_sql(prql, catalog, dialect=d)
+        assert sql == ansi_sql  # one ANSI emitter behind the aliases
+        assert oracle.execute(sql).fetchall()  # runnable
+    for d in ("mysql", "bigquery"):
+        sql = to_sql(prql, catalog, dialect=d)
+        assert "`o_totalprice`" in sql and '"' not in sql
+    for d in ("spark", "hive"):
+        assert "`" in to_sql(prql, catalog, dialect=d)
+    with pytest.raises(PrqlCompileError, match="unknown SQL dialect"):
+        to_sql(prql, catalog, dialect="oracle9i")
+    # string literals: ANSI '' escaping in the non-spark backtick
+    # dialects (spark backslash-escapes instead)
+    pq = "from nation\nfilter n_name == \"O'NEIL\"\nselect [n_name]"
+    assert "'O''NEIL'" in to_sql(pq, catalog, dialect="mysql")
+    assert "'O''NEIL'" in to_sql(pq, catalog, dialect="postgres")
+
+
 def test_generated_oracles_fresh(catalog):
     """prql_spark/_gen_oracles.py must match what gen_oracles.py
     would emit today — fails when a PRQL entry changes without
