@@ -839,6 +839,9 @@ _DRIVER_WINDOW = 50
 # new in round 4 — never driver-checked
 _NEW_THIS_ROUND = [
     "multimodal_netpbm_decode",
+    "text_quantile_buckets",
+    "dedup_against_near",
+    "text_tfidf_top_terms",
 ]
 
 # most recent driver row is from rounds 1-2 (behind round 3's window)

@@ -88,6 +88,8 @@ def _extended_transforms() -> dict:
         "bm25_rank": text.bm25_rank,
         "sample_per_group": splits.sample_per_group,
         "collocations": text.collocations,
+        "quantile_buckets": text.quantile_buckets,
+        "tfidf_top_terms": text.tfidf_top_terms,
     }
 
 

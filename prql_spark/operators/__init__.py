@@ -264,41 +264,45 @@ _CRC32_DD = (
 )
 
 
-def _minhash_band_ctes() -> str:
+def _minhash_band_ctes(prefix: str = "", where: str = "") -> str:
     """The shared WITH-clause prefix that replays the minhash
     signature pipeline in DuckDB through the banded signatures
     (`bands`): zlib-exact crc32 shingle hashes, the 64 multiply-shift
     permutations as HUGEINT mod-2^64, 16×4 banding by slice equality.
-    Composed by both the dedup oracle (adds star-cap + keep-min) and
-    the cluster oracle (adds pair extraction + recursive closure)."""
+    Composed by the dedup oracle (adds star-cap + keep-min), the
+    cluster oracle (adds pair extraction + recursive closure), and —
+    twice, with a ``prefix`` renaming every CTE and a ``where``
+    restricting the source rows — the near-decontamination oracle
+    (document bands joined against reference bands)."""
     perms = ", ".join(
         f"({j}, {a}::HUGEINT, {b}::HUGEINT)"
         for j, (a, b) in enumerate(dedup._perm_params(64, 42))
     )
     crct = "[" + ", ".join(f"{x}::UBIGINT" for x in _crc32_table()) + "]"
     crc = _CRC32_DD.format(s="shingle")
-    return f"""params AS (SELECT * FROM (VALUES {perms}) p(j, a, b)),
-crct AS (SELECT {crct} AS t),
-d AS (
+    p = prefix
+    return f"""{p}params AS (SELECT * FROM (VALUES {perms}) p(j, a, b)),
+{p}crct AS (SELECT {crct} AS t),
+{p}d AS (
   SELECT doc_id, {NORM} AS t FROM documents
-  WHERE length(trim(text)) > 0),
-w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
-shs AS (
+  WHERE length(trim(text)) > 0 {where}),
+{p}w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM {p}d),
+{p}shs AS (
   SELECT doc_id,
     array_to_string(list_slice(ws, i, i + 4), ' ') AS shingle
   FROM (SELECT doc_id, ws,
           unnest(generate_series(1, greatest(len(ws) - 5, 0) + 1)) AS i
-        FROM w)),
-sh AS (
-  SELECT DISTINCT doc_id, {crc} AS h FROM shs, crct),
-m AS (
+        FROM {p}w)),
+{p}sh AS (
+  SELECT DISTINCT doc_id, {crc} AS h FROM {p}shs, {p}crct),
+{p}m AS (
   SELECT doc_id, j,
     min((a * h::HUGEINT + b) % 18446744073709551616) AS v
-  FROM sh CROSS JOIN params GROUP BY doc_id, j),
-sigl AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM m GROUP BY doc_id),
-bands AS (
+  FROM {p}sh CROSS JOIN {p}params GROUP BY doc_id, j),
+{p}sigl AS (SELECT doc_id, list(v ORDER BY j) AS sig FROM {p}m GROUP BY doc_id),
+{p}bands AS (
   SELECT doc_id, sig, b, list_slice(sig, b * 4 + 1, b * 4 + 4) AS bslice
-  FROM (SELECT doc_id, sig, unnest(generate_series(0, 15)) AS b FROM sigl))"""
+  FROM (SELECT doc_id, sig, unnest(generate_series(0, 15)) AS b FROM {p}sigl))"""
 
 
 def _sql_minhash_dedup() -> str:
@@ -1912,6 +1916,88 @@ WHERE rk <= 5 ORDER BY doc_id
 """
 
 
+def q_quantile_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail tertile bucketing on the quality
+    score (exact percentiles so DuckDB's quantile_cont replays the
+    cuts; production uses the approx_percentile sketch path)."""
+    scored = text.quality_score(_docs(spark, sf_dir))
+    out = text.quantile_buckets(scored, "quality", exact=True)
+    return out.select("doc_id", "quality", "bucket").orderBy("doc_id")
+
+
+# quality replayed via SQL_QUALITY as a subquery; cut points are
+# quantile_cont (the same linear interpolation Spark's exact
+# percentile uses), rounded to 6 in both engines before the CASE
+SQL_QUANTILE_BUCKETS = f"""
+WITH q AS (SELECT doc_id, quality FROM ({SQL_QUALITY}) __q),
+c AS (SELECT round(quantile_cont(quality, {1 / 3!r}), 6) AS c1,
+             round(quantile_cont(quality, {2 / 3!r}), 6) AS c2 FROM q)
+SELECT doc_id, quality,
+  CASE WHEN quality <= c1 THEN 'head'
+       WHEN quality <= c2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM q, c ORDER BY doc_id
+"""
+
+
+def q_dedup_against_near(spark, sf_dir):
+    """Fuzzy decontamination: every 7th document plays the held-out
+    benchmark; docs sharing >= 1 LSH band with it are dropped (the
+    benchmark members themselves collide in all 16 bands)."""
+    docs = _docs(spark, sf_dir)
+    ref = docs.where("doc_id % 7 = 0").select("text")
+    out = dedup.dedup_against_near(docs, ref, broadcast_ref=True)
+    return out.select("doc_id").orderBy("doc_id")
+
+
+def _sql_dedup_against_near() -> str:
+    """Replays the minhash signature pipeline TWICE (documents +
+    the reference subset, prefix-renamed CTEs) and joins band slices:
+    the engine's xxhash64 band key only NAMES a slice — two docs
+    share a bucket iff the slices are equal, which DuckDB joins on
+    directly (same modeling as the minhash dedup oracle)."""
+    return f"""
+WITH {_minhash_band_ctes()},
+{_minhash_band_ctes(prefix="r", where="AND doc_id % 7 = 0")},
+losers AS (
+  SELECT DISTINCT l.doc_id
+  FROM bands l JOIN rbands r ON l.b = r.b AND l.bslice = r.bslice)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+ORDER BY doc_id
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF keywords (min_df 5)."""
+    return text.tfidf_top_terms(
+        _docs(spark, sf_dir), k=3, min_df=5
+    ).orderBy("doc_id", "rk")
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH t AS (
+  SELECT doc_id, unnest({WORDS_DD}) AS term FROM documents),
+tt AS (
+  SELECT doc_id, term, count(*) AS tf FROM t
+  WHERE term != '' GROUP BY doc_id, term),
+dfq AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM t WHERE term != '')
+  GROUP BY term HAVING count(*) >= 5),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT tt.doc_id, tt.term, tt.tf, dfq.df,
+    round(tt.tf * (ln((n.n + 1) / (dfq.df + 1)) + 1), 6) AS tfidf
+  FROM tt JOIN dfq USING (term), n),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+    ORDER BY tfidf DESC, term) AS INTEGER) AS rk FROM s)
+SELECT doc_id, term, tf, df, tfidf, rk FROM r
+WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
 def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -1966,6 +2052,9 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": q_salted_join,
         "sources_diff_snapshots": q_diff_snapshots,
         "multimodal_netpbm_decode": q_multimodal_netpbm_decode,
+        "text_quantile_buckets": q_quantile_buckets,
+        "dedup_against_near": q_dedup_against_near,
+        "text_tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1997,6 +2086,9 @@ def entry_oracles() -> dict[str, str]:
         # the REAL decoder on planted payloads: expected pixel stats
         # computed offline, pinned as VALUES
         "multimodal_netpbm_decode": SQL_MULTIMODAL_NETPBM,
+        "text_quantile_buckets": SQL_QUANTILE_BUCKETS,
+        "dedup_against_near": _sql_dedup_against_near(),
+        "text_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
         "asof_forward_tolerance": SQL_ASOF_FORWARD,

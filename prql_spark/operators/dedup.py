@@ -240,6 +240,26 @@ def minhash_signatures(
     )
 
 
+def _band_structs_expr(num_perm: int, bands: int) -> str:
+    """Unrolled LSH band keys over a ``minhash`` column: an array of
+    (band, h) structs, h = xxhash64 of the band's signature slice.
+    Plan-constant unrolling keeps it codegen-able (a transform()
+    lambda with string concat ran ~4× slower — see the caller)."""
+    rows_per_band = num_perm // bands
+    structs = ", ".join(
+        "named_struct('band', %d, 'h', xxhash64(%s))"
+        % (
+            b,
+            ", ".join(
+                f"minhash[{b * rows_per_band + i}]"
+                for i in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"array({structs})"
+
+
 def _minhash_raw_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -268,21 +288,12 @@ def _minhash_raw_pairs(
     # transform() lambda with concat_ws/cast-to-string runs
     # interpreted per row with per-band string allocations — measured
     # ~4× slower than this codegen-able form at sf0.1.
-    structs = ", ".join(
-        "named_struct('band', %d, 'h', xxhash64(%s))"
-        % (
-            b,
-            ", ".join(
-                f"minhash[{b * rows_per_band + i}]"
-                for i in range(rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    )
     buckets = sigs.select(
         F.col(id_col),
         F.col("minhash"),
-        F.explode(F.expr(f"array({structs})")).alias("bk"),
+        F.explode(
+            F.expr(_band_structs_expr(num_perm, bands))
+        ).alias("bk"),
     ).select(id_col, "minhash", "bk.band", "bk.h")
     grouped = (
         buckets.groupBy("band", "h")
@@ -407,6 +418,62 @@ def dedup_against(
         .join(keys, "__key", "left_anti")
         .drop("__key")
     )
+
+
+def dedup_against_near(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    ref_text_col: str | None = None,
+    broadcast_ref: bool = False,
+) -> DataFrame:
+    """Fuzzy decontamination / incremental NEAR-dedup: drop rows of
+    ``df`` whose minhash signature collides with the reference corpus
+    in at least one LSH band.
+
+    This is the near-duplicate complement to :func:`dedup_against`
+    (exact keys): "drop crawl documents that are near-copies of the
+    held-out benchmark / yesterday's corpus". Band collision IS the
+    minhash-LSH decision rule — with 16 bands × 4 rows the collision
+    probability is 1-(1-j⁴)¹⁶ (≈0.97 at Jaccard 0.7, ≈0.04 at 0.2) —
+    so no pairwise verification pass is needed, exactly as in the
+    within-corpus LSH dedup before its verify step.
+
+    Scale shape: the reference contributes its DISTINCT (band, h)
+    keys only — 16 twelve-byte rows per reference doc, one narrow
+    column scan at any reference size (broadcast them with
+    ``broadcast_ref=True`` when the benchmark set is small, the
+    common decontamination case — then ``df`` is never shuffled at
+    all). ``df`` itself exchanges band keys, never text.
+    """
+    sd = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    ref = reference.withColumn(
+        "__rid", F.monotonically_increasing_id()
+    )
+    sr = minhash_signatures(
+        ref, ref_text_col or text_col, "__rid", num_perm, shingle_k
+    )
+    band_arr = _band_structs_expr(num_perm, bands)
+    dkeys = sd.select(
+        F.col(id_col), F.explode(F.expr(band_arr)).alias("bk")
+    ).select(id_col, "bk.band", "bk.h")
+    rkeys = (
+        sr.select(F.explode(F.expr(band_arr)).alias("bk"))
+        .select("bk.band", "bk.h")
+        .distinct()
+    )
+    if broadcast_ref:
+        rkeys = F.broadcast(rkeys)
+    losers = (
+        dkeys.join(rkeys, ["band", "h"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")
 
 
 # 64-bit token hash from two JVM-native crc32 calls (plain + '#'-

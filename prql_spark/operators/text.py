@@ -644,16 +644,21 @@ def repetition_flags(
     Each fraction gets a boolean flag (true = passes, consistent with
     gopher_quality_flags) + ``passes_repetition`` AND. All pure
     higher-order array expressions over one projection — a narrow
-    map, no shuffle, linear at 100 TB. Per-doc cost is
-    O(distinct-grams x grams), bounded by document length.
+    map, no shuffle, linear at 100 TB.
+
+    SUBSTITUTION-SAFE by construction (round 4): every lambda body
+    references only its own lambda variables — arrays enter
+    higher-order functions as whole-array ARGUMENTS, never as column
+    references inside a lambda body. This matters because Catalyst's
+    predicate pushdown substitutes column aliases into a downstream
+    ``filter passes_repetition`` unconditionally; the previous
+    formulation (per-distinct-gram occurrence counting, ``filter(g5,
+    x -> x = g)`` inside a transform) was linear as staged columns
+    but became O(grams² × words) per doc once substituted — a single
+    flag filter took the sf0.01 composed pipeline from 0.2 s to
+    75 s. The sorted-run folds below cost the same answer in
+    O(grams log grams) per row under ANY substitution.
     """
-    # Every array (lines, words, gram lists) is materialized as its
-    # own column before any lambda references it: inlining the
-    # expressions would re-evaluate them per array ELEMENT (the g2/g5
-    # occurrence-count lambdas reference the gram list per distinct
-    # gram — O(grams²·words) per doc when inlined). Column references
-    # inside lambdas are free; CollapseProject keeps the stages
-    # separate because the aliases are non-cheap and multiply-used.
     staged = df.withColumns(
         {
             "__rep_lines": F.expr(
@@ -662,17 +667,54 @@ def repetition_flags(
             ),
             "__rep_ws": F.expr(_words(text_col)),
         }
-    ).withColumns(
-        {
-            "__rep_g2": F.expr(
-                "transform(sequence(1, greatest(size(__rep_ws) - 1, 1)), "
-                "i -> concat_ws(' ', slice(__rep_ws, i, 2)))"
-            ),
-            "__rep_g5": F.expr(
-                "transform(sequence(1, greatest(size(__rep_ws) - 4, 1)), "
-                "i -> concat_ws(' ', slice(__rep_ws, i, 5)))"
-            ),
-        }
+    )
+
+    def _grams(n: int) -> str:
+        # n-grams via shifted-array zip_with chains: each shift is a
+        # top-level slice of the words column (evaluated once per ROW
+        # even after substitution), and zip_with consumes whole
+        # arrays — no per-element re-evaluation anywhere.
+        m = f"greatest(size(__rep_ws) - {n - 1}, 0)"
+        g = f"slice(__rep_ws, 1, {m})"
+        for j in range(1, n):
+            g = (
+                f"zip_with({g}, slice(__rep_ws, {j + 1}, {m}), "
+                f"(a, b) -> concat(a, ' ', b))"
+            )
+        return g
+
+    # per-position (same-as-next, char length) over the SORTED gram
+    # list: runs of equal grams are adjacent, so occurrence counts
+    # fall out of one linear fold. The trailing element zips against
+    # NULL; null-safe equality makes it run-final.
+    def _runs(grams: str) -> str:
+        s = f"array_sort({grams})"
+        return (
+            f"zip_with({s}, slice({s}, 2, greatest(size({s}) - 1, 0)), "
+            f"(a, b) -> named_struct('same', a <=> b, "
+            f"'len', CAST(length(a) AS BIGINT)))"
+        )
+
+    # fold: max run_count × gram_length (chars covered by the most
+    # common gram, counting every occurrence)
+    top2_chars = (
+        f"aggregate({_runs(_grams(2))}, "
+        f"named_struct('cur', 0L, 'best', 0L), "
+        f"(acc, s) -> IF(s.same, "
+        f"named_struct('cur', acc.cur + 1L, 'best', acc.best), "
+        f"named_struct('cur', 0L, "
+        f"'best', greatest(acc.best, (acc.cur + 1L) * s.len)))"
+        f").best"
+    )
+    # fold: total run_count × gram_length over runs longer than 1
+    dup5_chars = (
+        f"aggregate({_runs(_grams(5))}, "
+        f"named_struct('cur', 0L, 'tot', 0L), "
+        f"(acc, s) -> IF(s.same, "
+        f"named_struct('cur', acc.cur + 1L, 'tot', acc.tot), "
+        f"named_struct('cur', 0L, 'tot', acc.tot + "
+        f"IF(acc.cur > 0L, (acc.cur + 1L) * s.len, 0L)))"
+        f").tot"
     )
     n_chars = f"greatest(length({text_col}), 1)"
     dup_line = (
@@ -682,17 +724,11 @@ def repetition_flags(
     )
     top2 = (
         f"CASE WHEN size(__rep_ws) < 2 THEN 0.0 ELSE "
-        f"array_max(transform(array_distinct(__rep_g2), g -> "
-        f"size(filter(__rep_g2, x -> x = g)) * length(g))) "
-        f"/ CAST({n_chars} AS DOUBLE) END"
+        f"{top2_chars} / CAST({n_chars} AS DOUBLE) END"
     )
     dup5 = (
         f"CASE WHEN size(__rep_ws) < 5 THEN 0.0 ELSE "
-        f"aggregate(transform(array_distinct(__rep_g5), g -> "
-        f"named_struct('c', size(filter(__rep_g5, x -> x = g)), "
-        f"'l', length(g))), 0L, "
-        f"(acc, s) -> acc + IF(s.c > 1, CAST(s.c * s.l AS BIGINT), 0L)) "
-        f"/ CAST({n_chars} AS DOUBLE) END"
+        f"{dup5_chars} / CAST({n_chars} AS DOUBLE) END"
     )
     out = staged.withColumns(
         {
@@ -716,4 +752,112 @@ def repetition_flags(
     return out.withColumn(
         "passes_repetition",
         F.expr("flag_dup_lines AND flag_top_2gram AND flag_dup_5gram"),
-    ).drop("__rep_lines", "__rep_ws", "__rep_g2", "__rep_g5")
+    ).drop("__rep_lines", "__rep_ws")
+
+
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str = "quality",
+    probs: tuple[float, ...] = (1 / 3, 2 / 3),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    bucket_col: str = "bucket",
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """CCNet-style corpus bucketing: label every document by which
+    corpus-quantile band its score falls in (head / middle / tail by
+    perplexity tertile in CCNet — Wenzek et al. 2020; any score and
+    any cut list work).
+
+    Shape: ONE full-table aggregate computes the cut points, rides
+    back as a broadcast 1-row frame (the bm25 corpus-stats pattern),
+    and the labeling is a narrow map — no shuffle of the corpus, no
+    second scan beyond the stats pass.
+
+    ``exact=False`` (default, the 100 TB path) uses
+    ``approx_percentile`` — a mergeable sketch, no per-group value
+    buffering. ``exact=True`` uses ``percentile`` (exact
+    interpolation, buffers values on the agg side) — for modest
+    corpora and for the cross-engine value oracle, where DuckDB's
+    ``quantile_cont`` reproduces the linear-interpolation cuts bit
+    for bit. Cuts are rounded to 6 decimals in both engines before
+    comparison so a last-ulp difference cannot flip a boundary doc.
+    """
+    if len(labels) != len(probs) + 1:
+        raise ValueError(
+            f"quantile_buckets: {len(probs)} cut(s) need "
+            f"{len(probs) + 1} labels, got {len(labels)}"
+        )
+    parr = ", ".join(repr(float(p)) for p in probs)
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {accuracy}"
+    cuts = df.agg(
+        F.expr(
+            f"transform({fn}({score_col}, array({parr}){acc}), "
+            "c -> round(c, 6))"
+        ).alias("__cuts")
+    )
+    case = "CASE "
+    for i in range(len(probs)):
+        case += f"WHEN {score_col} <= __cuts[{i}] THEN '{labels[i]}' "
+    case += f"ELSE '{labels[-1]}' END"
+    return (
+        df.join(F.broadcast(cuts))
+        .withColumn(bucket_col, F.expr(case))
+        .drop("__cuts")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the standard keyword /
+    topic-signal extraction over a corpus (feeds clustering, domain
+    tagging, and near-dup triage).
+
+    tf = in-doc term count; idf = ln((N + 1) / (df_t + 1)) + 1 (the
+    smoothed sklearn formulation — never negative, never divides by
+    zero). Terms below ``min_df`` docs are dropped.
+
+    Shape: explode → two map-side-combined count aggregates (term
+    counts per doc; document frequency per term), doc count as ONE
+    scalar broadcast, a term-keyed join (doc-frequency side is
+    term-vocabulary-sized, broadcast when it fits), and a per-doc
+    top-k window that compiles to the two-stage WindowGroupLimit —
+    partial top-k before the exchange, so the reducer sees k ×
+    n_partitions rows per doc, never every term.
+    """
+    words = _words(text_col)
+    terms = (
+        df.select(F.col(id_col), F.explode(F.expr(words)).alias("term"))
+        .where(F.expr("term != ''"))
+    )
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = doc_frequency(df, text_col, id_col, min_df)
+    n_docs = df.count()
+    scored = (
+        tf.join(dfreq, "term")
+        .withColumn(
+            "tfidf",
+            F.expr(
+                f"round(tf * (ln(({n_docs} + 1) / (df + 1)) + 1), 6)"
+            ),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rk",
+            F.expr(
+                f"row_number() OVER (PARTITION BY {id_col} "
+                "ORDER BY tfidf DESC, term)"
+            ),
+        )
+        .where(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rk")
+    )

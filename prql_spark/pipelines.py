@@ -108,12 +108,13 @@ def prepare_training_corpus(
     # val/test text into training sequences (leakage).
     train, val = split_fracs
     out = splits.split_by_hash(deduped, id_col, train=train, val=val)
-    packed = text.pack_sequences(
+    # pack_sequences carries every input column through its window —
+    # its output IS the result (re-joining it against `out` would
+    # recompute the whole upstream chain a second time on the build
+    # side of the join)
+    result = text.pack_sequences(
         out, target_tokens=pack_target_tokens, text_col="text_clean",
         id_col=id_col, partition_by=["split"],
-    )
-    result = out.join(
-        packed.select(id_col, "shard", "chunk_id", "n_tokens"), id_col
     )
     return result, stats
 

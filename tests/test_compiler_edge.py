@@ -580,6 +580,28 @@ def test_new_operators_prql_callable(catalog):
         )
 
 
+def test_round4_operators_prql_callable(catalog):
+    """quantile_buckets / tfidf_top_terms compose as PRQL steps."""
+    df = compile_prql(
+        "from documents\n"
+        "quality_score\n"
+        "quantile_buckets score_col:quality\n"
+        "select [doc_id, bucket]\n"
+        "sort [doc_id]\n"
+        "take 20",
+        catalog,
+    )
+    rows = df.collect()
+    assert len(rows) == 20
+    assert {r.bucket for r in rows} <= {"head", "middle", "tail"}
+
+    kw = compile_prql(
+        "from documents\ntfidf_top_terms k:2 min_df:5", catalog
+    )
+    assert kw.columns == ["doc_id", "term", "tf", "df", "tfidf", "rk"]
+    assert all(r.rk <= 2 for r in kw.collect())
+
+
 def test_collocations_in_prql(catalog):
     df = compile_prql(
         "from documents\ncollocations min_count:5 top_k:20", catalog

@@ -618,6 +618,92 @@ def test_pack_sequences_partition_by_split(spark):
     assert len(legacy) == 60
 
 
+def test_quantile_buckets_planted(spark):
+    from pyspark.sql import Row
+
+    from prql_spark.operators import text as t
+
+    # scores 1..9: tertile cuts at ~3.67/6.33 → 1-3 head, 4-6 middle,
+    # 7-9 tail (exact linear-interpolation percentiles)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, score=float(i)) for i in range(1, 10)]
+    )
+    out = {r.doc_id: r.bucket
+           for r in t.quantile_buckets(df, "score", exact=True).collect()}
+    assert [out[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    # approx path (the 100 TB default) agrees on this tiny frame
+    approx = {r.doc_id: r.bucket
+              for r in t.quantile_buckets(df, "score").collect()}
+    assert approx == out
+    # custom cuts/labels + validation
+    two = {r.doc_id: r.bucket
+           for r in t.quantile_buckets(
+               df, "score", probs=(0.5,), labels=("lo", "hi"),
+               exact=True).collect()}
+    assert two[1] == "lo" and two[9] == "hi"
+    with pytest.raises(ValueError, match="label"):
+        t.quantile_buckets(df, "score", probs=(0.5,), labels=("only",))
+
+
+def test_dedup_against_near_planted(spark):
+    from pyspark.sql import Row
+
+    from prql_spark.operators import dedup as d
+
+    bench = [
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while birds watch from tall trees in the golden evening light",
+        "machine learning models require large amounts of carefully "
+        "curated training data to generalize well across many domains",
+    ]
+    ref = spark.createDataFrame([Row(text=s) for s in bench])
+    rows = [
+        Row(doc_id=1, text=bench[0]),                      # exact copy
+        Row(doc_id=2, text=bench[1] + " and other tasks"),  # near copy
+        Row(doc_id=3, text="completely unrelated document about "
+                           "cooking pasta with fresh tomatoes basil "
+                           "and olive oil on a sunday afternoon in rome"),
+    ]
+    docs = spark.createDataFrame(rows)
+    kept = {r.doc_id
+            for r in d.dedup_against_near(docs, ref,
+                                          broadcast_ref=True).collect()}
+    assert 1 not in kept          # all 16 bands collide
+    assert 2 not in kept          # high-jaccard near copy collides
+    assert kept == {3}
+
+
+def test_tfidf_top_terms_planted(spark):
+    from pyspark.sql import Row
+
+    from prql_spark.operators import text as t
+
+    # "rare" appears twice in doc 1 only; "common" once per doc —
+    # tf-idf must rank rare (tf 2 × idf ln2+1) above common (1 × 1)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common rare rare alpha"),
+            Row(doc_id=2, text="common beta beta"),
+            Row(doc_id=3, text="common gamma"),
+        ]
+    )
+    out = t.tfidf_top_terms(docs, k=2, min_df=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rk, r.term, r.tfidf))
+    top1 = sorted(by_doc[1])[0]
+    assert top1[1] == "rare"
+    import math
+
+    exp = round(2 * (math.log(4 / 2) + 1), 6)
+    assert top1[2] == pytest.approx(exp, abs=1e-9)
+    # doc 2: 'beta' (tf=2, df=1) outranks 'common' (tf=1, df=3)
+    assert sorted(by_doc[2])[0][1] == "beta"
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
 def test_bm25_term_quoting_and_multiword(spark):
     from pyspark.sql import Row
 
