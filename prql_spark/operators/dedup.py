@@ -636,15 +636,13 @@ def ngram_jaccard_pairs(
     so the exact string grams stay.
     """
     norm = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
-    # words materialized as a column BEFORE the gram lambda slices it:
-    # inlining the split expression re-splits the document per gram —
-    # O(words²) per doc (measured 8× on the comparable bigram shape,
-    # see text.collocations).
-    grams = (
-        f"array_distinct(transform("
-        f"sequence(0, greatest(size(__ws) - {n}, 0)), "
-        f"i -> concat_ws(' ', slice(__ws, i + 1, {n}))))"
-    )
+    # substitution-safe gram chain (text.ngram_expr): the
+    # `size(__grams) > 0` filter below pushes through this projection
+    # with __grams/__ws substituted — the legacy per-index slice shape
+    # went O(words²) per row under that substitution
+    from prql_spark.operators.text import ngram_expr
+
+    grams = f"array_distinct({ngram_expr('__ws', n)})"
     if block_exprs is None:
         # floor() explicitly: CAST(double AS INT) truncates in Spark
         # but rounds in DuckDB — floor agrees everywhere.

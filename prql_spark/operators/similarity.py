@@ -444,8 +444,16 @@ def semdedup_pairs(
         )
         .select(
             F.col(id_col),
+            # zip_with against a repeated-scalar array instead of
+            # referencing __n inside the lambda BODY: a lambda-body
+            # column ref is one alias substitution (pushdown /
+            # collapse) away from re-evaluating the sqrt fold per
+            # ELEMENT (64×) — whole-array arguments are safe under
+            # any substitution. Same float ops, identical values.
             F.expr(
-                f"transform({vec_col}, x -> CAST(x AS DOUBLE) / __n)"
+                f"zip_with({vec_col}, "
+                f"array_repeat(__n, size({vec_col})), "
+                f"(x, nv) -> CAST(x AS DOUBLE) / nv)"
             ).alias("__vn"),
         )
     )

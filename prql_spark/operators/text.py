@@ -36,6 +36,36 @@ def _words(col: str) -> str:
     return f"split(lower(trim({col})), '\\\\s+')"
 
 
+def ngram_expr(ws_col: str, n: int) -> str:
+    """Word n-grams over an array column/expr, SUBSTITUTION-SAFE: a
+    shifted-slice zip_with chain that references the array only as a
+    whole-array argument — never inside a lambda body — so Catalyst
+    alias substitution (predicate pushdown, CollapseProject) cannot
+    turn it into per-element re-evaluation. The previous
+    ``transform(sequence(...), i -> slice(ws, i+1, n))`` shape was
+    linear while ``ws`` stayed a column but became O(words²) per doc
+    once a downstream filter pushed through its projection (measured
+    0.2 s → 75 s on the composed pipeline — see repetition_flags).
+
+    Matches the legacy shape exactly, including short docs: fewer
+    than n words yields ONE gram joining all words (the oracles pin
+    that), via a size guard — all references top-level.
+    """
+    if n == 1:
+        return ws_col
+    m = f"greatest(size({ws_col}) - {n - 1}, 0)"
+    g = f"slice({ws_col}, 1, {m})"
+    for j in range(1, n):
+        g = (
+            f"zip_with({g}, slice({ws_col}, {j + 1}, {m}), "
+            f"(a, b) -> concat(a, ' ', b))"
+        )
+    return (
+        f"IF(size({ws_col}) < {n}, "
+        f"array(concat_ws(' ', {ws_col})), {g})"
+    )
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count per doc."""
     ws = (
@@ -135,17 +165,11 @@ def ngram_counts(
     pairs, never documents. Ties broken by ngram text for
     determinism.
     """
-    # words materialized as a column first: slicing the inline split
-    # expression inside the gram lambda would re-split the doc per
-    # gram (O(words²) per doc — see `collocations` for the measured
-    # cost of that shape)
-    grams = (
-        f"transform(sequence(0, greatest(size(__ws) - {n}, 0)), "
-        f"i -> concat_ws(' ', slice(__ws, i + 1, {n})))"
-    )
+    # substitution-safe gram chain (see ngram_expr): survives filter
+    # pushdown / projection collapse without going O(words²)
     return (
         df.select(F.expr(_words(text_col)).alias("__ws"))
-        .select(F.explode(F.expr(grams)).alias("ngram"))
+        .select(F.explode(F.expr(ngram_expr("__ws", n))).alias("ngram"))
         .where(F.expr("ngram != ''"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -353,29 +377,38 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     norm = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
     k, w = 5, 4
-    # Materialize each array stage as its OWN column: a lambda like
-    # slice(<words-expr>, i+1, k) inlines the split per element, and
-    # the winnow lambda then inlines the whole gram transform per
-    # window — O(words³) per doc. CollapseProject keeps these
-    # projections separate (the aliases are non-cheap and referenced
-    # more than once), so each stage evaluates once per row: measured
-    # 227 s → 0.9 s for the sf0.1 corpus, identical output.
+    # Staged columns AND substitution-safe expressions (round 4): the
+    # original per-index slice lambdas were linear only while the
+    # staged aliases survived — a downstream filter/join pushing a
+    # predicate through these projections substitutes the aliases
+    # into the lambda bodies and the cost returns as O(words³) per
+    # doc (the 227 s shape). The gram chain (ngram_expr) and the
+    # rolling-min zip_with chain below reference arrays only as
+    # whole-array arguments, so they stay linear under ANY Catalyst
+    # substitution. Identical output (oracle unchanged).
+    mg = f"greatest(size(__fp_g) - {w - 1}, 0)"
+    rolling = f"slice(__fp_g, 1, {mg})"
+    for j in range(1, w):
+        rolling = (
+            f"zip_with({rolling}, slice(__fp_g, {j + 1}, {mg}), "
+            f"(a, b) -> least(a, b))"
+        )
     out = (
         df.withColumn("__fp_ws", F.expr(f"split({norm}, ' ')"))
         .withColumn(
             "__fp_g",
             F.expr(
-                f"transform(sequence(0, greatest(size(__fp_ws) - {k}, 0)), "
-                f"i -> xxhash64(concat_ws(' ', slice(__fp_ws, i + 1, {k}))))"
+                f"transform({ngram_expr('__fp_ws', k)}, "
+                f"g -> xxhash64(g))"
             ),
         )
         .withColumns(
             {
                 "fp_md5": F.expr(f"md5({norm})"),
                 "fp_winnow": F.expr(
-                    f"array_sort(array_distinct(transform("
-                    f"sequence(0, greatest(size(__fp_g) - {w}, 0)), "
-                    f"i -> array_min(slice(__fp_g, i + 1, {w})))))"
+                    f"array_sort(array_distinct("
+                    f"IF(size(__fp_g) < {w}, "
+                    f"array(array_min(__fp_g)), {rolling})))"
                 ),
             }
         )
@@ -469,14 +502,10 @@ def ngram_contamination(
     """
     probe_text_col = probe_text_col or text_col
 
-    # gram lambdas slice a materialized __ws COLUMN — inlining the
-    # split expression would re-split per gram (O(words²) per doc;
-    # see `collocations`)
+    # substitution-safe gram chain (see ngram_expr): survives filter
+    # pushdown / projection collapse without going O(words²)
     grams = (
-        f"array_distinct(filter(transform("
-        f"sequence(0, greatest(size(__ws) - {n}, 0)), "
-        f"i -> concat_ws(' ', slice(__ws, i + 1, {n}))), "
-        f"g -> g != ''))"
+        f"array_distinct(filter({ngram_expr('__ws', n)}, g -> g != ''))"
     )
     probe_grams = (
         probes.select(F.expr(_words(probe_text_col)).alias("__ws"))

@@ -232,3 +232,55 @@ def test_docs_clean_pipeline_plan_shape(catalog, spark):
     assert "Python" not in plan
     assert plan.count("Exchange") <= 3
     assert plan.count("hashpartitioning(__key") == 1
+
+
+def test_flag_filters_substitution_safe(catalog):
+    """Filtering on a computed flag pushes the flag expression down
+    through the defining projections, substituting every staged
+    alias into the filter. The per-index lambda shape
+    (transform(sequence(...), i -> ...slice(arr, i...))) goes
+    O(words²)+ per row under that substitution (measured 0.2 s →
+    75 s at sf0.01); the zip_with/fold formulations stay linear. Pin
+    the absence of the unsafe shape from the OPTIMIZED plans of the
+    filtered compositions."""
+    from pyspark.sql import functions as F
+
+    from prql_spark.operators import dedup, splits, text
+
+    docs = catalog.load("documents")
+    stripped = splits.strip_boilerplate(docs, "text")
+
+    cases = {
+        "repetition": text.repetition_flags(
+            stripped, "text_clean", "doc_id"
+        ).where("passes_repetition"),
+        "gopher": text.gopher_quality_flags(
+            stripped, "text_clean"
+        ).where("passes_gopher"),
+        "fingerprint": text.fingerprint(stripped, "text_clean").where(
+            F.expr("size(fp_winnow) > 1")
+        ),
+        "ngram_counts": text.ngram_counts(stripped, text_col="text_clean"),
+        "contamination": text.ngram_contamination(
+            stripped, docs.limit(5), text_col="text_clean",
+            probe_text_col="text",
+        ).where("contamination > 0.5"),
+        "jaccard": dedup.ngram_jaccard_pairs(stripped, "text_clean"),
+    }
+    for name, df in cases.items():
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # the one permitted indexed shape: pairs_from_buckets' (i, j)
+        # index generation over `mem` — an AGGREGATE output attribute
+        # (collect_list), which no substitution can inline
+        idx = 0
+        while True:
+            idx = plan.find("transform(sequence(", idx)
+            if idx < 0:
+                break
+            window = plan[idx : idx + 80]
+            assert "size(mem" in window, (
+                f"{name}: indexed-lambda shape over a substitutable "
+                f"input in optimized plan (…{window!r}) — goes "
+                "O(n²) per row once an alias substitutes into it"
+            )
+            idx += 1
