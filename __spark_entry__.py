@@ -842,6 +842,7 @@ _NEW_THIS_ROUND = [
     "text_quantile_buckets",
     "dedup_against_near",
     "text_tfidf_top_terms",
+    "profile_rollup",
 ]
 
 # most recent driver row is from rounds 1-2 (behind round 3's window)

@@ -20,6 +20,7 @@ from prql_spark.operators import (
     dedup,
     graph,
     multimodal,
+    profile,
     similarity,
     sketches,
     skew,
@@ -1998,6 +1999,29 @@ WHERE rk <= 3 ORDER BY doc_id, rk
 """
 
 
+def q_rollup_stats(spark, sf_dir):
+    """Hierarchical corpus report: doc counts + char totals per
+    (lang, source), per lang, and grand total — ONE scan through a
+    GROUP BY ROLLUP Expand."""
+    return profile.rollup_stats(
+        _docs(spark, sf_dir),
+        ["lang", "source"],
+        {"n_docs": "count(*)", "total_chars": "sum(n_chars)"},
+    ).orderBy("lvl", "lang", "source")
+
+
+# CAST(sum AS BIGINT): DuckDB sums BIGINT into HUGEINT; grouping
+# bitmask orientation (first dim = MSB) matches Spark's grouping_id
+SQL_ROLLUP_STATS = """
+SELECT lang, source,
+  CAST(GROUPING(lang, source) AS INTEGER) AS lvl,
+  count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP(lang, source)
+ORDER BY lvl, lang, source
+"""
+
+
 def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -2055,6 +2079,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quantile_buckets": q_quantile_buckets,
         "dedup_against_near": q_dedup_against_near,
         "text_tfidf_top_terms": q_tfidf_top_terms,
+        "profile_rollup": q_rollup_stats,
     }
 
 
@@ -2089,6 +2114,7 @@ def entry_oracles() -> dict[str, str]:
         "text_quantile_buckets": SQL_QUANTILE_BUCKETS,
         "dedup_against_near": _sql_dedup_against_near(),
         "text_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+        "profile_rollup": SQL_ROLLUP_STATS,
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
         "asof_forward_tolerance": SQL_ASOF_FORWARD,

@@ -90,3 +90,36 @@ def profile(
         "column", "n_rows", "n_null", "n_distinct",
         "min_str", "max_str", "avg", "std",
     )
+
+
+def rollup_stats(
+    df: DataFrame,
+    dims: list[str],
+    aggs: dict[str, str],
+    cube: bool = False,
+) -> DataFrame:
+    """Hierarchical corpus report: metrics at every prefix level of
+    ``dims`` via GROUP BY ROLLUP (``cube=True`` → every dim subset,
+    GROUP BY CUBE) — the one-pass corpus dashboard query (per-lang ×
+    per-source doc counts, token totals, grand total) a training-data
+    pipeline reports after each build.
+
+    ``aggs``: output_name -> SQL aggregate expression.
+
+    Scale shape: rollup/cube compile to ONE scan + an Expand node
+    (n_levels × the map-side rows, combined map-side before the
+    single hash exchange) — no joins, no second pass per level. A
+    ``lvl`` grouping_id column disambiguates rollup NULLs from
+    genuine NULL dim values (the standard bitmask, identical in
+    Spark and DuckDB).
+    """
+    if not dims:
+        raise ValueError("rollup_stats: dims must be non-empty")
+    exprs = [F.expr(e).alias(name) for name, e in aggs.items()]
+    grouped = (df.cube(*dims) if cube else df.rollup(*dims)).agg(
+        F.expr(f"CAST(grouping_id({', '.join(dims)}) AS INT)").alias(
+            "lvl"
+        ),
+        *exprs,
+    )
+    return grouped.select(*dims, "lvl", *aggs.keys())

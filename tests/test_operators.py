@@ -748,6 +748,39 @@ def test_profile_decimal_and_date(spark):
     assert out["d"].max_str == "2024-01-10"
 
 
+def test_rollup_stats_planted(spark):
+    from pyspark.sql import Row
+
+    from prql_spark.operators.profile import rollup_stats
+
+    df = spark.createDataFrame(
+        [
+            Row(lang="en", source="web", n=10),
+            Row(lang="en", source="web", n=20),
+            Row(lang="en", source="book", n=5),
+            Row(lang="de", source="web", n=7),
+        ]
+    )
+    out = rollup_stats(
+        df, ["lang", "source"], {"docs": "count(*)", "tot": "sum(n)"}
+    ).collect()
+    rows = {(r.lang, r.source, r.lvl): (r.docs, r.tot) for r in out}
+    assert rows[("en", "web", 0)] == (2, 30)
+    assert rows[("en", None, 1)] == (3, 35)     # per-lang subtotal
+    assert rows[(None, None, 3)] == (4, 42)     # grand total
+    assert ("de", None, 1) in rows and len(rows) == 6
+    # cube adds the per-source-across-langs level
+    cube = rollup_stats(
+        df, ["lang", "source"], {"docs": "count(*)"}, cube=True
+    ).collect()
+    crows = {(r.lang, r.source, r.lvl): r.docs for r in cube}
+    assert crows[(None, "web", 2)] == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dims"):
+        rollup_stats(df, [], {"docs": "count(*)"})
+
+
 def test_simhash_mega_bucket_star_guard(spark):
     """200 identical docs: star_cap bounds per-bucket pair volume to
     O(n) (pairs with the bucket min only), and distinct docs survive
