@@ -843,6 +843,7 @@ _NEW_THIS_ROUND = [
     "dedup_against_near",
     "text_tfidf_top_terms",
     "profile_rollup",
+    "sources_warc_read",
 ]
 
 # most recent driver row is from rounds 1-2 (behind round 3's window)

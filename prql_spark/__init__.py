@@ -19,10 +19,21 @@ __all__ = [
     "PrqlCompileError",
     "PrqlParseError",
     "build_spark",
+    "compile",
     "compile_prql",
     "parse",
     "to_sql",
 ]
+
+
+def compile(text: str, catalog: "Catalog", dialect: str = "spark") -> str:
+    """PRQL → SQL text — the reference's embedding-API surface
+    (prql-python exposes ``compile(prql) -> sql``; see
+    prql-python/src/lib.rs). Unlike the reference we resolve against
+    a catalog, so the emitted SQL carries explicit column lists and
+    validated names instead of star-expansion left to the target
+    engine. ``compile_prql`` is the DataFrame-returning sibling."""
+    return to_sql(text, catalog, dialect=dialect)
 
 
 def explain(text: str, catalog: "Catalog", mode: str = "formatted") -> str:

@@ -2022,6 +2022,81 @@ ORDER BY lvl, lang, source
 """
 
 
+def q_warc_read(spark, sf_dir):
+    """WARC ingestion value-oracled: deterministic planted WARC
+    shards (plain + gzip member-concatenated + a truncated tail that
+    must be dropped) written to scratch, parsed by read_warc, bridged
+    to documents via warc_to_documents. The oracle is the expected
+    records as VALUES."""
+    import gzip
+    import hashlib
+    import os
+    import tempfile
+
+    from prql_spark.sources import io as pio
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "prql_spark_warc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    os.makedirs(d, exist_ok=True)
+
+    def rec(wtype, uri, body, crlf=True):
+        nl = "\r\n" if crlf else "\n"
+        h = (
+            f"WARC/1.0{nl}WARC-Type: {wtype}{nl}"
+            + (f"WARC-Target-URI: {uri}{nl}" if uri else "")
+            + f"WARC-Date: 2024-01-01T00:00:00Z{nl}"
+            f"Content-Length: {len(body)}{nl}{nl}"
+        )
+        return h.encode() + body + (nl + nl).encode()
+
+    with open(os.path.join(d, "s0.warc"), "wb") as f:
+        f.write(
+            rec("warcinfo", None, b"software: planted")
+            + rec("response", "http://ex.test/a",
+                  b"HTTP/1.1 200 OK\r\n\r\n<html>alpha page</html>")
+            + rec("conversion", "http://ex.test/a", b"alpha page text",
+                  crlf=False)
+        )
+    with open(os.path.join(d, "s1.warc.gz"), "wb") as f:
+        f.write(
+            gzip.compress(
+                rec("conversion", "http://ex.test/b", b"beta text body")
+            )
+            + gzip.compress(
+                rec("response", "http://ex.test/c",
+                    b"HTTP/1.1 200 OK\r\n\r\n<p>gamma</p>")
+            )
+        )
+    trunc = rec("response", "http://ex.test/d", b"will be truncated")
+    with open(os.path.join(d, "s2.warc"), "wb") as f:
+        f.write(trunc[: len(trunc) - 25])
+
+    docs = pio.warc_to_documents(pio.read_warc(spark, str(d)))
+    return docs.select(
+        F.expr("element_at(split(doc_id, '/'), -1)").alias("rec_key"),
+        "url",
+        "text",
+        F.expr("length(text)").alias("n_chars"),
+    ).orderBy("rec_key")
+
+
+SQL_WARC_READ = """
+SELECT * FROM (VALUES
+  ('s0.warc#107', 'http://ex.test/a', '<html>alpha page</html>',
+   CAST(23 AS INTEGER)),
+  ('s0.warc#274', 'http://ex.test/a', 'alpha page text',
+   CAST(15 AS INTEGER)),
+  ('s1.warc.gz#0', 'http://ex.test/b', 'beta text body',
+   CAST(14 AS INTEGER)),
+  ('s1.warc.gz#141', 'http://ex.test/c', '<p>gamma</p>',
+   CAST(12 AS INTEGER))
+) AS t(rec_key, url, text, n_chars)
+ORDER BY rec_key
+"""
+
+
 def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -2080,6 +2155,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_near": q_dedup_against_near,
         "text_tfidf_top_terms": q_tfidf_top_terms,
         "profile_rollup": q_rollup_stats,
+        "sources_warc_read": q_warc_read,
     }
 
 
@@ -2115,6 +2191,7 @@ def entry_oracles() -> dict[str, str]:
         "dedup_against_near": _sql_dedup_against_near(),
         "text_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "profile_rollup": SQL_ROLLUP_STATS,
+        "sources_warc_read": SQL_WARC_READ,
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
         "asof_forward_tolerance": SQL_ASOF_FORWARD,

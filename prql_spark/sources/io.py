@@ -171,3 +171,139 @@ def read_text_files(
         F.col("_metadata.file_path").alias("doc_path"),
         F.col("value").alias("text"),
     )
+
+
+WARC_SCHEMA = (
+    "file_path string, record_offset long, warc_type string, "
+    "target_uri string, warc_date string, content_type string, "
+    "payload binary"
+)
+
+
+def _split_warc_records(blob: bytes):
+    """Yield (offset, header_dict, payload_bytes) per WARC record.
+
+    Parses the WARC/1.0|1.1 framing: header block terminated by
+    CRLFCRLF, payload of Content-Length bytes, records separated by
+    two CRLFs. Tolerates bare-LF writers. Malformed tails stop the
+    scan (partial records are dropped, never mis-sliced)."""
+    pos, n = 0, len(blob)
+    while pos < n:
+        # skip inter-record blank lines
+        while pos < n and blob[pos : pos + 2] in (b"\r\n", b"\n\n"):
+            pos += 2 if blob[pos : pos + 2] == b"\r\n" else 1
+        while pos < n and blob[pos : pos + 1] == b"\n":
+            pos += 1
+        if not blob[pos : pos + 5] == b"WARC/":
+            return
+        hdr_end = blob.find(b"\r\n\r\n", pos)
+        sep = 4
+        lf_end = blob.find(b"\n\n", pos)
+        if hdr_end < 0 or (0 <= lf_end < hdr_end):
+            hdr_end, sep = lf_end, 2
+        if hdr_end < 0:
+            return
+        headers = {}
+        for line in blob[pos:hdr_end].split(b"\n")[1:]:
+            line = line.strip(b"\r")
+            if b":" in line:
+                k, _, v = line.partition(b":")
+                headers[k.strip().lower().decode("latin-1")] = (
+                    v.strip().decode("latin-1", "replace")
+                )
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        body_start = hdr_end + sep
+        if body_start + length > n:
+            return
+        yield pos, headers, blob[body_start : body_start + length]
+        pos = body_start + length
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    record_types: tuple[str, ...] = ("response", "conversion"),
+) -> DataFrame:
+    """WARC ingestion — the web-crawl interchange format every
+    large-scale text corpus starts from (Common Crawl ships WARC/WET;
+    WET files are WARC framing with ``conversion`` records).
+
+    Files are read on the EXECUTORS via the ``binaryFile`` source
+    (one task per file — exactly how WARC shards parallelize: they
+    are not splittable mid-record), whole-file gzip members are
+    inflated with the stdlib (record-level gzip concatenation, the
+    Common Crawl layout, decodes the same way — gzip members
+    concatenate), and the record framing is parsed in an
+    Arrow-batched mapInPandas. One output row per record of a kept
+    ``record_type``; ``payload`` stays raw bytes for the caller's
+    decode step (html→text, charset detection).
+    """
+    import gzip
+
+    import pandas as pd
+
+    files = read_binary_files(spark, path, glob=glob)
+
+    def parse(batches):
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "file_path", "record_offset", "warc_type", "target_uri",
+                "warc_date", "content_type", "payload",
+            )}
+            for fp, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if data[:2] == b"\x1f\x8b":
+                    try:
+                        data = gzip.decompress(data)
+                    except OSError:
+                        continue
+                for off, hdr, payload in _split_warc_records(data):
+                    wtype = hdr.get("warc-type", "")
+                    if record_types and wtype not in record_types:
+                        continue
+                    rows["file_path"].append(fp)
+                    rows["record_offset"].append(off)
+                    rows["warc_type"].append(wtype)
+                    rows["target_uri"].append(
+                        hdr.get("warc-target-uri")
+                    )
+                    rows["warc_date"].append(hdr.get("warc-date"))
+                    rows["content_type"].append(hdr.get("content-type"))
+                    rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+
+
+def warc_to_documents(warc: DataFrame) -> DataFrame:
+    """Bridge parsed WARC records into the ``documents`` shape:
+    (doc_id, url, text). JVM-side only — utf-8 decode (malformed
+    bytes replaced) and, for ``response`` records whose payload is a
+    full HTTP message, the header block stripped at the first blank
+    line. doc_id = file_path#offset, the standard stable WARC record
+    key. Feed the result to strip_boilerplate / quality_score /
+    dedup — i.e. ``prepare_training_corpus`` starts from here on a
+    raw crawl."""
+    from pyspark.sql import functions as F
+
+    return (
+        warc.withColumn("__t", F.expr("decode(payload, 'UTF-8')"))
+        .withColumn(
+            "__p",
+            F.expr(
+                "CASE WHEN warc_type = 'response' AND __t LIKE 'HTTP/%' "
+                "THEN locate('\\r\\n\\r\\n', __t) ELSE 0 END"
+            ),
+        )
+        .select(
+            F.expr("concat(file_path, '#', record_offset)").alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.expr("IF(__p > 0, substring(__t, __p + 4), __t)").alias(
+                "text"
+            ),
+        )
+    )

@@ -210,3 +210,84 @@ def test_read_text_files_linesep(spark, tmp_path):
         for r in pio.read_text_files(spark, str(d), line_sep="|").collect()
     }
     assert rows == {"alpha", "beta", "gamma"}
+
+
+def _warc_record(wtype, uri, body, crlf=True, extra=""):
+    nl = "\r\n" if crlf else "\n"
+    hdr = (
+        f"WARC/1.0{nl}"
+        f"WARC-Type: {wtype}{nl}"
+        + (f"WARC-Target-URI: {uri}{nl}" if uri else "")
+        + f"WARC-Date: 2024-01-01T00:00:00Z{nl}"
+        + extra
+        + f"Content-Length: {len(body)}{nl}{nl}"
+    )
+    return hdr.encode() + body + (nl + nl).encode()
+
+
+def test_read_warc(spark, tmp_path):
+    import gzip
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    # plain WARC: warcinfo (skipped) + response + conversion; one
+    # bare-LF record in the middle
+    blob = (
+        _warc_record("warcinfo", None, b"software: test")
+        + _warc_record("response", "http://a.example/x",
+                       b"HTTP/1.1 200 OK\r\n\r\n<html>A</html>",
+                       extra="Content-Type: application/http\r\n")
+        + _warc_record("conversion", "http://a.example/x",
+                       b"plain text A", crlf=False)
+    )
+    (d / "shard0.warc").write_bytes(blob)
+    # gzip member-concatenated shard (the Common Crawl layout)
+    gz = gzip.compress(
+        _warc_record("response", "http://b.example/y", b"<html>B</html>")
+    ) + gzip.compress(
+        _warc_record("conversion", "http://b.example/y", b"plain text B")
+    )
+    (d / "shard1.warc.gz").write_bytes(gz)
+    # truncated record must be dropped, not mis-sliced
+    trunc = _warc_record("response", "http://c.example/z", b"full body")
+    (d / "shard2.warc").write_bytes(trunc[: len(trunc) - 18])
+
+    out = pio.read_warc(spark, str(d)).collect()
+    by_uri = {}
+    for r in out:
+        by_uri.setdefault(r.target_uri, []).append(r)
+    assert set(by_uri) == {"http://a.example/x", "http://b.example/y"}
+    types_a = {r.warc_type for r in by_uri["http://a.example/x"]}
+    assert types_a == {"response", "conversion"}
+    conv_a = next(r for r in by_uri["http://a.example/x"]
+                  if r.warc_type == "conversion")
+    assert bytes(conv_a.payload) == b"plain text A"
+    assert bytes(
+        next(r for r in by_uri["http://b.example/y"]
+             if r.warc_type == "response").payload
+    ) == b"<html>B</html>"
+    # record_types filter
+    only_conv = pio.read_warc(
+        spark, str(d), record_types=("conversion",)
+    ).collect()
+    assert {r.warc_type for r in only_conv} == {"conversion"}
+    assert all(r.record_offset >= 0 for r in out)
+
+
+def test_warc_to_documents(spark, tmp_path):
+    d = tmp_path / "warc2"
+    d.mkdir()
+    (d / "s.warc").write_bytes(
+        _warc_record("response", "http://a.example/p",
+                     b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                     b"<html>hello</html>")
+        + _warc_record("conversion", "http://a.example/p", b"hello text")
+    )
+    docs = pio.warc_to_documents(pio.read_warc(spark, str(d))).collect()
+    by_url = {}
+    for r in docs:
+        by_url.setdefault(r.url, []).append(r)
+    texts = {r.text for r in by_url["http://a.example/p"]}
+    # response: HTTP headers stripped; conversion: verbatim
+    assert texts == {"<html>hello</html>", "hello text"}
+    assert all("#" in r.doc_id for r in docs)

@@ -101,6 +101,18 @@ def test_dialect_aliases_cover_reference_enum(catalog, oracle):
     assert "'O''NEIL'" in to_sql(pq, catalog, dialect="postgres")
 
 
+def test_compile_alias_matches_reference_embedding_api(catalog):
+    """prql_spark.compile(text, catalog[, dialect]) — the
+    prql-python-named entry point — is to_sql verbatim."""
+    import prql_spark
+
+    prql = "from orders\ntake 3"
+    assert prql_spark.compile(prql, catalog) == to_sql(prql, catalog)
+    assert prql_spark.compile(prql, catalog, dialect="postgres") == to_sql(
+        prql, catalog, dialect="postgres"
+    )
+
+
 def test_generated_oracles_fresh(catalog):
     """prql_spark/_gen_oracles.py must match what gen_oracles.py
     would emit today — fails when a PRQL entry changes without
