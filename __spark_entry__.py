@@ -844,6 +844,7 @@ _NEW_THIS_ROUND = [
     "text_tfidf_top_terms",
     "profile_rollup",
     "sources_warc_read",
+    "splits_rebalance_mix",
 ]
 
 # most recent driver row is from rounds 1-2 (behind round 3's window)

@@ -2097,6 +2097,51 @@ ORDER BY rec_key
 """
 
 
+_MIX_TARGETS = {"en": 0.5, "de": 0.2, "fr": 0.2, "es": 0.1}
+
+
+def q_rebalance_mix(spark, sf_dir):
+    """Static source-mix rebalancing: downsample the over-represented
+    languages so the output matches the 50/20/20/10 target mix at the
+    largest downsample-only size."""
+    out = splits.rebalance_to_mix(
+        _docs(spark, sf_dir), "lang", _MIX_TARGETS, key_col="doc_id"
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _sql_rebalance_mix() -> str:
+    """Replays the whole rebalance: per-lang counts → scale = min
+    count/share → keep fractions → the 4-hex-digit md5 cut
+    (mix_fractions' float arithmetic mirrored op-for-op; shares are
+    precomputed Python literals, exactly as the engine derives
+    them)."""
+    total = sum(_MIX_TARGETS.values())
+    shares = {k: v / total for k, v in _MIX_TARGETS.items()}
+    share_case = " ".join(
+        f"WHEN '{k}' THEN {s!r}" for k, s in shares.items()
+    )
+    return f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+s AS (SELECT lang, n,
+        CASE lang {share_case} ELSE NULL END AS share FROM c),
+sc AS (SELECT min(n / share) AS scale FROM s
+       WHERE share IS NOT NULL AND share > 0),
+f AS (SELECT lang, least(1.0, (share * scale) / n) AS frac
+      FROM s, sc WHERE share IS NOT NULL AND n > 0),
+cuts AS (SELECT lang,
+  CASE WHEN frac >= 1.0 THEN 'g'
+       ELSE lower(lpad(to_hex(greatest(
+              CAST(trunc(frac * 65536) AS INTEGER), 0)), 4, '0'))
+  END AS cut FROM f)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN cuts ON cuts.lang = d.lang
+WHERE substr(md5(concat('', d.lang, '#',
+        CAST(d.doc_id AS VARCHAR))), 1, 4) < cut
+ORDER BY d.doc_id
+"""
+
+
 def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -2156,6 +2201,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": q_tfidf_top_terms,
         "profile_rollup": q_rollup_stats,
         "sources_warc_read": q_warc_read,
+        "splits_rebalance_mix": q_rebalance_mix,
     }
 
 
@@ -2192,6 +2238,7 @@ def entry_oracles() -> dict[str, str]:
         "text_tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
         "profile_rollup": SQL_ROLLUP_STATS,
         "sources_warc_read": SQL_WARC_READ,
+        "splits_rebalance_mix": _sql_rebalance_mix(),
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
         "asof_forward_tolerance": SQL_ASOF_FORWARD,

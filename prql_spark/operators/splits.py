@@ -163,3 +163,58 @@ def stratified_sample_by_hash(
             f"{branches} ELSE {h} < '{_cut(default_fraction)}' END"
         )
     )
+
+
+def mix_fractions(
+    counts: dict[str, int], targets: dict[str, float]
+) -> dict[str, float]:
+    """Per-stratum keep fractions that reach the target mix by
+    DOWNSAMPLING ONLY, at the largest total the targets allow:
+    scale = min over strata of count_s / share_s, keep_s =
+    share_s × scale / count_s. Driver-side arithmetic over the tiny
+    per-stratum count dict (the deterministic piece an oracle can
+    replay). Strata missing from ``targets`` get fraction 0; a
+    target stratum missing from the corpus is ignored."""
+    total_share = sum(targets.values())
+    if total_share <= 0:
+        raise ValueError("mix_fractions: target shares sum to 0")
+    shares = {k: v / total_share for k, v in targets.items()}
+    scale = min(
+        counts[k] / s for k, s in shares.items() if s > 0 and k in counts
+    )
+    return {
+        k: min(1.0, (shares[k] * scale) / counts[k])
+        for k in shares
+        if k in counts and counts[k] > 0
+    }
+
+
+def rebalance_to_mix(
+    df: DataFrame,
+    strata_col: str,
+    targets: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Rebalance the corpus to a target domain mix (the static
+    source-mixing step of training-data pipelines — pick web/books/
+    code proportions, then downsample the over-represented domains;
+    cf. the mixture-weight literature, e.g. DoReMi, Xie et al. 2023,
+    which LEARNS the target weights this operator then applies).
+
+    One tiny per-stratum count aggregate (map-side combined, result
+    is #domains rows on the driver) derives the keep fractions
+    (:func:`mix_fractions`), and the cut itself is the deterministic
+    stratified hash filter — a narrow map, corpus never shuffled.
+    Strata not in ``targets`` are dropped.
+    """
+    rows = (
+        df.groupBy(F.col(strata_col).cast("string").alias("__s"))
+        .count()
+        .collect()
+    )
+    counts = {r["__s"]: r["count"] for r in rows if r["__s"] is not None}
+    fracs = mix_fractions(counts, targets)
+    return stratified_sample_by_hash(
+        df, key_col, strata_col, fracs, default_fraction=0.0, salt=salt
+    )

@@ -748,6 +748,42 @@ def test_profile_decimal_and_date(spark):
     assert out["d"].max_str == "2024-01-10"
 
 
+def test_rebalance_to_mix(spark):
+    from pyspark.sql import Row
+
+    from prql_spark.operators.splits import mix_fractions, rebalance_to_mix
+
+    # planted skewed corpus: 800 web / 150 books / 50 code
+    rows = (
+        [Row(doc_id=i, domain="web") for i in range(800)]
+        + [Row(doc_id=1000 + i, domain="books") for i in range(150)]
+        + [Row(doc_id=2000 + i, domain="code") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows)
+    targets = {"web": 0.5, "books": 0.3, "code": 0.2}
+    # code is the binding stratum: scale = 50/0.2 = 250 → expect
+    # ~125 web, ~75 books, all 50 code
+    fr = mix_fractions({"web": 800, "books": 150, "code": 50}, targets)
+    assert fr["code"] == 1.0
+    assert abs(fr["web"] - 125 / 800) < 1e-12
+    out = rebalance_to_mix(df, "domain", targets, key_col="doc_id")
+    got = {r.domain: 0 for r in []}
+    for r in out.collect():
+        got[r.domain] = got.get(r.domain, 0) + 1
+    assert got["code"] == 50
+    # hash sampling is approximate: within ±30% of the target counts
+    assert abs(got["web"] - 125) < 40 and abs(got["books"] - 75) < 25
+    # deterministic across runs
+    again = {tuple(r) for r in rebalance_to_mix(
+        df, "domain", targets, key_col="doc_id").collect()}
+    assert again == {tuple(r) for r in out.collect()}
+    # a stratum absent from targets is dropped
+    t2 = rebalance_to_mix(
+        df, "domain", {"web": 1.0}, key_col="doc_id"
+    ).select("domain").distinct().collect()
+    assert {r.domain for r in t2} == {"web"}
+
+
 def test_rollup_stats_planted(spark):
     from pyspark.sql import Row
 
