@@ -2,10 +2,16 @@
 individual operators exist for.
 
     raw text/parquet
-      → strip boilerplate → quality + Gopher + repetition + LM filters
-      → exact dedup → minhash near-dup clusters → keep one per cluster
+      → strip boilerplate → exact dedup
+      → quality + Gopher + repetition + LM filters
+      → minhash near-dup clusters → keep one per cluster
       → deterministic train/val/test split → sequence packing
       → JSONL (or parquet) shards
+
+    (exact dedup runs BEFORE scoring: exact duplicates share
+    text_clean, so every filter decides identically per class — the
+    surviving set is unchanged while the regex-heavy scoring skips
+    the duplicate mass)
 
 Every stage is one of the repo's oracled operators; the composition
 stays fully lazy until the final write, so Catalyst sees ONE plan per
@@ -30,8 +36,8 @@ class CorpusStats:
     count is an extra job over the cached stage — off by default)."""
 
     input_rows: int | None = None
-    after_quality: int | None = None
-    after_dedup: int | None = None
+    after_quality: int | None = None  # post exact-dedup + filters
+    after_dedup: int | None = None    # post cluster (near-dup) dedup
     extras: dict = field(default_factory=dict)
 
 
@@ -68,9 +74,17 @@ def prepare_training_corpus(
     if collect_stats:
         stats.input_rows = docs.count()
 
-    # -- clean + score (narrow maps, fuse over one scan)
+    # -- clean, then EXACT-dedup before scoring: exact duplicates
+    # share text_clean byte-for-byte, so every score/flag/filter
+    # decides identically for the whole class — scoring after the
+    # dedup is semantically equivalent (same surviving set) and skips
+    # the regex-heavy scoring for the duplicate mass entirely (78% of
+    # the 500k adversarial corpus). The unigram vocabulary still
+    # counts the PRE-dedup corpus (LM statistics weight text by its
+    # observed frequency, the CCNet convention).
     cleaned = splits.strip_boilerplate(docs, text_col)
-    scored = text.quality_score(cleaned, "text_clean")
+    exact = dedup.dedup_exact(cleaned, "text_clean", id_col)
+    scored = text.quality_score(exact, "text_clean")
     scored = text.lang_id(scored, "text_clean")
     scored = text.gopher_quality_flags(scored, "text_clean")
     scored = text.repetition_flags(scored, "text_clean", id_col)
@@ -89,15 +103,12 @@ def prepare_training_corpus(
     if collect_stats:
         stats.after_quality = filtered.count()
 
-    # -- dedup: exact first (collapses the duplicate classes that
-    # would otherwise bloat minhash buckets), then cluster-granular
-    # near-dup removal
-    exact = dedup.dedup_exact(filtered, "text_clean", id_col)
-    sigs = dedup.minhash_signatures(exact, "text_clean", id_col)
+    # -- near-dup removal at cluster granularity
+    sigs = dedup.minhash_signatures(filtered, "text_clean", id_col)
     pairs = dedup.minhash_lsh_pairs(
         sigs, id_col, threshold=minhash_threshold, star_cap=star_cap
     )
-    deduped = graph.dedup_by_clusters(exact, pairs, id_col)
+    deduped = graph.dedup_by_clusters(filtered, pairs, id_col)
     if collect_stats:
         deduped = deduped.localCheckpoint(eager=True)
         stats.after_dedup = deduped.count()
