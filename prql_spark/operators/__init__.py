@@ -1029,13 +1029,17 @@ FROM events GROUP BY event_type ORDER BY event_type
 # (strip → score → lang-id → filter → dedup), all narrow maps except
 # dedup's single hash-key exchange. This is the 100 TB shape: one
 # scan, one shuffle.
+# dedup_exact runs BEFORE scoring: exact duplicates share text_clean
+# so quality/lang decide identically per class — the surviving SET is
+# unchanged (the oracle, which filters then dedups, stays valid) and
+# the regex-heavy scoring skips the duplicate mass
 DOCS_PIPELINE_PRQL = """
 from documents
 strip_boilerplate
+dedup_exact text_col:text_clean
 quality_score text_col:text_clean
 lang_id text_col:text_clean
 filter quality > 0.45 and lang_guess == "en"
-dedup_exact text_col:text_clean
 select [doc_id, lang_guess, quality, n_words]
 sort [doc_id]
 """
