@@ -17,9 +17,11 @@ import sys
 def _maybe_lint(df, args) -> None:
     if not args.lint:
         return
-    from prql_spark.plans.lint import lint_broadcast_misses
+    from prql_spark.plans.lint import lint_broadcast_misses, lint_python_udfs
 
-    for msg in lint_broadcast_misses(df, warn=False):
+    for msg in lint_broadcast_misses(df, warn=False) + lint_python_udfs(
+        df, warn=False
+    ):
         print(f"lint: {msg}", file=sys.stderr)
 
 

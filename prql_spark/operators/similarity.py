@@ -548,6 +548,142 @@ def semdedup(
     return df.join(losers, id_col, "left_anti")
 
 
+def super_quantize(
+    centroids: list[list[float]],
+    n_super: int | None = None,
+    iters: int = 5,
+    seed: int = 42,
+) -> tuple[list[list[float]], list[int]]:
+    """Cluster the CENTROIDS themselves (driver-side numpy Lloyd's,
+    unit-normalized cosine) into ~√L superclusters — the coarse level
+    of a two-level quantizer. Returns (super_centroids,
+    super_of_list) where super_of_list[i] is list i's supercluster."""
+    import math
+
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(c, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cn = c / norms
+    L = len(centroids)
+    k = n_super or max(2, int(math.isqrt(L)))
+    k = min(k, L)
+    rng = np.random.default_rng(seed)
+    sup = cn[rng.choice(L, size=k, replace=False)]
+    for _ in range(iters):
+        assign = (cn @ sup.T).argmax(axis=1)
+        for j in range(k):
+            members = cn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m) or 1.0
+                sup[j] = m / n
+    assign = (cn @ sup.T).argmax(axis=1)
+    return [list(map(float, row)) for row in sup], [int(a) for a in assign]
+
+
+def assign_lists_hier(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe_super: int = 4,
+    out_col: str = "list_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Two-level (hierarchical) coarse-quantizer ASSIGNMENT — the
+    scale path past the flat broadcast-frame argmax: flat assignment
+    costs n × L cosine folds, which at L = 100k lists (the SemDeDup
+    paper's LAION sizing) is 10⁴× the corpus scan. Here each vector
+    scores the ~√L SUPERCLUSTERS (one broadcast frame), probes its
+    ``nprobe_super`` best, and argmaxes only the centroids inside
+    those — n × (√L + nprobe_super·√L) folds, an ~L/(√L·(p+1))
+    speedup that GROWS with L.
+
+    MEASURED at 200k×64-dim vectors (beware dead-code-eliminated
+    benchmarks: a ``count()`` drain lets Catalyst prune the whole
+    argmax — force the assigned values): L=2000 → flat 486 s, hier
+    82 s (5.9×); at L=8000 the flat path did not finish in 10
+    minutes. Below L ≈ a few hundred the flat path's map-side
+    partial max wins (hier pays two joins + a probe exchange) — keep
+    flat for pretrained small quantizers, switch here when n_lists
+    is occupancy-sized for a large corpus.
+
+    APPROXIMATE by construction: the true nearest centroid can live
+    in an unprobed supercluster. Agreement vs the exact argmax is
+    pinned in tests (≥98% at nprobe_super=6 on UNstructured random
+    embeddings — the worst case; clustered real corpora agree higher
+    at lower probes, 97.3% at 4 probes here). Oracled entries keep
+    the exact path (results must be bit-reproducible); this is the
+    opt-in for corpus-sized quantizers.
+
+    Returns (id, vec, out_col); ties and rounding follow the exact
+    path's contract (round-9 cosine, ties to larger index).
+    """
+    spark = df.sparkSession
+    sup, super_of = super_quantize(centroids, seed=seed)
+    cn = unit_normalize(centroids)
+    sup_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(sup)], "si int, sc array<double>"
+    )
+    cents_df = spark.createDataFrame(
+        [(super_of[i], i, c) for i, c in enumerate(cn)],
+        "si int, i int, c array<double>",
+    )
+    # stage 1: per-vector top-p superclusters (broadcast ~√L rows).
+    # The probe exchange carries NO vectors — only (id, (cos, si))
+    # structs (a first formulation that exploded the vector per super
+    # shuffled n×√L×dim doubles and lost to the flat path outright;
+    # slim probes shuffle n×√L×16 bytes). A hash aggregate with a
+    # per-group array sort, not a window (the window's full sort of
+    # the exploded rows measured ~2× this stage).
+    probes = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(sup_df))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"named_struct('cos', round({cosine_expr(vec_col, 'sc')}, 9), "
+                f"'si', si)"
+            ).alias("__ss"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                f"transform(slice(reverse(array_sort(collect_list(__ss))), "
+                f"1, {nprobe_super}), s -> s.si)"
+            ).alias("__top")
+        )
+    )
+    # stage 2: vectors join their probe list ONCE (the corpus
+    # exchanges by id exactly one time), explode the p probes, argmax
+    # over the probed superclusters' centroids via the broadcast
+    # frame. The final groupBy reuses the join's id-partitioning —
+    # no further exchange; max() partial-aggregates map-side.
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .join(probes, id_col)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(F.col("__top")).alias("si"),
+        )
+        .join(F.broadcast(cents_df), "si")
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.expr(
+                f"named_struct('cos', round({cosine_expr(vec_col, 'c')}, 9), "
+                f"'i', i)"
+            ).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("__s").alias("__m"), F.first(vec_col).alias(vec_col))
+        .select(id_col, vec_col, F.col("__m.i").alias(out_col))
+    )
+
+
 def occupancy_lists(
     n_vectors: int, target_cluster: int = 1000, lo: int = 8,
     hi: int = 1 << 17,

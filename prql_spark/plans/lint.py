@@ -102,3 +102,27 @@ def lint_broadcast_misses(
         for msg in findings:
             warnings.warn(msg, PrqlPlanWarning, stacklevel=2)
     return findings
+
+
+def lint_python_udfs(df: DataFrame, warn: bool = True) -> list[str]:
+    """Flag ROW-AT-A-TIME Python evaluation in the physical plan
+    (`BatchEvalPython` — plain @udf): 10-100× slower than either
+    built-in expressions or Arrow-batched Pandas UDFs
+    (`ArrowEvalPython` / mapInPandas, which are the repo's only
+    sanctioned Python path and are NOT flagged). A user composing
+    their own @udf into a pipeline gets a loud pointer at the fix
+    before it ships to a 1000-executor cluster."""
+    findings: list[str] = []
+    plan = df._jdf.queryExecution().executedPlan()
+    for node in _walk(plan):
+        if node.nodeName() == "BatchEvalPython":
+            findings.append(
+                "BatchEvalPython in the plan: a row-at-a-time Python "
+                "UDF — rewrite as built-in pyspark.sql.functions "
+                "expressions or an Arrow-batched @pandas_udf "
+                "(10-100x on the hot path)"
+            )
+    if warn:
+        for msg in findings:
+            warnings.warn(msg, PrqlPlanWarning, stacklevel=2)
+    return findings

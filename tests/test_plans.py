@@ -284,3 +284,25 @@ def test_flag_filters_substitution_safe(catalog):
                 "O(n²) per row once an alias substitutes into it"
             )
             idx += 1
+
+
+def test_python_udf_lint(catalog, spark):
+    """Fires on a row-at-a-time @udf; silent on Arrow-batched Pandas
+    UDFs (the sanctioned Python path) and on the pure-JVM core."""
+    from pyspark.sql import functions as F
+
+    from prql_spark.plans.lint import lint_python_udfs
+
+    docs = catalog.load("documents")
+    slow = docs.select(
+        F.udf(lambda s: len(s) if s else 0, "int")(F.col("text")).alias("n")
+    )
+    found = lint_python_udfs(slow, warn=False)
+    assert found and "BatchEvalPython" in found[0]
+
+    fast = docs.select(
+        F.pandas_udf(lambda s: s.str.len(), "int")(F.col("text")).alias("n")
+    )
+    assert lint_python_udfs(fast, warn=False) == []
+    core = compile_prql("from orders\ntake 5", catalog)
+    assert lint_python_udfs(core, warn=False) == []
