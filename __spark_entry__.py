@@ -845,6 +845,7 @@ _NEW_THIS_ROUND = [
     "profile_rollup",
     "sources_warc_read",
     "splits_rebalance_mix",
+    "multimodal_wav_decode",
 ]
 
 # most recent driver row is from rounds 1-2 (behind round 3's window)

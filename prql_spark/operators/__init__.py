@@ -651,6 +651,45 @@ ORDER BY media_id
 """
 
 
+def q_multimodal_wav_decode(spark, sf_dir):
+    """The REAL audio codec path as driver-row evidence: planted PCM
+    WAV payloads (sine / stereo ramp / 8-bit constant / corrupt)
+    through WavCodec's actual signal statistics; VALUES oracle
+    computed offline."""
+    rows = [
+        (i, bytearray(p), mt)
+        for i, p, mt in multimodal.wav_planted_payloads()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media binary, media_type string"
+    )
+    out = multimodal.decode_features(media, multimodal.WavCodec())
+    return out.selectExpr(
+        "media_id", "width AS sample_rate", "height AS n_frames",
+        "features[0] AS duration_sec",
+        "features[1] AS rms",
+        "features[2] AS peak",
+        "features[3] AS zcr",
+    ).orderBy("media_id")
+
+
+SQL_MULTIMODAL_WAV = """
+SELECT media_id, CAST(sample_rate AS INTEGER) AS sample_rate,
+  CAST(n_frames AS INTEGER) AS n_frames,
+  CAST(duration_sec AS DOUBLE) AS duration_sec,
+  CAST(rms AS DOUBLE) AS rms,
+  CAST(peak AS DOUBLE) AS peak,
+  CAST(zcr AS DOUBLE) AS zcr
+FROM (VALUES
+  (CAST(1 AS BIGINT), 8000, 8000, 1.0, 0.353539, 0.5, 0.11989),
+  (CAST(2 AS BIGINT), 16000, 4000, 0.25, 0.288734, 0.5, 0.00025),
+  (CAST(3 AS BIGINT), 8000, 2000, 0.25, 0.25, 0.25, 0.0),
+  (CAST(4 AS BIGINT), 0, 0, 0.0, 0.0, 0.0, 0.0)
+) AS t(media_id, sample_rate, n_frames, duration_sec, rms, peak, zcr)
+ORDER BY media_id
+"""
+
+
 def _hexbyte_dd(h: str, i: int) -> str:
     """DuckDB: byte ``i`` of a lowercase hex digest as an integer."""
     a, b = 2 * i + 1, 2 * i + 2
@@ -2206,6 +2245,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_rollup": q_rollup_stats,
         "sources_warc_read": q_warc_read,
         "splits_rebalance_mix": q_rebalance_mix,
+        "multimodal_wav_decode": q_multimodal_wav_decode,
     }
 
 
@@ -2243,6 +2283,7 @@ def entry_oracles() -> dict[str, str]:
         "profile_rollup": SQL_ROLLUP_STATS,
         "sources_warc_read": SQL_WARC_READ,
         "splits_rebalance_mix": _sql_rebalance_mix(),
+        "multimodal_wav_decode": SQL_MULTIMODAL_WAV,
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
         "asof_forward_tolerance": SQL_ASOF_FORWARD,

@@ -259,6 +259,133 @@ class NetpbmCodec(MediaCodec):
         return b"%s\n%d %d\n%d\n" % (magic, nw, nh, maxval) + small.tobytes()
 
 
+class WavCodec(MediaCodec):
+    """REAL audio codec, zero external dependencies: decodes PCM WAV
+    payloads with the stdlib ``wave`` module + numpy.
+
+    decode → (sample_rate, n_frames, 8 features): duration seconds,
+    RMS, peak, zero-crossing rate, and per-quarter RMS over the first
+    channel — actual signal statistics. The (width, height) slots of
+    the codec contract carry (sample_rate, n_frames) for audio,
+    documented here (the schema is modality-agnostic by design).
+    ``resize_payload`` truncates to the first ``max_dim × 1000``
+    frames, RE-ENCODED as a valid WAV (header frame counts updated) —
+    the audio analogue of a downscale. Corrupt/non-PCM payloads
+    decode to the zero tuple, never raise mid-batch.
+    """
+
+    @staticmethod
+    def _parse(payload: bytes):
+        import io
+        import wave
+
+        import numpy as np
+
+        if payload is None or payload[:4] != b"RIFF":
+            return None
+        try:
+            with wave.open(io.BytesIO(payload)) as w:
+                ch, sw = w.getnchannels(), w.getsampwidth()
+                rate, n = w.getframerate(), w.getnframes()
+                raw = w.readframes(n)
+        except Exception:
+            return None
+        if sw == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif sw == 1:  # 8-bit WAV is unsigned
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                 - 128.0) / 128.0
+        else:
+            return None
+        n = len(x) // ch
+        if n == 0:
+            return None
+        return x.reshape(n, ch), rate
+
+    def decode(self, payload, media_type):
+        parsed = self._parse(payload)
+        if parsed is None:
+            return 0, 0, [0.0] * 8
+        import numpy as np
+
+        x, rate = parsed
+        mono = x[:, 0]
+        n = len(mono)
+        rms = float(np.sqrt(np.mean(mono**2)))
+        zc = float(np.mean(np.abs(np.diff(np.sign(mono))) > 0)) if n > 1 else 0.0
+        q = max(n // 4, 1)
+        quarters = [
+            float(np.sqrt(np.mean(mono[i * q : (i + 1) * q] ** 2)))
+            if len(mono[i * q : (i + 1) * q]) else 0.0
+            for i in range(4)
+        ]
+        feats = [n / rate, rms, float(np.max(np.abs(mono))), zc] + quarters
+        return rate, n, [round(f, 6) for f in feats]
+
+    def resize_payload(self, payload, max_dim):
+        import io
+        import wave
+
+        parsed = self._parse(payload)
+        if parsed is None:
+            return payload
+        x, rate = parsed
+        limit = max_dim * 1000
+        if len(x) <= limit:
+            return payload
+        import numpy as np
+
+        clipped = np.clip(x[:limit] * 32768.0, -32768, 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(x.shape[1])
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(clipped.tobytes())
+        return buf.getvalue()
+
+
+def wav_planted_payloads() -> list[tuple[int, bytes, str]]:
+    """Deterministic PCM WAV payloads for the value-oracled driver
+    entry: a 440 Hz sine, a stereo ramp, an 8-bit constant, and a
+    corrupt payload (decodes to zeros)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def enc(frames: "np.ndarray", rate: int, sampwidth: int = 2) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(frames.shape[1])
+            w.setsampwidth(sampwidth)
+            w.setframerate(rate)
+            if sampwidth == 2:
+                w.writeframes(
+                    np.clip(frames * 32768.0, -32768, 32767)
+                    .astype("<i2").tobytes()
+                )
+            else:
+                w.writeframes(
+                    (np.clip(frames, -1, 1) * 128.0 + 128.0)
+                    .clip(0, 255).astype(np.uint8).tobytes()
+                )
+        return buf.getvalue()
+
+    t = np.arange(8000) / 8000.0
+    sine = (0.5 * np.sin(2 * np.pi * 440 * t))[:, None]
+    ramp = np.stack([np.linspace(-0.5, 0.5, 4000),
+                     np.linspace(0.5, -0.5, 4000)], axis=1)
+    const = np.full((2000, 1), 0.25)
+    wav = "audio/wav"
+    return [
+        (1, enc(sine, 8000), wav),
+        (2, enc(ramp, 16000), wav),
+        (3, enc(const, 8000, sampwidth=1), wav),
+        (4, b"RIFFjunk-not-a-wav", wav),
+    ]
+
+
 def netpbm_planted_payloads() -> list[tuple[int, bytes, str]]:
     """Deterministic netpbm payloads for the value-oracled driver
     entry: the REAL decoder's pixel statistics on these are computed

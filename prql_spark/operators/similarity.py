@@ -388,6 +388,7 @@ def semdedup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     star_cap: int = 256,
+    hier_assign: bool = False,
 ) -> DataFrame:
     """Semantic near-dup pairs, k-means-blocked (SemDeDup shape —
     Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -466,25 +467,34 @@ def semdedup_pairs(
     # per-row interpretation of n_lists 64-element array literals —
     # 108s steady at sf0.1 for 64 lists; this join+agg shape is 2s.
     # Cost: one extra map-side-combined exchange on the id.
-    cents_df = df.sparkSession.createDataFrame(
-        [(i, c) for i, c in enumerate(cn)], "i int, c array<double>"
-    )
-    corpus = (
-        base.join(F.broadcast(cents_df))
-        .select(
-            F.col(id_col),
-            F.col("__vn"),
-            F.expr(
-                f"named_struct('cos', round({_dot('__vn', 'c')}, 9), "
-                f"'i', i)"
-            ).alias("__s"),
+    if hier_assign:
+        # corpus-sized quantizer: the two-level assignment (measured
+        # 5.9× at 2000 lists, the only tractable path past ~8000);
+        # approximate (≥98% agreement pinned in tests) — the oracled
+        # entry keeps the exact flat path below
+        corpus = assign_lists_hier(
+            base, cn, vec_col="__vn", id_col=id_col, out_col="list_id"
         )
-        .groupBy(id_col)
-        .agg(
-            F.max("__s").alias("__m"), F.first("__vn").alias("__vn")
+    else:
+        cents_df = df.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(cn)], "i int, c array<double>"
         )
-        .select(id_col, "__vn", F.col("__m.i").alias("list_id"))
-    )
+        corpus = (
+            base.join(F.broadcast(cents_df))
+            .select(
+                F.col(id_col),
+                F.col("__vn"),
+                F.expr(
+                    f"named_struct('cos', round({_dot('__vn', 'c')}, 9), "
+                    f"'i', i)"
+                ).alias("__s"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.max("__s").alias("__m"), F.first("__vn").alias("__vn")
+            )
+            .select(id_col, "__vn", F.col("__m.i").alias("list_id"))
+        )
     # Bucket-combine (the minhash/simhash shape), not a self-join:
     # ONE more exchange groups each cluster's (id, vn) members, and
     # pairs are generated inside the collected bucket. A self-join on
@@ -524,6 +534,7 @@ def semdedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     star_cap: int = 256,
+    hier_assign: bool | None = None,
 ) -> DataFrame:
     """Rows surviving semantic dedup: drop any vector that has a
     smaller-id within-cluster neighbor at cosine >= threshold (greedy
@@ -532,15 +543,25 @@ def semdedup(
     shards); ``centroids=None`` trains on the fly with
     ``n_lists=None`` sized from a corpus count via
     :func:`occupancy_lists` (n ≈ corpus/1k — mean cluster size, and
-    with it pair volume per reducer, stays ~constant at any scale)."""
+    with it pair volume per reducer, stays ~constant at any scale).
+
+    ``hier_assign=None`` (default) picks the assignment strategy by
+    quantizer size: past 1000 lists the flat argmax's n × n_lists
+    folds dominate (measured 486 s vs 82 s at 2000 lists, 200k
+    vectors) and the two-level :func:`assign_lists_hier` takes over
+    (approximate — ≥98% agreement pinned in tests). Force True/False
+    to override; the oracled entry's 64-list quantizer stays flat."""
     if centroids is None:
         if n_lists is None:
             n_lists = occupancy_lists(df.count())
         centroids = ivf_train_centroids(df, dim, n_lists, vec_col=vec_col,
                                         id_col=id_col)
+    if hier_assign is None:
+        hier_assign = len(centroids) > 1000
     losers = (
         semdedup_pairs(
-            df, dim, centroids, threshold, vec_col, id_col, star_cap
+            df, dim, centroids, threshold, vec_col, id_col, star_cap,
+            hier_assign=hier_assign,
         )
         .select(F.col("id_b").alias(id_col))
         .distinct()

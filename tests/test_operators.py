@@ -1100,6 +1100,25 @@ def test_hierarchical_assignment_agreement(spark, catalog):
     assert agree >= 0.98, f"agreement {agree:.3f}"
 
 
+def test_semdedup_hier_assign_drops_exact_dups(spark, catalog):
+    """hier_assign=True: identical vectors land in the same cluster
+    under ANY assignment, so planted exact dups must still drop."""
+    from prql_spark.operators.similarity import ivf_train_centroids, semdedup
+
+    base = catalog.load("embeddings").select("vec_id", "embedding").limit(150)
+    dup = base.where("vec_id < 4").selectExpr(
+        "vec_id + 900000 AS vec_id", "embedding"
+    )
+    cents = ivf_train_centroids(base, dim=64, n_lists=12, iters=1)
+    out = semdedup(
+        base.unionByName(dup), dim=64, centroids=cents,
+        threshold=0.9999, hier_assign=True,
+    )
+    ids = {r.vec_id for r in out.select("vec_id").collect()}
+    assert not {i for i in ids if i >= 900000}
+    assert len(ids) == 150
+
+
 def test_semdedup_auto_lists(spark, catalog):
     """centroids=None + n_lists=None derives the list count from the
     corpus (clamp floor on a tiny frame) and still dedups."""
@@ -1370,3 +1389,43 @@ def test_netpbm_codec_truncated_payload(spark):
     assert c.decode(b"P6\n100 100\n255\nxx", "x") == (0, 0, [0.0] * 8)
     assert c.decode(b"P6\n-3 7\n255\n", "x") == (0, 0, [0.0] * 8)
     assert c.resize_payload(b"P6\n9 9\n255\nxx", 4) == b"P6\n9 9\n255\nxx"
+
+
+def test_wav_codec_real_decode(spark):
+    """WavCodec is a REAL decoder: signal statistics verified against
+    numpy ground truth, truncating resize re-encodes a valid WAV."""
+    import numpy as np
+
+    from prql_spark.operators.multimodal import (
+        WavCodec,
+        decode_features,
+        wav_planted_payloads,
+    )
+
+    payloads = wav_planted_payloads()
+    media = spark.createDataFrame(
+        [(i, bytearray(p), mt) for i, p, mt in payloads],
+        "media_id long, media binary, media_type string",
+    )
+    out = {r.media_id: r
+           for r in decode_features(media, WavCodec()).collect()}
+    # sine: duration 1s @ 8 kHz; rms of 0.5·sin ≈ 0.5/√2 (quantized)
+    assert (out[1].width, out[1].height) == (8000, 8000)
+    assert out[1].features[0] == 1.0
+    assert abs(out[1].features[1] - 0.5 / np.sqrt(2)) < 1e-3
+    assert out[1].features[2] == 0.5        # peak
+    # stereo ramp decodes first channel; one zero crossing
+    assert (out[2].width, out[2].height) == (16000, 4000)
+    assert abs(out[2].features[3] - 1 / 4000) < 1e-6
+    # 8-bit constant: rms == peak == 0.25, zero crossings 0
+    assert out[3].features[1] == 0.25 and out[3].features[3] == 0.0
+    # corrupt payload → zero tuple, batch survives
+    assert (out[4].width, out[4].height) == (0, 0)
+
+    c = WavCodec()
+    _, sine, _ = payloads[0]
+    small = c.resize_payload(sine, 2)  # 2000 frames
+    rate, n, feats = c.decode(small, "audio/wav")
+    assert (rate, n) == (8000, 2000)
+    assert c.resize_payload(sine, 100) == sine  # no-op under limit
+    assert c.resize_payload(b"RIFFnot-a-wav", 1) == b"RIFFnot-a-wav"
