@@ -846,6 +846,7 @@ _NEW_THIS_ROUND = [
     "sources_warc_read",
     "splits_rebalance_mix",
     "multimodal_wav_decode",
+    "multimodal_y4m_decode",
 ]
 
 # most recent driver row is from rounds 1-2 (behind round 3's window)

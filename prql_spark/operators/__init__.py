@@ -690,6 +690,45 @@ ORDER BY media_id
 """
 
 
+def q_multimodal_y4m_decode(spark, sf_dir):
+    """The REAL video codec path as driver-row evidence: planted
+    YUV4MPEG2 payloads (luma ramp / constant / truncated / corrupt)
+    through Y4mCodec's actual frame statistics; VALUES oracle
+    computed offline."""
+    rows = [
+        (i, bytearray(p), mt)
+        for i, p, mt in multimodal.y4m_planted_payloads()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media binary, media_type string"
+    )
+    out = multimodal.decode_features(media, multimodal.Y4mCodec())
+    return out.selectExpr(
+        "media_id", "width", "height",
+        "features[0] AS n_video_frames",
+        "features[1] AS fps",
+        "features[2] AS luma_mean",
+        "features[7] AS motion",
+    ).orderBy("media_id")
+
+
+SQL_MULTIMODAL_Y4M = """
+SELECT media_id, CAST(width AS INTEGER) AS width,
+  CAST(height AS INTEGER) AS height,
+  CAST(n_video_frames AS DOUBLE) AS n_video_frames,
+  CAST(fps AS DOUBLE) AS fps,
+  CAST(luma_mean AS DOUBLE) AS luma_mean,
+  CAST(motion AS DOUBLE) AS motion
+FROM (VALUES
+  (CAST(1 AS BIGINT), 6, 4, 6.0, 25.0, 0.294118, 0.117647),
+  (CAST(2 AS BIGINT), 2, 2, 2.0, 30.0, 0.501961, 0.0),
+  (CAST(3 AS BIGINT), 6, 4, 5.0, 25.0, 0.235294, 0.117647),
+  (CAST(4 AS BIGINT), 0, 0, 0.0, 0.0, 0.0, 0.0)
+) AS t(media_id, width, height, n_video_frames, fps, luma_mean, motion)
+ORDER BY media_id
+"""
+
+
 def _hexbyte_dd(h: str, i: int) -> str:
     """DuckDB: byte ``i`` of a lowercase hex digest as an integer."""
     a, b = 2 * i + 1, 2 * i + 2
@@ -2246,6 +2285,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sources_warc_read": q_warc_read,
         "splits_rebalance_mix": q_rebalance_mix,
         "multimodal_wav_decode": q_multimodal_wav_decode,
+        "multimodal_y4m_decode": q_multimodal_y4m_decode,
     }
 
 
@@ -2284,6 +2324,7 @@ def entry_oracles() -> dict[str, str]:
         "sources_warc_read": SQL_WARC_READ,
         "splits_rebalance_mix": _sql_rebalance_mix(),
         "multimodal_wav_decode": SQL_MULTIMODAL_WAV,
+        "multimodal_y4m_decode": SQL_MULTIMODAL_Y4M,
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
         "asof_forward_tolerance": SQL_ASOF_FORWARD,

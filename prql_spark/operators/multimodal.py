@@ -345,6 +345,120 @@ class WavCodec(MediaCodec):
         return buf.getvalue()
 
 
+class Y4mCodec(MediaCodec):
+    """REAL video codec, zero external dependencies: decodes
+    YUV4MPEG2 (.y4m) payloads — the standard UNCOMPRESSED video
+    interchange format (plain-text stream header + per-frame raw
+    planes) — with numpy.
+
+    decode → (width, height, 8 features): frame count, fps, and luma
+    statistics (global mean/std + first/middle/last frame means, and
+    mean |frame-to-frame| luma delta — a motion proxy). Assumes the
+    default C420 chroma (frame size = 1.5·W·H bytes; C444/C422
+    headers adjust the plane size). ``resize_payload`` keeps every
+    k-th frame (temporal downsample) re-encoded as valid y4m —
+    the video analogue of the image downscale. Corrupt/truncated
+    payloads decode to the zero tuple, never raise mid-batch.
+    """
+
+    _CHROMA_NUM = {"C420": 3, "C422": 4, "C444": 6}  # ×(W·H)/2
+
+    @staticmethod
+    def _parse(payload: bytes):
+        import numpy as np
+
+        if payload is None or not payload.startswith(b"YUV4MPEG2"):
+            return None
+        hdr_end = payload.find(b"\n")
+        if hdr_end < 0:
+            return None
+        w = h = None
+        fps = 0.0
+        chroma = "C420"
+        for tok in payload[:hdr_end].split(b" ")[1:]:
+            t = tok.decode("latin-1", "replace")
+            try:
+                if t.startswith("W"):
+                    w = int(t[1:])
+                elif t.startswith("H"):
+                    h = int(t[1:])
+                elif t.startswith("F"):
+                    num, den = t[1:].split(":")
+                    fps = int(num) / int(den)
+                elif t.startswith("C"):
+                    chroma = t
+            except ValueError:
+                return None
+        if not w or not h or w <= 0 or h <= 0:
+            return None
+        num = Y4mCodec._CHROMA_NUM.get(chroma, 3)
+        fsize = w * h * num // 2
+        pos, n = hdr_end + 1, len(payload)
+        frames = []
+        while pos < n:
+            if not payload.startswith(b"FRAME", pos):
+                break
+            fh = payload.find(b"\n", pos)
+            if fh < 0 or fh + 1 + fsize > n:
+                break
+            # luma plane only (first W·H bytes of the frame)
+            frames.append(
+                np.frombuffer(payload, np.uint8, count=w * h, offset=fh + 1)
+            )
+            pos = fh + 1 + fsize
+        if not frames:
+            return None
+        return w, h, fps, frames, chroma, payload[: hdr_end + 1]
+
+    def decode(self, payload, media_type):
+        import numpy as np
+
+        parsed = self._parse(payload)
+        if parsed is None:
+            return 0, 0, [0.0] * 8
+        w, h, fps, frames, _, _ = parsed
+        lum = np.stack(frames).astype(np.float64) / 255.0
+        means = lum.mean(axis=(1,))
+        motion = (
+            float(np.mean(np.abs(np.diff(lum.mean(axis=1)))))
+            if len(frames) > 1 else 0.0
+        )
+        feats = [
+            float(len(frames)), fps, float(lum.mean()), float(lum.std()),
+            float(means[0]), float(means[len(frames) // 2]),
+            float(means[-1]), motion,
+        ]
+        return w, h, [round(f, 6) for f in feats]
+
+    def resize_payload(self, payload, max_dim):
+        parsed = self._parse(payload)
+        if parsed is None:
+            return payload
+        w, h, fps, frames, chroma, header = parsed
+        if len(frames) <= max_dim:
+            return payload
+        # temporal downsample: keep ceil(n/k) evenly-strided frames;
+        # re-slice the ORIGINAL payload (full frames incl. chroma)
+        import numpy as np
+
+        num = self._CHROMA_NUM.get(chroma, 3)
+        fsize = w * h * num // 2
+        stride = -(-len(frames) // max_dim)  # ceil
+        out = bytearray(header)
+        pos = len(header)
+        n = len(payload)
+        idx = 0
+        while pos < n and payload.startswith(b"FRAME", pos):
+            fh = payload.find(b"\n", pos)
+            if fh < 0 or fh + 1 + fsize > n:
+                break
+            if idx % stride == 0:
+                out += payload[pos : fh + 1 + fsize]
+            pos = fh + 1 + fsize
+            idx += 1
+        return bytes(out)
+
+
 def wav_planted_payloads() -> list[tuple[int, bytes, str]]:
     """Deterministic PCM WAV payloads for the value-oracled driver
     entry: a 440 Hz sine, a stereo ramp, an 8-bit constant, and a
@@ -383,6 +497,33 @@ def wav_planted_payloads() -> list[tuple[int, bytes, str]]:
         (2, enc(ramp, 16000), wav),
         (3, enc(const, 8000, sampwidth=1), wav),
         (4, b"RIFFjunk-not-a-wav", wav),
+    ]
+
+
+def y4m_planted_payloads() -> list[tuple[int, bytes, str]]:
+    """Deterministic Y4M payloads for the value-oracled driver entry:
+    a 6-frame luma ramp, a 2-frame constant, a truncated stream
+    (decodes only the complete frames), and a corrupt payload."""
+    import numpy as np
+
+    def enc(w, h, frames, fps=(25, 1)):
+        hdr = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} C420\n".encode()
+        out = bytearray(hdr)
+        for f in frames:
+            out += b"FRAME\n"
+            out += f.astype(np.uint8).tobytes()
+            out += bytes(w * h // 2)  # flat chroma planes (C420)
+        return bytes(out)
+
+    ramp = [np.full((4, 6), 30 * i, dtype=np.uint8) for i in range(6)]
+    const = [np.full((2, 2), 128, dtype=np.uint8)] * 2
+    full = enc(6, 4, ramp)
+    y4m = "video/x-y4m"
+    return [
+        (1, full, y4m),
+        (2, enc(2, 2, const, fps=(30, 1)), y4m),
+        (3, full[: len(full) - 10], y4m),  # truncated last frame
+        (4, b"YUV4MPEG2 Wbogus\nFRAME\n", y4m),
     ]
 
 

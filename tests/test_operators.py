@@ -1429,3 +1429,45 @@ def test_wav_codec_real_decode(spark):
     assert (rate, n) == (8000, 2000)
     assert c.resize_payload(sine, 100) == sine  # no-op under limit
     assert c.resize_payload(b"RIFFnot-a-wav", 1) == b"RIFFnot-a-wav"
+
+
+def test_y4m_codec_real_decode(spark):
+    """Y4mCodec is a REAL video decoder: frame statistics verified
+    against numpy ground truth; temporal-downsample resize re-encodes
+    valid y4m; truncated streams decode only complete frames."""
+    import numpy as np
+
+    from prql_spark.operators.multimodal import (
+        Y4mCodec,
+        decode_features,
+        y4m_planted_payloads,
+    )
+
+    payloads = y4m_planted_payloads()
+    media = spark.createDataFrame(
+        [(i, bytearray(p), mt) for i, p, mt in payloads],
+        "media_id long, media binary, media_type string",
+    )
+    out = {r.media_id: r
+           for r in decode_features(media, Y4mCodec()).collect()}
+    # 6-frame luma ramp 0,30,...,150: mean = 75/255
+    assert (out[1].width, out[1].height) == (6, 4)
+    assert out[1].features[0] == 6.0 and out[1].features[1] == 25.0
+    assert abs(out[1].features[2] - 75 / 255) < 1e-6
+    # motion = mean per-frame luma delta = 30/255
+    assert abs(out[1].features[7] - 30 / 255) < 1e-6
+    # constant 2-frame clip: zero std, zero motion
+    assert out[2].features[3] == 0.0 and out[2].features[7] == 0.0
+    # truncated: 5 complete frames decoded, not garbage
+    assert out[3].features[0] == 5.0
+    assert (out[4].width, out[4].height) == (0, 0)
+
+    c = Y4mCodec()
+    _, full, _ = payloads[0]
+    half = c.resize_payload(full, 3)
+    w, h, feats = c.decode(half, "video/x-y4m")
+    assert (w, h, feats[0]) == (6, 4, 3.0)
+    # kept frames are an evenly-strided subsample (0, 2, 4 → means)
+    assert abs(feats[4] - 0.0) < 1e-6 and abs(feats[6] - 120 / 255) < 1e-6
+    assert c.resize_payload(full, 10) == full
+    assert c.decode(b"not video", "x") == (0, 0, [0.0] * 8)
