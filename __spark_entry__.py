@@ -847,6 +847,7 @@ _NEW_THIS_ROUND = [
     "splits_rebalance_mix",
     "multimodal_wav_decode",
     "multimodal_y4m_decode",
+    "text_chunk_documents",
 ]
 
 # most recent driver row is from rounds 1-2 (behind round 3's window)

@@ -90,6 +90,7 @@ def _extended_transforms() -> dict:
         "collocations": text.collocations,
         "quantile_buckets": text.quantile_buckets,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "chunk_documents": text.chunk_documents,
     }
 
 

@@ -2224,6 +2224,35 @@ ORDER BY d.doc_id
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Intra-document chunking: 40-token budget, 8-token overlap —
+    long docs explode into overlapping chunks, short docs stay
+    whole."""
+    out = text.chunk_documents(
+        _docs(spark, sf_dir), max_tokens=40, overlap=8
+    )
+    return out.select(
+        "doc_id", "chunk_id", "chunk_tokens", "chunk_text"
+    ).orderBy("doc_id", "chunk_id")
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+c AS (
+  SELECT doc_id, ws,
+    unnest(generate_series(0,
+      CAST(ceil(CAST(greatest(len(ws) - 8, 1) AS DOUBLE) / 32)
+        AS INT) - 1)) AS chunk_id
+  FROM w)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+  CAST(least(40, len(ws) - chunk_id * 32) AS INTEGER) AS chunk_tokens,
+  array_to_string(
+    list_slice(ws, chunk_id * 32 + 1, chunk_id * 32 + 40), ' '
+  ) AS chunk_text
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -2286,6 +2315,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "splits_rebalance_mix": q_rebalance_mix,
         "multimodal_wav_decode": q_multimodal_wav_decode,
         "multimodal_y4m_decode": q_multimodal_y4m_decode,
+        "text_chunk_documents": q_chunk_documents,
     }
 
 
@@ -2325,6 +2355,7 @@ def entry_oracles() -> dict[str, str]:
         "splits_rebalance_mix": _sql_rebalance_mix(),
         "multimodal_wav_decode": SQL_MULTIMODAL_WAV,
         "multimodal_y4m_decode": SQL_MULTIMODAL_Y4M,
+        "text_chunk_documents": SQL_CHUNK_DOCUMENTS,
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
         "asof_forward_tolerance": SQL_ASOF_FORWARD,

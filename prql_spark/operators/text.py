@@ -890,3 +890,62 @@ def tfidf_top_terms(
         .where(F.col("rk") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rk")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split LONG documents into overlapping fixed-token-budget
+    chunks — the standard pretraining/RAG chunker, and the complement
+    to :func:`pack_sequences` (which PACKS short docs into budgets;
+    this SPLITS docs that exceed one).
+
+    One row per (doc, chunk): ``chunk_id``, ``chunk_tokens``,
+    ``chunk_text``; chunk i covers words
+    [i·stride, i·stride + max_tokens) with stride =
+    max_tokens − overlap, so consecutive chunks share ``overlap``
+    words of context. A doc at or under budget yields exactly one
+    chunk (itself).
+
+    Shape: one narrow Generate (explode of the chunk-index sequence)
+    — no shuffle; the per-chunk slice is O(max_tokens) off the staged
+    words column, linear in document length overall. Substitution
+    note: the slice sits on an EXPLODED row referencing the words
+    column at top level — no lambda-body array reference anywhere
+    (the §6(c′) rule).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("chunk_documents: overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    n = "size(__cw)"
+    n_chunks = (
+        f"CAST(ceil(CAST(greatest({n} - {overlap}, 1) AS DOUBLE) "
+        f"/ {stride}) AS INT)"
+    )
+    base = df.withColumn("__cw", F.expr(_words(text_col)))
+    return (
+        base.select(
+            "*",
+            F.explode(
+                F.expr(f"sequence(0, {n_chunks} - 1)")
+            ).alias("chunk_id"),
+        )
+        .withColumn(
+            "chunk_text",
+            F.expr(
+                f"concat_ws(' ', slice(__cw, chunk_id * {stride} + 1, "
+                f"{max_tokens}))"
+            ),
+        )
+        .withColumn(
+            "chunk_tokens",
+            F.expr(
+                f"least({max_tokens}, size(__cw) - chunk_id * {stride})"
+            ),
+        )
+        .drop("__cw")
+    )

@@ -1471,3 +1471,38 @@ def test_y4m_codec_real_decode(spark):
     assert abs(feats[4] - 0.0) < 1e-6 and abs(feats[6] - 120 / 255) < 1e-6
     assert c.resize_payload(full, 10) == full
     assert c.decode(b"not video", "x") == (0, 0, [0.0] * 8)
+
+
+def test_chunk_documents_planted(spark):
+    from pyspark.sql import Row
+
+    from prql_spark.operators.text import chunk_documents
+
+    long_doc = " ".join(f"w{i}" for i in range(100))
+    rows = [
+        Row(doc_id=1, text=long_doc),
+        Row(doc_id=2, text="short doc stays whole"),
+        Row(doc_id=3, text=""),
+    ]
+    out = chunk_documents(
+        spark.createDataFrame(rows), max_tokens=40, overlap=10
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 100 words, stride 30 → ceil(90/30)=3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in c1] == [0, 1, 2]
+    assert c1[0].chunk_text.startswith("w0 ") and c1[0].chunk_tokens == 40
+    # overlap: chunk 1 starts at word 30, shares words 30-39 with chunk 0
+    assert c1[1].chunk_text.split()[0] == "w30"
+    assert c1[0].chunk_text.split()[-1] == "w39"
+    assert c1[2].chunk_tokens == 100 - 60
+    # short and empty docs: exactly one chunk each
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc stays whole"
+    assert len(by_doc[3]) == 1
+    import pytest as _p
+
+    with _p.raises(ValueError, match="overlap"):
+        chunk_documents(spark.createDataFrame(rows), max_tokens=10,
+                        overlap=10)
