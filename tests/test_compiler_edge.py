@@ -601,6 +601,14 @@ def test_round4_operators_prql_callable(catalog):
     assert kw.columns == ["doc_id", "term", "tf", "df", "tfidf", "rk"]
     assert all(r.rk <= 2 for r in kw.collect())
 
+    ch = compile_prql(
+        "from documents\nchunk_documents max_tokens:40 overlap:8\n"
+        "filter chunk_id > 0\nselect [doc_id, chunk_id, chunk_tokens]\n"
+        "take 10",
+        catalog,
+    ).collect()
+    assert len(ch) == 10 and all(r.chunk_id > 0 for r in ch)
+
 
 def test_collocations_in_prql(catalog):
     df = compile_prql(
