@@ -281,17 +281,32 @@ def read_warc(
 
 def warc_to_documents(warc: DataFrame) -> DataFrame:
     """Bridge parsed WARC records into the ``documents`` shape:
-    (doc_id, url, text). JVM-side only — utf-8 decode (malformed
-    bytes replaced) and, for ``response`` records whose payload is a
-    full HTTP message, the header block stripped at the first blank
-    line. doc_id = file_path#offset, the standard stable WARC record
-    key. Feed the result to strip_boilerplate / quality_score /
-    dedup — i.e. ``prepare_training_corpus`` starts from here on a
-    raw crawl."""
+    (doc_id, url, text). JVM-side only — charset-aware decode
+    (Content-Type's declared charset picks the decoder for the
+    common legacy encodings, utf-8 with replacement otherwise) and,
+    for ``response`` records whose payload is a full HTTP message,
+    the header block stripped at the first blank line. doc_id =
+    file_path#offset, the standard stable WARC record key. Feed the
+    result to strip_boilerplate / quality_score / dedup — i.e.
+    ``prepare_training_corpus`` starts from here on a raw crawl."""
     from pyspark.sql import functions as F
 
+    # per-row charset dispatch: decode() needs a literal charset, so
+    # the declared ones branch in a CASE (latin-1 / windows-1252
+    # cover the bulk of non-utf-8 web text; everything else falls to
+    # utf-8 with U+FFFD replacement)
+    ct = "lower(coalesce(content_type, ''))"
+    dec = (
+        f"CASE WHEN {ct} LIKE '%charset=iso-8859-1%' "
+        f"THEN decode(payload, 'ISO-8859-1') "
+        f"WHEN {ct} LIKE '%charset=windows-1252%' "
+        f"THEN decode(payload, 'WINDOWS-1252') "
+        f"WHEN {ct} LIKE '%charset=us-ascii%' "
+        f"THEN decode(payload, 'US-ASCII') "
+        f"ELSE decode(payload, 'UTF-8') END"
+    )
     return (
-        warc.withColumn("__t", F.expr("decode(payload, 'UTF-8')"))
+        warc.withColumn("__t", F.expr(dec))
         .withColumn(
             "__p",
             F.expr(

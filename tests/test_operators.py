@@ -1506,3 +1506,36 @@ def test_chunk_documents_planted(spark):
     with _p.raises(ValueError, match="overlap"):
         chunk_documents(spark.createDataFrame(rows), max_tokens=10,
                         overlap=10)
+
+
+def test_ngram_expr_equals_legacy_indexed_shape(spark):
+    """The substitution-safe zip_with gram chain must reproduce the
+    legacy per-index slice shape exactly — including the short-doc
+    single-joined-gram convention the oracles pin — across edge
+    cases: empty, one word, n-1 words, exactly n, and random docs."""
+    import random
+
+    from pyspark.sql import Row
+
+    from prql_spark.operators.text import ngram_expr
+
+    rng = random.Random(17)
+    texts = ["", "one", "a b", "x y z", "p q r s t"]
+    texts += [
+        " ".join(f"t{rng.randrange(6)}" for _ in range(rng.randrange(1, 30)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [Row(i=i, ws=t.split(" ") if t else [""]) for i, t in enumerate(texts)]
+    )
+    for n in (2, 3, 5):
+        legacy = (
+            f"transform(sequence(0, greatest(size(ws) - {n}, 0)), "
+            f"i -> concat_ws(' ', slice(ws, i + 1, {n})))"
+        )
+        bad = df.selectExpr(
+            "i",
+            f"{ngram_expr('ws', n)} AS safe",
+            f"{legacy} AS legacy",
+        ).where("safe != legacy")
+        assert bad.count() == 0, f"n={n}: {bad.take(3)}"

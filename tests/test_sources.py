@@ -291,3 +291,23 @@ def test_warc_to_documents(spark, tmp_path):
     # response: HTTP headers stripped; conversion: verbatim
     assert texts == {"<html>hello</html>", "hello text"}
     assert all("#" in r.doc_id for r in docs)
+
+
+def test_warc_to_documents_charset(spark, tmp_path):
+    d = tmp_path / "warc3"
+    d.mkdir()
+    latin = "caf\xe9 r\xe9sum\xe9".encode("iso-8859-1")
+    (d / "s.warc").write_bytes(
+        _warc_record(
+            "conversion", "http://l.example/", latin,
+            extra="Content-Type: text/plain; charset=ISO-8859-1\r\n",
+        )
+        + _warc_record("conversion", "http://u.example/",
+                       "caf\xe9 utf8".encode("utf-8"))
+    )
+    docs = {r.url: r.text
+            for r in pio.warc_to_documents(
+                pio.read_warc(spark, str(d))).collect()}
+    # declared latin-1 decodes correctly; undeclared stays utf-8
+    assert docs["http://l.example/"] == "caf\xe9 r\xe9sum\xe9"
+    assert docs["http://u.example/"] == "caf\xe9 utf8"
