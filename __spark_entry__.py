@@ -848,6 +848,7 @@ _NEW_THIS_ROUND = [
     "multimodal_wav_decode",
     "multimodal_y4m_decode",
     "text_chunk_documents",
+    "text_script_profile",
 ]
 
 # most recent driver row is from rounds 1-2 (behind round 3's window)

@@ -2253,6 +2253,78 @@ FROM c ORDER BY doc_id, chunk_id
 """
 
 
+def q_script_profile(spark, sf_dir):
+    """Unicode-script routing profile over the corpus (plus planted
+    non-Latin rows so every script column discriminates)."""
+    from pyspark.sql import Row
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [
+            Row(doc_id=900001, text="Привет мир как дела"),
+            Row(doc_id=900002, text="日本語のテキストです"),
+            Row(doc_id=900003, text="مرحبا بالعالم"),
+            Row(doc_id=900004, text="नमस्ते दुनिया"),
+            Row(doc_id=900005, text="12345 !!!"),
+            Row(doc_id=900006, text="hello Привет"),
+        ]
+    )
+    out = text.script_profile(docs.unionByName(planted))
+    return out.select(
+        "doc_id", "dominant_script", "latin_frac", "cyrillic_frac",
+        "cjk_frac", "arabic_frac", "devanagari_frac",
+    ).orderBy("doc_id")
+
+
+def _sql_script_profile() -> str:
+    """Mirrors script_profile: RE2 unicode classes (same ranges as
+    the engine's Java-regex classes), fraction-of-letter-chars, and
+    the (count, name)-struct max tie-break via list_sort."""
+    # \uXXXX (Java) → \x{XXXX} (RE2); ranges are BMP-only so Spark's
+    # UTF-16 length and DuckDB's codepoint length agree
+    ranges = {
+        "latin": r"a-zA-Z\x{00c0}-\x{024f}",
+        "cyrillic": r"\x{0400}-\x{04ff}",
+        "cjk": r"\x{3040}-\x{30ff}\x{3400}-\x{9fff}\x{ac00}-\x{d7af}",
+        "arabic": r"\x{0600}-\x{06ff}",
+        "devanagari": r"\x{0900}-\x{097f}",
+    }
+    planted = ", ".join(
+        f"({i}, '{t}')"
+        for i, t in [
+            (900001, "Привет мир как дела"),
+            (900002, "日本語のテキストです"),
+            (900003, "مرحبا بالعالم"),
+            (900004, "नमस्ते दुनिया"),
+            (900005, "12345 !!!"),
+            (900006, "hello Привет"),
+        ]
+    )
+    cnt = ", ".join(
+        f"length(regexp_replace(text, '[^{r}]', '', 'g')) AS c_{k}"
+        for k, r in ranges.items()
+    )
+    tot = " + ".join(f"c_{k}" for k in ranges)
+    fr = ", ".join(
+        f"round(c_{k} / CAST(greatest({tot}, 1) AS DOUBLE), 6) AS {k}_frac"
+        for k in ranges
+    )
+    structs = ", ".join(
+        f"{{'c': c_{k}, 's': '{k}'}}" for k in ranges
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES {planted}) p(doc_id, text)),
+s AS (SELECT doc_id, {cnt} FROM u)
+SELECT doc_id,
+  CASE WHEN {tot} = 0 THEN 'none'
+       ELSE (list_sort([{structs}])[-1]).s END AS dominant_script,
+  {fr}
+FROM s ORDER BY doc_id
+"""
+
+
 def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -2316,6 +2388,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_decode": q_multimodal_wav_decode,
         "multimodal_y4m_decode": q_multimodal_y4m_decode,
         "text_chunk_documents": q_chunk_documents,
+        "text_script_profile": q_script_profile,
     }
 
 
@@ -2356,6 +2429,7 @@ def entry_oracles() -> dict[str, str]:
         "multimodal_wav_decode": SQL_MULTIMODAL_WAV,
         "multimodal_y4m_decode": SQL_MULTIMODAL_Y4M,
         "text_chunk_documents": SQL_CHUNK_DOCUMENTS,
+        "text_script_profile": _sql_script_profile(),
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
         "asof_forward_tolerance": SQL_ASOF_FORWARD,

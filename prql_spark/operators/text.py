@@ -949,3 +949,54 @@ def chunk_documents(
         )
         .drop("__cw")
     )
+
+
+# Unicode script ranges for crawl-scale language triage (the
+# stopword-signature lang_id covers Latin-script languages; script
+# detection is the level above it — routing CJK/Cyrillic/Arabic/
+# Devanagari text before any word-based model applies).
+SCRIPT_RANGES = {
+    "latin": "a-zA-Z\\u00c0-\\u024f",
+    "cyrillic": "\\u0400-\\u04ff",
+    "cjk": "\\u3040-\\u30ff\\u3400-\\u9fff\\uac00-\\ud7af",
+    "arabic": "\\u0600-\\u06ff",
+    "devanagari": "\\u0900-\\u097f",
+}
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode-script profile: the fraction of LETTER
+    characters in each major script plus the dominant script — the
+    routing signal a multilingual crawl pipeline applies before any
+    word-level model (tokenizer choice, per-script quality rules,
+    which lang-id to trust).
+
+    One narrow projection of regexp counts — no shuffle, no Python;
+    ties break to the lexicographically larger script name (struct
+    max), mirrored in the oracle.
+    """
+    counts = {
+        k: f"length(regexp_replace({text_col}, '[^{r}]', ''))"
+        for k, r in SCRIPT_RANGES.items()
+    }
+    total = " + ".join(f"__sc_{k}" for k in SCRIPT_RANGES)
+    out = df.withColumns(
+        {f"__sc_{k}": F.expr(c) for k, c in counts.items()}
+    ).withColumn("__sc_tot", F.expr(f"greatest({total}, 1)"))
+    out = out.withColumns(
+        {
+            f"{k}_frac": F.expr(f"round(__sc_{k} / CAST(__sc_tot AS DOUBLE), 6)")
+            for k in SCRIPT_RANGES
+        }
+    )
+    arr = ", ".join(
+        f"named_struct('c', __sc_{k}, 's', '{k}')" for k in SCRIPT_RANGES
+    )
+    out = out.withColumn(
+        "dominant_script",
+        F.expr(
+            f"IF({' + '.join(f'__sc_{k}' for k in SCRIPT_RANGES)} = 0, "
+            f"'none', array_max(array({arr})).s)"
+        ),
+    )
+    return out.drop(*[f"__sc_{k}" for k in SCRIPT_RANGES], "__sc_tot")

@@ -1539,3 +1539,31 @@ def test_ngram_expr_equals_legacy_indexed_shape(spark):
             f"{legacy} AS legacy",
         ).where("safe != legacy")
         assert bad.count() == 0, f"n={n}: {bad.take(3)}"
+
+
+def test_script_profile_planted(spark):
+    from pyspark.sql import Row
+
+    from prql_spark.operators.text import script_profile
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="hello world café"),
+            Row(doc_id=2, text="Привет мир"),
+            Row(doc_id=3, text="日本語のテキスト"),
+            Row(doc_id=4, text="مرحبا"),
+            Row(doc_id=5, text="नमस्ते"),
+            Row(doc_id=6, text="12345 !!!"),
+            Row(doc_id=7, text="hello Привет"),
+        ]
+    )
+    out = {r.doc_id: r for r in script_profile(df).collect()}
+    assert out[1].dominant_script == "latin" and out[1].latin_frac == 1.0
+    assert out[2].dominant_script == "cyrillic"
+    assert out[3].dominant_script == "cjk"
+    assert out[4].dominant_script == "arabic"
+    assert out[5].dominant_script == "devanagari"
+    assert out[6].dominant_script == "none"
+    # mixed doc: fractions split, more cyrillic letters win
+    assert out[7].dominant_script == "cyrillic"
+    assert 0 < out[7].latin_frac < out[7].cyrillic_frac
