@@ -2085,11 +2085,18 @@ def q_rollup_stats(spark, sf_dir):
     """Hierarchical corpus report: doc counts + char totals per
     (lang, source), per lang, and grand total — ONE scan through a
     GROUP BY ROLLUP Expand."""
+    # asc_nulls_first explicit on BOTH sides: Spark's bare ASC is
+    # NULLS FIRST but DuckDB's is NULLS LAST, so genuine NULL dim
+    # values would order differently inside a lvl otherwise
     return profile.rollup_stats(
         _docs(spark, sf_dir),
         ["lang", "source"],
         {"n_docs": "count(*)", "total_chars": "sum(n_chars)"},
-    ).orderBy("lvl", "lang", "source")
+    ).orderBy(
+        F.col("lvl").asc_nulls_first(),
+        F.col("lang").asc_nulls_first(),
+        F.col("source").asc_nulls_first(),
+    )
 
 
 # CAST(sum AS BIGINT): DuckDB sums BIGINT into HUGEINT; grouping
@@ -2100,7 +2107,7 @@ SELECT lang, source,
   count(*) AS n_docs,
   CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY ROLLUP(lang, source)
-ORDER BY lvl, lang, source
+ORDER BY lvl NULLS FIRST, lang NULLS FIRST, source NULLS FIRST
 """
 
 
@@ -2154,6 +2161,18 @@ def q_warc_read(spark, sf_dir):
     trunc = rec("response", "http://ex.test/d", b"will be truncated")
     with open(os.path.join(d, "s2.warc"), "wb") as f:
         f.write(trunc[: len(trunc) - 25])
+    # bare-LF HTTP message: header strip must fall back to '\n\n'
+    with open(os.path.join(d, "s3.warc"), "wb") as f:
+        f.write(
+            rec("response", "http://ex.test/e",
+                b"HTTP/1.1 200 OK\nServer: x\n\ndelta page", crlf=False)
+        )
+    # truncated gzip shard: EOFError path — whole shard skipped
+    gz = gzip.compress(
+        rec("response", "http://ex.test/f", b"never lands")
+    )
+    with open(os.path.join(d, "s4.warc.gz"), "wb") as f:
+        f.write(gz[: len(gz) - 10])
 
     docs = pio.warc_to_documents(pio.read_warc(spark, str(d)))
     return docs.select(
@@ -2173,7 +2192,9 @@ SELECT * FROM (VALUES
   ('s1.warc.gz#0', 'http://ex.test/b', 'beta text body',
    CAST(14 AS INTEGER)),
   ('s1.warc.gz#141', 'http://ex.test/c', '<p>gamma</p>',
-   CAST(12 AS INTEGER))
+   CAST(12 AS INTEGER)),
+  ('s3.warc#0', 'http://ex.test/e', 'delta page',
+   CAST(10 AS INTEGER))
 ) AS t(rec_key, url, text, n_chars)
 ORDER BY rec_key
 """

@@ -387,7 +387,10 @@ class Y4mCodec(MediaCodec):
                     fps = int(num) / int(den)
                 elif t.startswith("C"):
                     chroma = t
-            except ValueError:
+            except (ValueError, ZeroDivisionError):
+                # ZeroDivisionError: hostile 'F25:0' frame-rate token
+                # — the never-raise contract covers it like any other
+                # malformed header
                 return None
         if not w or not h or w <= 0 or h <= 0:
             return None

@@ -179,9 +179,16 @@ def mix_fractions(
     if total_share <= 0:
         raise ValueError("mix_fractions: target shares sum to 0")
     shares = {k: v / total_share for k, v in targets.items()}
-    scale = min(
+    present = [
         counts[k] / s for k, s in shares.items() if s > 0 and k in counts
-    )
+    ]
+    if not present:
+        raise ValueError(
+            "mix_fractions: no target stratum present in corpus counts "
+            f"(targets={sorted(targets)}, corpus strata="
+            f"{sorted(counts)[:20]})"
+        )
+    scale = min(present)
     return {
         k: min(1.0, (shares[k] * scale) / counts[k])
         for k in shares

@@ -259,7 +259,10 @@ def read_warc(
                 if data[:2] == b"\x1f\x8b":
                     try:
                         data = gzip.decompress(data)
-                    except OSError:
+                    except (OSError, EOFError):
+                        # EOFError: truncated gzip stream (not an
+                        # OSError subclass) — skip the shard like the
+                        # truncated plain-WARC case
                         continue
                 for off, hdr, payload in _split_warc_records(data):
                     wtype = hdr.get("warc-type", "")
@@ -314,11 +317,23 @@ def warc_to_documents(warc: DataFrame) -> DataFrame:
                 "THEN locate('\\r\\n\\r\\n', __t) ELSE 0 END"
             ),
         )
+        # bare-LF fallback: an HTTP message with \n-only line endings
+        # is tolerated by the record parser, so the header strip must
+        # tolerate it too (otherwise headers pollute `text`)
+        .withColumn(
+            "__q",
+            F.expr(
+                "CASE WHEN warc_type = 'response' AND __t LIKE 'HTTP/%' "
+                "AND __p = 0 THEN locate('\\n\\n', __t) ELSE 0 END"
+            ),
+        )
         .select(
             F.expr("concat(file_path, '#', record_offset)").alias("doc_id"),
             F.col("target_uri").alias("url"),
-            F.expr("IF(__p > 0, substring(__t, __p + 4), __t)").alias(
-                "text"
-            ),
+            F.expr(
+                "CASE WHEN __p > 0 THEN substring(__t, __p + 4) "
+                "WHEN __q > 0 THEN substring(__t, __q + 2) "
+                "ELSE __t END"
+            ).alias("text"),
         )
     )

@@ -782,6 +782,12 @@ def test_rebalance_to_mix(spark):
         df, "domain", {"web": 1.0}, key_col="doc_id"
     ).select("domain").distinct().collect()
     assert {r.domain for r in t2} == {"web"}
+    # no target stratum present in the corpus: descriptive error,
+    # not a bare min()-of-empty ValueError
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no target stratum"):
+        mix_fractions({"web": 800}, {"wiki": 1.0})
 
 
 def test_rollup_stats_planted(spark):
@@ -1471,6 +1477,9 @@ def test_y4m_codec_real_decode(spark):
     assert abs(feats[4] - 0.0) < 1e-6 and abs(feats[6] - 120 / 255) < 1e-6
     assert c.resize_payload(full, 10) == full
     assert c.decode(b"not video", "x") == (0, 0, [0.0] * 8)
+    # hostile zero-denominator frame rate: never-raise contract holds
+    zero_den = b"YUV4MPEG2 W6 H4 F25:0 C420\nFRAME\n" + bytes(36)
+    assert c.decode(zero_den, "video/x-y4m") == (0, 0, [0.0] * 8)
 
 
 def test_chunk_documents_planted(spark):
