@@ -853,12 +853,16 @@ def tfidf_top_terms(
     zero). Terms below ``min_df`` docs are dropped.
 
     Shape: explode → two map-side-combined count aggregates (term
-    counts per doc; document frequency per term), doc count as ONE
-    scalar broadcast, a term-keyed join (doc-frequency side is
-    term-vocabulary-sized, broadcast when it fits), and a per-doc
-    top-k window that compiles to the two-stage WindowGroupLimit —
-    partial top-k before the exchange, so the reducer sees k ×
-    n_partitions rows per doc, never every term.
+    counts per doc; document frequency per term), doc count as a
+    1-row aggregate ridden back in via a broadcast cross join (the
+    bm25 corpus-stats pattern — NO eager ``df.count()``: building
+    this operator triggers zero jobs, and the corpus contributes one
+    scan per aggregate, not an extra count-only scan), a term-keyed
+    join (doc-frequency side is term-vocabulary-sized, broadcast
+    when it fits), and a per-doc top-k window that compiles to the
+    two-stage WindowGroupLimit — partial top-k before the exchange,
+    so the reducer sees k × n_partitions rows per doc, never every
+    term.
     """
     words = _words(text_col)
     terms = (
@@ -869,14 +873,13 @@ def tfidf_top_terms(
         F.count(F.lit(1)).alias("tf")
     )
     dfreq = doc_frequency(df, text_col, id_col, min_df)
-    n_docs = df.count()
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     scored = (
         tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.expr(
-                f"round(tf * (ln(({n_docs} + 1) / (df + 1)) + 1), 6)"
-            ),
+            F.expr("round(tf * (ln((__n + 1) / (df + 1)) + 1), 6)"),
         )
     )
     return (

@@ -306,3 +306,108 @@ def test_python_udf_lint(catalog, spark):
     assert lint_python_udfs(fast, warn=False) == []
     core = compile_prql("from orders\ntake 5", catalog)
     assert lint_python_udfs(core, warn=False) == []
+
+
+def test_operator_construction_is_lazy(spark):
+    """Building an operator DataFrame must trigger ZERO Spark jobs —
+    the lazy-construction contract (VERDICT r4 caught tfidf_top_terms
+    running an eager df.count() at build time: one avoidable full
+    corpus scan per invocation at 100 TB). Operators whose SIZING is
+    inherently data-dependent (occupancy sizing, on-the-fly training,
+    rebalance counts) are exercised with explicit parameters — the
+    documented production path. The DAGScheduler's job counter is
+    read before/after each constructor; any increment is a job."""
+    from prql_spark.operators import dedup, similarity, splits, text
+    from prql_spark.operators.profile import rollup_stats
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta gamma delta epsilon doc {i} " * 3,
+             "en", "web", 0.5 + i)
+            for i in range(8)
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "quality double",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, 0.25]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "query_id long, qvec array<double>"
+    )
+
+    constructors = {
+        "token_count": lambda: text.token_count(docs),
+        "quality_score": lambda: text.quality_score(docs),
+        "lang_id": lambda: text.lang_id(docs),
+        "ngram_counts": lambda: text.ngram_counts(docs),
+        "doc_frequency": lambda: text.doc_frequency(docs),
+        "fingerprint": lambda: text.fingerprint(docs),
+        "bm25_rank": lambda: text.bm25_rank(docs, ["alpha", "doc"]),
+        "ngram_contamination": lambda: text.ngram_contamination(
+            docs, docs.select("text"), n=3
+        ),
+        "gopher_quality_flags": lambda: text.gopher_quality_flags(docs),
+        "pack_sequences": lambda: text.pack_sequences(docs),
+        "repetition_flags": lambda: text.repetition_flags(docs),
+        "quantile_buckets": lambda: text.quantile_buckets(docs),
+        "tfidf_top_terms": lambda: text.tfidf_top_terms(docs),
+        "chunk_documents": lambda: text.chunk_documents(docs),
+        "script_profile": lambda: text.script_profile(docs),
+        "collocations": lambda: text.collocations(docs),
+        "dedup_exact": lambda: dedup.dedup_exact(docs),
+        "dedup_minhash_lsh": lambda: dedup.dedup_minhash_lsh(docs),
+        "simhash_near_pairs": lambda: dedup.simhash_near_pairs(
+            dedup.simhash_signatures(docs)
+        ),
+        "ngram_jaccard_pairs": lambda: dedup.ngram_jaccard_pairs(docs),
+        "dedup_against": lambda: dedup.dedup_against(
+            docs, docs.select("text")
+        ),
+        "dedup_against_near": lambda: dedup.dedup_against_near(
+            docs, docs.select("text")
+        ),
+        "split_by_hash": lambda: splits.split_by_hash(docs, "doc_id"),
+        "sample_by_hash": lambda: splits.sample_by_hash(
+            docs, "doc_id", 0.5
+        ),
+        "redact_pii": lambda: splits.redact_pii(docs),
+        "strip_boilerplate": lambda: splits.strip_boilerplate(docs),
+        "sample_per_group": lambda: splits.sample_per_group(
+            docs, ["lang"], 2, "doc_id"
+        ),
+        "stratified_sample_by_hash": lambda:
+            splits.stratified_sample_by_hash(
+                docs, "doc_id", "lang", {"en": 0.5}
+            ),
+        "rollup_stats": lambda: rollup_stats(
+            docs, ["lang", "source"], {"n": "count(*)"}
+        ),
+        "brute_force_topk": lambda: similarity.brute_force_topk(emb, qs),
+        "lsh_topk": lambda: similarity.lsh_topk(emb, qs, dim=4),
+        "ivf_topk": lambda: similarity.ivf_topk(
+            emb, qs, dim=4, n_lists=2,
+            centroids=[[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
+        ),
+        "embedding_near_dups": lambda: similarity.embedding_near_dups(
+            emb, dim=4, n_planes=4
+        ),
+        "semdedup_pairs": lambda: similarity.semdedup_pairs(
+            emb, dim=4,
+            centroids=[[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
+        ),
+    }
+
+    def jobs():
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+    eager = {}
+    for name, build in constructors.items():
+        before = jobs()
+        out = build()
+        ran = jobs() - before
+        if ran:
+            eager[name] = ran
+        assert out.columns  # built a real DataFrame
+    assert eager == {}, f"operators ran jobs at construction: {eager}"
