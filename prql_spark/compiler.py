@@ -34,6 +34,7 @@ from prql_spark.plans.nodes import (
     Ident,
     Lit,
     ListExpr,
+    Param,
     Query,
     RangeLit,
     SString,
@@ -680,11 +681,24 @@ class Compiler:
             for p in node.parts:
                 parts.append(self._esc(p) if isinstance(p, str) else self.expr(p).sql)
             return CExpr(f"CONCAT({', '.join(parts)})")
+        if isinstance(node, Param):
+            return self._param(node)
         if isinstance(node, ExprPipeline):
             return self._expr_pipeline(node)
         if isinstance(node, RangeLit):
             raise PrqlCompileError("range literal outside take/in")
         raise PrqlCompileError(f"cannot compile expression {node!r}")
+
+    def _param(self, node: Param) -> CExpr:
+        # The DataFrame engine executes immediately — there is no
+        # later bind step a $n placeholder could wait for. The SQL
+        # backend overrides this and passes the parameter through
+        # verbatim (reference: book/src/examples/sql-parameters.md).
+        raise self._err(
+            f"query parameter {node.name!r} requires the SQL backend "
+            "(to_sql); the DataFrame engine has no bind step",
+            node,
+        )
 
     def _lit(self, node: Lit) -> str:
         k = node.kind

@@ -23,6 +23,7 @@ from prql_spark.plans.nodes import (
     Ident,
     Lit,
     ListExpr,
+    Param,
     Query,
     RangeLit,
     SString,
@@ -187,6 +188,10 @@ def tokenize(src: str) -> list[Tok]:
             continue
         if _IDENT_START.match(c):
             name, j = _lex_ident(src, i)
+            if re.fullmatch(r"\$\d+", name):  # SQL parameter $1, $2…
+                toks.append(Tok("PARAM", name, i))
+                i = j
+                continue
             if name == "true" or name == "false":
                 toks.append(Tok("BOOL", name == "true", i))
             elif name == "null":
@@ -222,6 +227,7 @@ _TERM_STARTS = {
     "BOOL",
     "NULL",
     "DOTDOT",
+    "PARAM",
 }
 
 
@@ -542,6 +548,9 @@ class Parser:
         if t.kind == "FSTRING":
             self.next()
             return FString(_parse_interpolation(t.value))
+        if t.kind == "PARAM":
+            self.next()
+            return Param(t.value, pos=t.pos)
         if t.kind == "IDENT":
             self.next()
             return Ident(t.value, pos=t.pos)

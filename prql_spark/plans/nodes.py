@@ -38,6 +38,18 @@ class Ident(Node):
 
 
 @dataclass
+class Param(Node):
+    """SQL query parameter ``$1`` (reference:
+    book/src/examples/sql-parameters.md — ``filter id == $1`` compiles
+    to ``WHERE id = $1``). Only the SQL-text backend can emit it (the
+    placeholder is bound by the caller's driver at execution time);
+    the DataFrame path raises a span-carrying error."""
+
+    name: str  # full token text, e.g. "$1"
+    pos: int = field(default=-1, compare=False)
+
+
+@dataclass
 class RangeLit(Node):
     """``a..b`` — either edge may be None (open)."""
 

@@ -95,6 +95,15 @@ class SqlCompiler(Compiler):
         sub.ctes = self.ctes  # shared: nested table-defs register here
         return sub
 
+    def _param(self, node):
+        # SQL text is handed to a driver that binds placeholders —
+        # pass $n through verbatim in every dialect (reference:
+        # book/src/examples/sql-parameters.md: `filter id == $1` →
+        # `WHERE id = $1`)
+        from prql_spark.compiler import CExpr
+
+        return CExpr(node.name)
+
     # ------------------------------------------------- dialect seam
 
     QUOTE = "double"  # identifier quoting: "double" | "backtick"

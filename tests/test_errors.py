@@ -125,3 +125,16 @@ def test_compile_never_raises_raw_python_errors(catalog):
             pass
 
     run()
+
+
+def test_sql_parameter_on_dataframe_path_reports_prql_error(catalog):
+    """$1 on the DataFrame engine: a span-carrying PRQL error naming
+    the SQL backend — not an 'unknown column' resolution failure."""
+    import pytest
+
+    from prql_spark.compiler import PrqlCompileError, compile_prql
+
+    with pytest.raises(PrqlCompileError) as ei:
+        compile_prql("from orders\nfilter o_custkey == $1", catalog)
+    msg = str(ei.value)
+    assert "SQL backend" in msg and "line 2" in msg and "$1" in msg

@@ -167,3 +167,27 @@ def test_group_take_without_sort_runs_in_duckdb(catalog, oracle):
     assert "monotonically_increasing_id" not in sql
     rows = oracle.execute(sql).fetchall()
     assert len(rows) == 10  # 2 per region, arbitrary member choice
+
+
+def test_sql_parameters_pass_through_every_dialect(catalog, oracle):
+    """Reference book/src/examples/sql-parameters.md: `filter id ==
+    $1` compiles to `WHERE id = $1` — the placeholder survives
+    verbatim in every dialect (the caller's driver binds it)."""
+    from prql_spark.sql_backend import _DIALECT_EMITTERS, to_sql
+
+    q = (
+        "from orders\n"
+        "filter o_custkey == $1\n"
+        "select [o_orderkey, o_totalprice]"
+    )
+    for dialect in _DIALECT_EMITTERS:
+        sql = to_sql(q, catalog, dialect=dialect)
+        assert "$1" in sql, (dialect, sql)
+    # and in a computed expression
+    q2 = "from orders\nderive [bumped = o_totalprice * $2]\ntake 3"
+    assert "$2" in to_sql(q2, catalog, dialect="generic")
+    # the emitted SQL is real: DuckDB binds the parameter and runs it
+    rows = oracle.execute(
+        to_sql(q, catalog, dialect="duckdb"), [1]
+    ).fetchall()
+    assert all(len(r) == 2 for r in rows)
