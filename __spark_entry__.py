@@ -827,76 +827,26 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
 # window membership asserted in tests/test_entry_contract.py) so the
 # counts can never drift from the lists again:
 #   1. entries NEW this round (never driver-checked),
-#   2. the entries whose most recent driver row is oldest (for round
-#      4: the 31 checked last in rounds 1-2, displaced by round 3's
-#      never-checked-first window),
-#   3. representative core (flagship TPC-H + one per operator
-#      family), refreshed round 3 — fills the window to 50,
-#   4. the rest (driver-green in round 3, re-verified by the mimic
+#   2. the entries whose most recent driver row is OLDEST (for round
+#      5: the 42 last checked in round 3, displaced by round 4's
+#      window),
+#   3. entries checked last round (flagship core first) — fill the
+#      window to 50,
+#   4. the rest (driver-green last round, re-verified by the mimic
 #      every session) behind the window.
 _DRIVER_WINDOW = 50
 
-# new in round 4 — never driver-checked
+# new in round 5 — never driver-checked
 _NEW_THIS_ROUND = [
-    "multimodal_netpbm_decode",
-    "text_quantile_buckets",
-    "dedup_against_near",
-    "text_tfidf_top_terms",
-    "profile_rollup",
-    "sources_warc_read",
-    "splits_rebalance_mix",
-    "multimodal_wav_decode",
-    "multimodal_y4m_decode",
-    "text_chunk_documents",
-    "text_script_profile",
+    "text_html_to_text",
+    "ann_assign_hier",
 ]
 
-# most recent driver row is from rounds 1-2 (behind round 3's window)
-_STALE_R1R2 = [
-    "user_func_cte",
-    "window_running_total",
-    "text_doc_frequency",
-    "q6_forecast_revenue",
-    "window_interval_range",
-    "text_fingerprint",
-    "text_ngram_counts",
-    "events_hourly_rollup",
-    "q4_order_priority",
-    "q12_shipmode_priority",
-    "q14_promo_revenue",
-    "q10_returned_items",
-    "q18_large_orders",
-    "q7_volume_shipping",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_filter",
-    "q22_inactive_balance",
-    "distinct_idiom",
-    "window_moving_average",
-    "take_range",
-    "null_handling",
-    "fstring_cast",
-    "events_daily_rollup",
-    "agg_stddev_minmax",
-    "window_dense_rank_first_last",
-    "window_lag_row_number",
-    "multimodal_metadata",
-    "multimodal_frame_sample",
-    "asof_forward_tolerance",
-]
-
-# representative core (refreshed round 3): fills the window to 50 in
-# this priority order; whatever doesn't fit falls behind with r3 rows
-_CORE_R3 = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q8_market_share",
-    "top_customers_left_join",
-    "group_topk",
-    "dedup_exact",
-    "text_token_count",
+# most recent driver row is from ROUND 3 (these sat behind round 4's
+# window: the round-3 core spill + the whole fresh-r3 block). All 42
+# rotate into round 5's window so every entry's driver evidence stays
+# at most one round old.
+_STALE_PREV = [
     "text_quality_score",
     "text_lang_id",
     "dedup_ngram_jaccard",
@@ -908,10 +858,6 @@ _CORE_R3 = [
     "embedding_near_dups",
     "multimodal_decode",
     "asof_join_attribution",
-]
-
-# driver-green in round 3, behind the window this round
-_FRESH_R3 = [
     "docs_clean_pipeline",
     "sketch_distinct_users",
     "sketch_value_median",
@@ -945,13 +891,67 @@ _FRESH_R3 = [
     "sources_diff_snapshots",
 ]
 
-_core_fit = max(_DRIVER_WINDOW - len(_NEW_THIS_ROUND) - len(_STALE_R1R2), 0)
+# checked in round 4 (fresh driver evidence): flagship core first —
+# fills the window to 50; the rest fall behind with round-4 rows
+_FRESH_PREV = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q8_market_share",
+    "top_customers_left_join",
+    "group_topk",
+    "dedup_exact",
+    "text_token_count",
+    "multimodal_netpbm_decode",
+    "text_quantile_buckets",
+    "dedup_against_near",
+    "text_tfidf_top_terms",
+    "profile_rollup",
+    "sources_warc_read",
+    "splits_rebalance_mix",
+    "multimodal_wav_decode",
+    "multimodal_y4m_decode",
+    "text_chunk_documents",
+    "text_script_profile",
+    "user_func_cte",
+    "window_running_total",
+    "text_doc_frequency",
+    "q6_forecast_revenue",
+    "window_interval_range",
+    "text_fingerprint",
+    "text_ngram_counts",
+    "events_hourly_rollup",
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q7_volume_shipping",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_filter",
+    "q22_inactive_balance",
+    "distinct_idiom",
+    "window_moving_average",
+    "take_range",
+    "null_handling",
+    "fstring_cast",
+    "events_daily_rollup",
+    "agg_stddev_minmax",
+    "window_dense_rank_first_last",
+    "window_lag_row_number",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "asof_forward_tolerance",
+]
+
+_core_fit = max(_DRIVER_WINDOW - len(_NEW_THIS_ROUND) - len(_STALE_PREV), 0)
 _DRIVER_ORDER = (
     _NEW_THIS_ROUND
-    + _STALE_R1R2
-    + _CORE_R3[:_core_fit]
-    + _CORE_R3[_core_fit:]
-    + _FRESH_R3
+    + _STALE_PREV
+    + _FRESH_PREV[:_core_fit]
+    + _FRESH_PREV[_core_fit:]
 )
 
 

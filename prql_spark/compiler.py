@@ -92,6 +92,7 @@ def _extended_transforms() -> dict:
         "quantile_buckets": text.quantile_buckets,
         "tfidf_top_terms": text.tfidf_top_terms,
         "chunk_documents": text.chunk_documents,
+        "html_to_text": text.html_to_text,
     }
 
 

@@ -2346,6 +2346,115 @@ FROM s ORDER BY doc_id
 """
 
 
+# deterministic HTML wrap (same expression both engines): the corpus
+# text becomes the <p> body with 'e' swapped for '&amp;' so entity
+# decoding is exercised on every row; lang/source land in tag + comment
+# positions that extraction must drop or keep correctly.
+_HTML_WRAP = (
+    "concat('<html><head><style>p {{margin:0}}</style>"
+    "<script>var t = 1;</script></head><body><h1>', lang, "
+    "'</h1><p>', replace({text}, 'e', '&amp;'), '</p><!-- ', source, "
+    "' --></body></html>')"
+)
+
+
+def q_html_to_text(spark, sf_dir):
+    """HTML text extraction value-oracled end-to-end: every document
+    wrapped in deterministic markup (style/script/comment blocks,
+    entities), extracted back by the JVM-side regexp chain; DuckDB
+    replays wrap + extraction with the identical RE2-safe patterns."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "html", F.expr(_HTML_WRAP.format(text="text"))
+    )
+    out = text.html_to_text(docs, text_col="html")
+    return out.select(
+        "doc_id",
+        F.col("text_extracted").alias("text_out"),
+        F.expr("length(text_extracted)").alias("n_chars_out"),
+    ).orderBy("doc_id")
+
+
+def _sql_html_to_text() -> str:
+    """DuckDB mirror: the identical block/tag/entity/whitespace chain
+    (patterns avoid backreferences so Java regex and RE2 agree);
+    DuckDB's regexp_replace needs the explicit 'g' flag."""
+    from prql_spark.operators.text import (
+        _HTML_BLOCK_PATTERNS,
+        _HTML_ENTITIES,
+        _HTML_TAG_PATTERN,
+    )
+
+    e = "html"
+    for pat in _HTML_BLOCK_PATTERNS:
+        e = f"regexp_replace({e}, '{pat}', ' ', 'g')"
+    e = f"regexp_replace({e}, '{_HTML_TAG_PATTERN}', ' ', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        rep_sql = "''''" if rep == "\\'" else f"'{rep}'"
+        e = f"replace({e}, '{ent}', {rep_sql})"
+    e = f"trim(regexp_replace({e}, '[ \\t\\r\\n]+', ' ', 'g'))"
+    wrap = _HTML_WRAP.format(text="text").replace("{{", "{").replace(
+        "}}", "}"
+    )
+    return f"""
+WITH w AS (SELECT doc_id, {wrap} AS html FROM documents),
+x AS (SELECT doc_id, {e} AS text_out FROM w)
+SELECT doc_id, text_out, CAST(length(text_out) AS INTEGER) AS n_chars_out
+FROM x ORDER BY doc_id
+"""
+
+
+_HIER_NPROBE = 2  # of 8 superclusters — genuinely partial probing
+
+
+def q_assign_hier(spark, sf_dir):
+    """Hierarchical (two-level) quantizer assignment value-oracled:
+    64 deterministic lists → 8 superclusters, each vector probes its
+    2 best supers and argmaxes only their member centroids. DuckDB
+    replays super-selection and the partial argmax with the same
+    literals, round-9 cosines, and ties-to-larger-index contract."""
+    cents = similarity.pseudo_centroids(64, 64)
+    out = similarity.assign_lists_hier(
+        _embs(spark, sf_dir), cents, nprobe_super=_HIER_NPROBE
+    )
+    return out.select("vec_id", "list_id").orderBy("vec_id")
+
+
+def _sql_assign_hier() -> str:
+    cents = similarity.pseudo_centroids(64, 64)
+    sup, super_of = similarity.super_quantize(cents)
+    cn = similarity.unit_normalize(cents)
+
+    def arr(v):
+        return "[%s]::DOUBLE[]" % ", ".join(repr(x) for x in v)
+
+    sup_rows = ", ".join(
+        f"({i}, {arr(c)})" for i, c in enumerate(sup)
+    )
+    cent_rows = ", ".join(
+        f"({super_of[i]}, {i}, {arr(c)})" for i, c in enumerate(cn)
+    )
+    cos_ds = _cos_dd("d.embedding", "s.sc")
+    cos_dc = _cos_dd("d.embedding", "c.c")
+    return f"""
+WITH sup AS (SELECT * FROM (VALUES {sup_rows}) s(si, sc)),
+cent AS (SELECT * FROM (VALUES {cent_rows}) c(si, i, c)),
+pr AS (
+  SELECT vec_id, si FROM (
+    SELECT d.vec_id, s.si,
+      row_number() OVER (PARTITION BY d.vec_id
+        ORDER BY round({cos_ds}, 9) DESC, s.si DESC) AS rk
+    FROM embeddings d CROSS JOIN sup s) WHERE rk <= {_HIER_NPROBE}),
+sc AS (
+  SELECT d.vec_id, c.i,
+    row_number() OVER (PARTITION BY d.vec_id
+      ORDER BY round({cos_dc}, 9) DESC, c.i DESC) AS rk
+  FROM pr JOIN embeddings d ON d.vec_id = pr.vec_id
+          JOIN cent c ON c.si = pr.si)
+SELECT vec_id, CAST(i AS INTEGER) AS list_id
+FROM sc WHERE rk = 1 ORDER BY vec_id
+"""
+
+
 def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -2410,6 +2519,8 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_y4m_decode": q_multimodal_y4m_decode,
         "text_chunk_documents": q_chunk_documents,
         "text_script_profile": q_script_profile,
+        "text_html_to_text": q_html_to_text,
+        "ann_assign_hier": q_assign_hier,
     }
 
 
@@ -2451,6 +2562,8 @@ def entry_oracles() -> dict[str, str]:
         "multimodal_y4m_decode": SQL_MULTIMODAL_Y4M,
         "text_chunk_documents": SQL_CHUNK_DOCUMENTS,
         "text_script_profile": _sql_script_profile(),
+        "text_html_to_text": _sql_html_to_text(),
+        "ann_assign_hier": _sql_assign_hier(),
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
         "asof_forward_tolerance": SQL_ASOF_FORWARD,

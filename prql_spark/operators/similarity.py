@@ -838,3 +838,25 @@ def embedding_near_dups(
         .select("p.id_a", "p.id_b", "p.cosine")
         .where(F.col("cosine") >= threshold)
     )
+
+
+def pseudo_centroids(
+    n: int = 64, dim: int = 64, seed: int = 7
+) -> list[list[float]]:
+    """Deterministic unit-normalized pseudo-random centroids — a
+    stand-in quantizer for tests and value oracles that need MORE
+    lists than the pretrained set (hierarchical assignment is only
+    meaningfully partial when nprobe_super < √L superclusters).
+    Values are rounded to 6 decimals BEFORE normalization so the
+    literal repr embedded in an oracle reconstructs bit-identical
+    doubles on any engine."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        v = [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in v)) or 1.0
+        out.append([x / nrm for x in v])
+    return out

@@ -1003,3 +1003,62 @@ def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     )
     return out.drop(*[f"__sc_{k}" for k in SCRIPT_RANGES], "__sc_tot")
+
+
+# Order matters twice in html_to_text: script/style/comment BLOCKS
+# must go before the generic tag strip (their text content is not
+# document text), and &amp; must decode LAST ("&amp;lt;" is the
+# AUTHOR writing "&lt;", not a less-than sign). Patterns avoid
+# backreferences so the identical regex runs on Java regex (Spark)
+# and RE2 (the DuckDB oracle).
+_HTML_BLOCK_PATTERNS = (
+    "(?is)<script[^>]*>.*?</script>",
+    "(?is)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->",
+)
+_HTML_TAG_PATTERN = "<[^>]+>"
+# the five entities virtually all web text uses, plus nbsp; amp last
+_HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "\\'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text_expr(col: str) -> str:
+    """The extraction as ONE nested Spark-SQL expression (JVM-side,
+    codegen-eligible — no Python in the loop)."""
+    e = col
+    for pat in _HTML_BLOCK_PATTERNS:
+        e = f"regexp_replace({e}, '{pat}', ' ')"
+    e = f"regexp_replace({e}, '{_HTML_TAG_PATTERN}', ' ')"
+    for ent, rep in _HTML_ENTITIES:
+        e = f"replace({e}, '{ent}', '{rep}')"
+    return f"trim(regexp_replace({e}, '[ \\\\t\\\\r\\\\n]+', ' '))"
+
+
+def html_to_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_extracted",
+) -> DataFrame:
+    """Extract readable text from raw HTML — the step every crawl
+    pipeline needs between WARC ingestion and quality scoring
+    (Gopher/repetition rules over raw markup mis-score badly: tags
+    inflate symbol ratios, scripts inflate repetition).
+
+    Drops <script>/<style> blocks and comments WITH their contents,
+    strips remaining tags, decodes the common entities (&amp; last,
+    so author-escaped entities stay escaped), and collapses
+    whitespace. A narrow JVM-side projection — no shuffle, no UDF;
+    at 100 TB this is a free rider on the ingestion scan.
+
+    Deliberately regexp-based, not a DOM parse: malformed real-world
+    HTML kills strict parsers, and boilerplate REMOVAL (nav/footer
+    pruning à la trafilatura) is a separate concern layered on after
+    extraction (see strip_boilerplate / gopher_quality_flags).
+    """
+    return df.withColumn(out_col, F.expr(html_to_text_expr(text_col)))

@@ -13,9 +13,8 @@ def test_driver_order_is_consistent():
     assert len(order) == len(set(order)), "duplicate entry names"
     sections = (
         entry_mod._NEW_THIS_ROUND
-        + entry_mod._STALE_R1R2
-        + entry_mod._CORE_R3
-        + entry_mod._FRESH_R3
+        + entry_mod._STALE_PREV
+        + entry_mod._FRESH_PREV
     )
     assert sorted(sections) == sorted(order)
     # every section is disjoint from the others
@@ -29,9 +28,9 @@ def test_driver_window_contains_new_and_stale_first():
     order = entry_mod._DRIVER_ORDER
     window = set(order[: entry_mod._DRIVER_WINDOW])
     assert set(entry_mod._NEW_THIS_ROUND) <= window
-    assert set(entry_mod._STALE_R1R2) <= window
+    assert set(entry_mod._STALE_PREV) <= window
     spill = (
-        len(entry_mod._NEW_THIS_ROUND) + len(entry_mod._STALE_R1R2)
+        len(entry_mod._NEW_THIS_ROUND) + len(entry_mod._STALE_PREV)
         - entry_mod._DRIVER_WINDOW
     )
     assert spill <= 0, (

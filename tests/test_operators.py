@@ -1576,3 +1576,36 @@ def test_script_profile_planted(spark):
     # mixed doc: fractions split, more cyrillic letters win
     assert out[7].dominant_script == "cyrillic"
     assert 0 < out[7].latin_frac < out[7].cyrillic_frac
+
+
+def test_html_to_text_planted(spark, catalog):
+    """Planted markup: script/style/comment contents dropped, tags
+    stripped, entities decoded with &amp; LAST (author-escaped
+    entities stay escaped), whitespace collapsed. PRQL-callable."""
+    from prql_spark import compile_prql
+    from prql_spark.operators.text import html_to_text
+
+    rows = [
+        (1, "<html><head><style>p {c:1}</style>"
+            "<script>var x = 1;</script></head>"
+            "<body><h1>Head</h1><p>Hello &amp; welcome &lt;3</p>"
+            "<!-- note --><div>A&nbsp;B &quot;q&quot; it&#39;s</div>"
+            "</body></html>"),
+        (2, "plain text, no markup"),
+        (3, "<SCRIPT type='x'>multi\nline</SCRIPT>after <b>bold</b> &amp;lt;"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text_extracted for r in html_to_text(df).collect()}
+    assert got[1] == 'Head Hello & welcome <3 A B "q" it\'s'
+    assert got[2] == "plain text, no markup"
+    assert got[3] == "after bold &lt;"  # author wrote "&lt;" — kept
+    assert got[4] == ""
+    # PRQL pipeline step
+    out = compile_prql(
+        "from documents\ntake 5\nhtml_to_text\n"
+        "select [doc_id, text_extracted]",
+        catalog,
+    )
+    assert out.columns == ["doc_id", "text_extracted"]
+    assert out.count() == 5

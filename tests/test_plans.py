@@ -355,6 +355,7 @@ def test_operator_construction_is_lazy(spark):
         "tfidf_top_terms": lambda: text.tfidf_top_terms(docs),
         "chunk_documents": lambda: text.chunk_documents(docs),
         "script_profile": lambda: text.script_profile(docs),
+        "html_to_text": lambda: text.html_to_text(docs),
         "collocations": lambda: text.collocations(docs),
         "dedup_exact": lambda: dedup.dedup_exact(docs),
         "dedup_minhash_lsh": lambda: dedup.dedup_minhash_lsh(docs),
