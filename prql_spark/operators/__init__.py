@@ -32,6 +32,11 @@ from prql_spark.sources.catalog import Catalog
 NORM_T = "lower(regexp_replace(trim({t}), '\\s+', ' ', 'g'))"  # duckdb
 NORM = NORM_T.format(t="text")
 WORDS_DD = f"string_split({NORM}, ' ')"
+# case-PRESERVING word split (chunking reconstructs text — it must
+# not fold case the way the scoring/dedup tokenizers deliberately do)
+CWORDS_DD = (
+    "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2258,7 +2263,7 @@ def q_chunk_documents(spark, sf_dir):
 
 
 SQL_CHUNK_DOCUMENTS = f"""
-WITH w AS (SELECT doc_id, {WORDS_DD} AS ws FROM documents),
+WITH w AS (SELECT doc_id, {CWORDS_DD} AS ws FROM documents),
 c AS (
   SELECT doc_id, ws,
     unnest(generate_series(0,

@@ -929,7 +929,12 @@ def chunk_documents(
         f"CAST(ceil(CAST(greatest({n} - {overlap}, 1) AS DOUBLE) "
         f"/ {stride}) AS INT)"
     )
-    base = df.withColumn("__cw", F.expr(_words(text_col)))
+    # case-PRESERVING split (unlike the scoring/dedup tokenizers):
+    # chunk_text IS the document text downstream trains on — folding
+    # case here would silently lowercase the corpus
+    base = df.withColumn(
+        "__cw", F.expr(f"split(trim({text_col}), '\\\\s+')")
+    )
     return (
         base.select(
             "*",

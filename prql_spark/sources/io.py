@@ -242,13 +242,21 @@ def read_warc(
     ``record_type``; ``payload`` stays raw bytes for the caller's
     decode step (html→text, charset detection).
     """
+    files = read_binary_files(spark, path, glob=glob)
+    return files.select("path", "content").mapInPandas(
+        _warc_parser(record_types), WARC_SCHEMA
+    )
+
+
+def _warc_parser(record_types: tuple[str, ...]):
+    """The shard → records Arrow-batch parser shared by the batch and
+    streaming WARC readers (identical framing, gzip, and
+    truncated-shard semantics by construction)."""
     import gzip
 
-    import pandas as pd
-
-    files = read_binary_files(spark, path, glob=glob)
-
     def parse(batches):
+        import pandas as pd
+
         for pdf in batches:
             rows = {k: [] for k in (
                 "file_path", "record_offset", "warc_type", "target_uri",
@@ -279,7 +287,52 @@ def read_warc(
                     rows["payload"].append(payload)
             yield pd.DataFrame(rows)
 
-    return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+    return parse
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    record_types: tuple[str, ...] = ("response", "conversion"),
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: a ``binaryFile`` file
+    stream over a crawl landing directory — each micro-batch picks up
+    at most ``max_files_per_trigger`` newly-landed shards (bounded
+    per-trigger work at any backlog), runs the SAME Arrow-batched
+    record parser, and emits the same record schema. Compose with
+    :func:`warc_to_documents` (pure column expressions — streams
+    unchanged) and a ``foreachBatch`` upsert sink
+    (:func:`prql_spark.streaming.pipeline.stream_upsert_to_parquet`)
+    for the continuous crawl → corpus-lake loop; doc_id =
+    file#offset keys make replayed batches idempotent."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType([
+        StructField("path", StringType()),
+        StructField("modificationTime", TimestampType()),
+        StructField("length", LongType()),
+        StructField("content", BinaryType()),
+    ])
+    r = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    files = r.load(path)
+    return files.select("path", "content").mapInPandas(
+        _warc_parser(record_types), WARC_SCHEMA
+    )
 
 
 def warc_to_documents(warc: DataFrame) -> DataFrame:

@@ -311,3 +311,45 @@ def stream_upsert_to_parquet(
             f"{timeout_s}s — lake at {path!r} is partially merged"
         )
     return q
+
+
+def stream_warc_to_corpus(
+    spark: SparkSession,
+    landing_dir: str,
+    lake_path: str,
+    glob: str | None = None,
+    checkpoint: str | None = None,
+    max_files_per_trigger: int = 4,
+    timeout_s: int = 300,
+):
+    """The continuous crawl → corpus-lake loop: streaming WARC reader
+    over a landing directory → :func:`warc_to_documents` (stateless
+    column expressions — stream-safe) → keyed ``foreachBatch`` upsert
+    into a plain-parquet documents lake.
+
+    Each trigger ingests at most ``max_files_per_trigger`` newly
+    landed shards (bounded work at any backlog); the checkpoint makes
+    the source restartable mid-backlog; and because doc_id =
+    file#offset is a stable key, the upsert makes at-least-once
+    replays idempotent — the lake converges to exactly the batch
+    twin ``warc_to_documents(read_warc(...))`` (pinned live in
+    tests/test_streaming.py; the batch twin itself is value-oracled
+    by the sources_warc_read driver entry).
+
+    Runs with trigger(availableNow) and blocks until the current
+    backlog drains (bounded-backfill shape — call again as new shards
+    land, or drive the returned query with a processingTime trigger
+    for a resident deployment).
+    """
+    from prql_spark.sources.io import read_warc_stream, warc_to_documents
+
+    docs = warc_to_documents(
+        read_warc_stream(
+            spark, landing_dir, glob=glob,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+    )
+    return stream_upsert_to_parquet(
+        docs, lake_path, key_cols=["doc_id"],
+        checkpoint=checkpoint, timeout_s=timeout_s,
+    )

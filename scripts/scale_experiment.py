@@ -82,8 +82,35 @@ def synthesize_vectors(spark, n_copies: int) -> str:
     return out
 
 
+def _assert_no_concurrent_jvms():
+    """Round-3/4 postmortem, now enforced up front: ANY other live
+    JVM (a forgotten check_entry.py, a pytest session) on this
+    local[32] host inflates single measured queries 3-30x. Abort
+    before spending minutes on numbers that cannot be compared;
+    SPARK_GRAFT_IGNORE_JVMS=1 overrides (e.g. CI sidecars known to
+    be idle)."""
+    import subprocess
+
+    if os.environ.get("SPARK_GRAFT_IGNORE_JVMS"):
+        return
+    try:
+        out = subprocess.run(
+            ["pgrep", "-a", "java"], capture_output=True, text=True
+        ).stdout
+    except FileNotFoundError:
+        return
+    others = [ln for ln in out.splitlines() if ln.strip()]
+    if others:
+        raise SystemExit(
+            "scale_experiment: other JVMs are running — timings would "
+            "be 3-30x inflated. Kill them first (or set "
+            "SPARK_GRAFT_IGNORE_JVMS=1):\n" + "\n".join(others[:5])
+        )
+
+
 def main():
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    _assert_no_concurrent_jvms()
     spark = build_spark("scale-exp")
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()

@@ -61,3 +61,64 @@ def test_prepare_training_corpus_end_to_end(spark, catalog, tmp_path):
     with open(train_files[0]) as f:
         first = json.loads(f.readline())
     assert "doc_id" in first and "text_clean" in first
+
+
+def test_prepare_training_corpus_chunks_long_docs(spark):
+    """An over-budget document is split into budget-sized chunks
+    before packing — no output row exceeds pack_target_tokens, the
+    chunks cover the original text exactly (overlap 0), and all
+    siblings stay in one split. chunk_long_docs=False preserves the
+    legacy pass-through (one oversized row)."""
+    from pyspark.sql import Row
+
+    # 700 varied words, stopword-rich, no repeated n-grams — passes
+    # the Gopher/repetition filters while far exceeding the budget
+    long_text = " ".join(
+        f"the brave{i} fox of hill{i} is near{i}" for i in range(100)
+    )
+    rows = [Row(doc_id=1, text=long_text),
+            Row(doc_id=2, text="the and of to in is that it with for "
+                               "was on are this have a short doc")]
+    df = spark.createDataFrame(rows)
+    result, _ = prepare_training_corpus(
+        df, min_quality=0.0, langs=("en",), pack_target_tokens=64,
+        minhash_threshold=0.99,
+    )
+    got = result.collect()
+    assert all(r.n_tokens <= 64 for r in got)
+    parts = sorted(
+        (r for r in got if r.doc_id == 1), key=lambda r: r.doc_chunk
+    )
+    assert len(parts) > 1  # the long doc really split
+    # overlap 0 → concatenating sibling chunks rebuilds the doc
+    rebuilt = " ".join(r.text_clean for r in parts)
+    assert rebuilt == long_text
+    assert len({r.split for r in parts}) == 1  # siblings share a split
+
+    legacy, _ = prepare_training_corpus(
+        df, min_quality=0.0, langs=("en",), pack_target_tokens=64,
+        minhash_threshold=0.99, chunk_long_docs=False,
+    )
+    lg = [r for r in legacy.collect() if r.doc_id == 1]
+    assert len(lg) == 1 and lg[0].n_tokens == 700
+
+
+def test_prepare_training_corpus_html_input(spark):
+    """html_input=True extracts markup before cleaning: script
+    contents never reach the corpus, entities are decoded."""
+    from pyspark.sql import Row
+
+    body = " ".join(
+        f"the brave{i} fox of hill{i} is near{i}" for i in range(10)
+    ) + " quality prose &amp; more"
+    rows = [Row(doc_id=1, text=(
+        "<html><head><script>var SPAMTOKEN = 1;</script></head>"
+        f"<body><p>{body}</p></body></html>"))]
+    result, _ = prepare_training_corpus(
+        spark.createDataFrame(rows), min_quality=0.0, langs=("en",),
+        html_input=True,
+    )
+    got = result.collect()
+    assert len(got) == 1
+    assert "SPAMTOKEN" not in got[0].text_clean
+    assert "quality prose & more" in got[0].text_clean

@@ -447,3 +447,63 @@ def test_stream_upsert_to_parquet_lake(spark, events_dir, tmp_path):
     # one row per key — the upserts merged rather than appended
     n_rows = spark.read.parquet(lake).count()
     assert n_rows == len(want)
+
+
+def test_stream_warc_to_corpus_converges_to_batch_twin(spark, tmp_path):
+    """Streaming WARC ingestion: shards land in two waves; each
+    availableNow drain upserts into the lake; after each wave the
+    lake equals the batch twin over everything landed so far —
+    including a restart from checkpoint between waves and an
+    at-least-once replay made idempotent by the doc_id key."""
+    import gzip
+    import os
+
+    from prql_spark.sources.io import read_warc, warc_to_documents
+    from prql_spark.streaming.pipeline import stream_warc_to_corpus
+
+    landing = str(tmp_path / "landing")
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def rec(wtype, uri, body):
+        h = (f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+             f"WARC-Target-URI: {uri}\r\n"
+             f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+             f"Content-Length: {len(body)}\r\n\r\n")
+        return h.encode() + body + b"\r\n\r\n"
+
+    def lake_rows():
+        return {
+            (r.url, r.text)
+            for r in spark.read.parquet(lake).collect()
+        }
+
+    def twin_rows():
+        return {
+            (r.url, r.text)
+            for r in warc_to_documents(read_warc(spark, landing)).collect()
+        }
+
+    # wave 1: one plain shard
+    with open(os.path.join(landing, "w1.warc"), "wb") as f:
+        f.write(
+            rec("response", "http://t.test/a",
+                b"HTTP/1.1 200 OK\r\n\r\nalpha body")
+            + rec("conversion", "http://t.test/b", b"beta text")
+        )
+    stream_warc_to_corpus(spark, landing, lake, checkpoint=ckpt)
+    assert lake_rows() == twin_rows() == {
+        ("http://t.test/a", "alpha body"),
+        ("http://t.test/b", "beta text"),
+    }
+
+    # wave 2: a gzip shard lands later; resume from the checkpoint —
+    # only the new shard is ingested, lake converges to the full twin
+    with open(os.path.join(landing, "w2.warc.gz"), "wb") as f:
+        f.write(gzip.compress(
+            rec("conversion", "http://t.test/c", b"gamma text")
+        ))
+    stream_warc_to_corpus(spark, landing, lake, checkpoint=ckpt)
+    assert lake_rows() == twin_rows()
+    assert ("http://t.test/c", "gamma text") in lake_rows()
