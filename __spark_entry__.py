@@ -840,6 +840,7 @@ _DRIVER_WINDOW = 50
 _NEW_THIS_ROUND = [
     "text_html_to_text",
     "ann_assign_hier",
+    "dedup_paragraphs",
 ]
 
 # most recent driver row is from ROUND 3 (these sat behind round 4's

@@ -93,6 +93,7 @@ def _extended_transforms() -> dict:
         "tfidf_top_terms": text.tfidf_top_terms,
         "chunk_documents": text.chunk_documents,
         "html_to_text": text.html_to_text,
+        "dedup_paragraphs": dedup.dedup_paragraphs,
     }
 
 

@@ -2408,6 +2408,45 @@ FROM x ORDER BY doc_id
 """
 
 
+# every doc gets the same planted footer paragraph (the boilerplate
+# case paragraph dedup exists for) between two slices of its text
+# chr(10): identical newline spelling on BOTH engines (Spark's ''
+# literals unescape \n, DuckDB's standard strings do not)
+_PARA_WRAP = (
+    "concat(substring(text, 1, 120), chr(10), chr(10), "
+    "'share and subscribe for more updates', chr(10), chr(10), "
+    "substring(text, 121))"
+)
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """Corpus-wide paragraph dedup value-oracled: the planted shared
+    footer survives only at its first (min doc_id) occurrence; DuckDB
+    replays split → normalize → first-occurrence winner → ordered
+    reassembly."""
+    docs = _docs(spark, sf_dir).withColumn("text", F.expr(_PARA_WRAP))
+    return dedup.dedup_paragraphs(docs).orderBy("doc_id")
+
+
+SQL_DEDUP_PARAGRAPHS = f"""
+WITH w AS (SELECT doc_id, {_PARA_WRAP} AS t FROM documents),
+a AS (SELECT doc_id, string_split_regex(t, '\\n{{2,}}') AS arr FROM w),
+p AS (SELECT doc_id, arr,
+        unnest(generate_series(1, len(arr))) AS i FROM a),
+p2 AS (SELECT doc_id, i - 1 AS pi, arr[i] AS para FROM p
+       WHERE trim(arr[i]) != ''),
+pn AS (SELECT doc_id, pi, para,
+        lower(trim(regexp_replace(para, '\\s+', ' ', 'g'))) AS k
+       FROM p2),
+rk AS (SELECT *, row_number() OVER (PARTITION BY k
+         ORDER BY doc_id, pi) AS r FROM pn)
+SELECT doc_id,
+  string_agg(para, e'\\n\\n' ORDER BY pi) AS text_deduped,
+  CAST(count(*) AS INTEGER) AS n_paras_kept
+FROM rk WHERE r = 1 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _HIER_NPROBE = 2  # of 8 superclusters — genuinely partial probing
 
 
@@ -2526,6 +2565,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_script_profile": q_script_profile,
         "text_html_to_text": q_html_to_text,
         "ann_assign_hier": q_assign_hier,
+        "dedup_paragraphs": q_dedup_paragraphs,
     }
 
 
@@ -2569,6 +2609,7 @@ def entry_oracles() -> dict[str, str]:
         "text_script_profile": _sql_script_profile(),
         "text_html_to_text": _sql_html_to_text(),
         "ann_assign_hier": _sql_assign_hier(),
+        "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
         "asof_forward_tolerance": SQL_ASOF_FORWARD,

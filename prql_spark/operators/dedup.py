@@ -709,3 +709,67 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.first("jaccard").alias("jaccard"))
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 0,
+) -> DataFrame:
+    """CORPUS-WIDE paragraph-level dedup — the C4/RefinedWeb
+    "repeated span removal" step at paragraph granularity: a
+    paragraph (blank-line-separated block) that occurs in many
+    documents (boilerplate footers, license blocks, navigation text)
+    survives only at its FIRST occurrence ``(min doc_id, min index)``
+    and is cut everywhere else; each document is reassembled from its
+    surviving paragraphs in order.
+
+    ``min_chars``: paragraphs shorter than this never become dedup
+    candidates (always kept) — section headers like "Introduction"
+    would otherwise vanish corpus-wide. Matching is near-exact: the
+    dedup key is the paragraph lowercased and whitespace-collapsed.
+
+    Shape at scale: one narrow posexplode, ONE hash exchange on the
+    paragraph key (map-side-combined min-struct winner), a key-join
+    that reuses that partitioning, and one group-by doc to
+    reassemble — cost tracks total paragraph count, never pairs. A
+    document consisting ENTIRELY of repeated paragraphs reassembles
+    to zero survivors and drops from the output (it is an exact
+    duplicate at the only granularity it has).
+    """
+    para_split = "split(" + text_col + ", '\\n{2,}')"
+    norm = "lower(trim(regexp_replace(__para, '\\\\s+', ' ')))"
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.expr(para_split)).alias("__pi", "__para"),
+        )
+        .where(F.expr("trim(__para) != ''"))
+        .withColumn("__pn", F.expr(norm))
+    )
+    cand = paras.where(F.length("__pn") >= min_chars)
+    winners = cand.groupBy("__pn").agg(
+        F.expr(
+            f"min(named_struct('d', {id_col}, 'i', __pi))"
+        ).alias("__w")
+    )
+    kept = (
+        paras.join(winners, "__pn", "left")
+        .where(
+            F.expr(
+                f"__w IS NULL OR (__w.d = {id_col} AND __w.i = __pi)"
+            )
+        )
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.expr(
+                "concat_ws('\\n\\n', transform(array_sort("
+                "collect_list(named_struct('i', __pi, 'p', __para))), "
+                "s -> s.p))"
+            ).alias("text_deduped"),
+            F.count(F.lit(1)).cast("int").alias("n_paras_kept"),
+        )
+    )

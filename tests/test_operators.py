@@ -1609,3 +1609,45 @@ def test_html_to_text_planted(spark, catalog):
     )
     assert out.columns == ["doc_id", "text_extracted"]
     assert out.count() == 5
+
+
+def test_dedup_paragraphs_planted(spark, catalog):
+    """Corpus-wide paragraph dedup: the shared footer survives only
+    in the lowest-id doc; in-doc repeats collapse; short paragraphs
+    under min_chars are never candidates; a doc made entirely of
+    repeated paragraphs drops from the output. PRQL-callable."""
+    from pyspark.sql import Row
+
+    from prql_spark import compile_prql
+    from prql_spark.operators.dedup import dedup_paragraphs
+
+    footer = "share and subscribe for more updates"
+    rows = [
+        Row(doc_id=1, text=f"alpha body one\n\n{footer}\n\nIntro"),
+        Row(doc_id=2, text=f"beta body two\n\n{footer}\n\nIntro"),
+        Row(doc_id=3, text="gamma\n\ngamma\n\ndelta"),   # in-doc repeat
+        Row(doc_id=4, text=f"{footer}\n\n{footer}"),     # all duplicate
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.doc_id: r for r in dedup_paragraphs(df).collect()}
+    assert got[1].text_deduped == f"alpha body one\n\n{footer}\n\nIntro"
+    assert got[1].n_paras_kept == 3
+    # doc 2 loses the footer AND the repeated "Intro"
+    assert got[2].text_deduped == "beta body two"
+    assert got[3].text_deduped == "gamma\n\ndelta"
+    assert 4 not in got  # nothing survived
+    # min_chars: short headers are not candidates — "Intro" stays
+    got2 = {r.doc_id: r for r in dedup_paragraphs(df, min_chars=10).collect()}
+    assert got2[2].text_deduped == "beta body two\n\nIntro"
+    # normalization: case/whitespace variants are the same paragraph
+    v = spark.createDataFrame([
+        Row(doc_id=1, text="Same   Para"),
+        Row(doc_id=2, text="same para"),
+    ])
+    gv = {r.doc_id: r for r in dedup_paragraphs(v).collect()}
+    assert 1 in gv and 2 not in gv
+    # PRQL pipeline step
+    out = compile_prql(
+        "from documents\ntake 5\ndedup_paragraphs", catalog
+    )
+    assert set(out.columns) == {"doc_id", "text_deduped", "n_paras_kept"}

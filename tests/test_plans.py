@@ -369,6 +369,7 @@ def test_operator_construction_is_lazy(spark):
         "dedup_against_near": lambda: dedup.dedup_against_near(
             docs, docs.select("text")
         ),
+        "dedup_paragraphs": lambda: dedup.dedup_paragraphs(docs),
         "split_by_hash": lambda: splits.split_by_hash(docs, "doc_id"),
         "sample_by_hash": lambda: splits.sample_by_hash(
             docs, "doc_id", 0.5
