@@ -841,6 +841,8 @@ _NEW_THIS_ROUND = [
     "text_html_to_text",
     "ann_assign_hier",
     "dedup_paragraphs",
+    "dedup_lines",
+    "text_url_features",
 ]
 
 # most recent driver row is from ROUND 3 (these sat behind round 4's

@@ -94,6 +94,8 @@ def _extended_transforms() -> dict:
         "chunk_documents": text.chunk_documents,
         "html_to_text": text.html_to_text,
         "dedup_paragraphs": dedup.dedup_paragraphs,
+        "dedup_lines": dedup.dedup_lines,
+        "url_features": text.url_features,
     }
 
 

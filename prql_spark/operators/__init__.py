@@ -2447,6 +2447,91 @@ FROM rk WHERE r = 1 GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# planted shared LINE (cookie banner) in every doc, mid-text
+_LINE_WRAP = (
+    "concat(substring(text, 1, 80), chr(10), "
+    "'cookie notice: accept all cookies', chr(10), "
+    "substring(text, 81))"
+)
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Line-granularity span dedup value-oracled: the planted cookie
+    banner survives only in the lowest-id doc."""
+    docs = _docs(spark, sf_dir).withColumn("text", F.expr(_LINE_WRAP))
+    return dedup.dedup_lines(docs).orderBy("doc_id")
+
+
+SQL_DEDUP_LINES = f"""
+WITH w AS (SELECT doc_id, {_LINE_WRAP} AS t FROM documents),
+a AS (SELECT doc_id, string_split_regex(t, '\\n+') AS arr FROM w),
+p AS (SELECT doc_id, arr,
+        unnest(generate_series(1, len(arr))) AS i FROM a),
+p2 AS (SELECT doc_id, i - 1 AS pi, arr[i] AS para FROM p
+       WHERE trim(arr[i]) != ''),
+pn AS (SELECT doc_id, pi, para,
+        lower(trim(regexp_replace(para, '\\s+', ' ', 'g'))) AS k
+       FROM p2),
+rk AS (SELECT *, row_number() OVER (PARTITION BY k
+         ORDER BY doc_id, pi) AS r FROM pn)
+SELECT doc_id,
+  string_agg(para, e'\\n' ORDER BY pi) AS text_deduped,
+  CAST(count(*) AS INTEGER) AS n_lines_kept
+FROM rk WHERE r = 1 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# deterministic planted URLs: every 7th doc on a blocklisted ad
+# domain, every 3rd doc with a shallow path ({cast}: the engines
+# spell string casts differently)
+_URL_WRAP = (
+    "concat('https://', CASE WHEN doc_id % 7 = 0 "
+    "THEN concat(source, '.ads.invalid') "
+    "ELSE concat(source, '.example.org') END, '/', lang, "
+    "CASE WHEN doc_id % 3 = 0 THEN '' "
+    "ELSE concat('/p/', CAST(doc_id AS {cast})) END)"
+)
+_URL_BLOCK = ("ads.invalid",)
+
+
+def q_url_features(spark, sf_dir):
+    """URL triage value-oracled: host/domain/tld/path-depth extraction
+    and the blocklist flag over deterministic planted URLs; DuckDB
+    replays the identical RE2-safe regexes."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "url", F.expr(_URL_WRAP.format(cast="STRING"))
+    )
+    out = text.url_features(docs, block_domains=_URL_BLOCK)
+    return out.select(
+        "doc_id", "url", "url_host", "url_domain", "url_tld",
+        F.col("url_path_depth").cast("int").alias("url_path_depth"),
+        "url_blocked",
+    ).orderBy("doc_id")
+
+
+def _sql_url_features() -> str:
+    from prql_spark.operators.text import URL_HOST_RE, URL_PATH_RE
+
+    wrap = _URL_WRAP.format(cast="VARCHAR")
+    d = _URL_BLOCK[0]
+    return f"""
+WITH w AS (SELECT doc_id, {wrap} AS url FROM documents),
+h AS (SELECT doc_id, url,
+        lower(regexp_extract(url, '{URL_HOST_RE}', 2)) AS url_host,
+        regexp_extract(url, '{URL_PATH_RE}', 1) AS pth FROM w),
+x AS (SELECT *, string_split_regex(url_host, '[.]') AS hl FROM h)
+SELECT doc_id, url, url_host,
+  CASE WHEN len(hl) >= 2
+       THEN array_to_string(list_slice(hl, len(hl) - 1, len(hl)), '.')
+       ELSE url_host END AS url_domain,
+  hl[len(hl)] AS url_tld,
+  CAST(len(list_filter(string_split(pth, '/'), s -> s != ''))
+       AS INTEGER) AS url_path_depth,
+  (url_host = '{d}' OR url_host LIKE '%.{d}') AS url_blocked
+FROM x ORDER BY doc_id
+"""
+
+
 _HIER_NPROBE = 2  # of 8 superclusters — genuinely partial probing
 
 
@@ -2566,6 +2651,8 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_html_to_text": q_html_to_text,
         "ann_assign_hier": q_assign_hier,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "dedup_lines": q_dedup_lines,
+        "text_url_features": q_url_features,
     }
 
 
@@ -2610,6 +2697,8 @@ def entry_oracles() -> dict[str, str]:
         "text_html_to_text": _sql_html_to_text(),
         "ann_assign_hier": _sql_assign_hier(),
         "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
+        "dedup_lines": SQL_DEDUP_LINES,
+        "text_url_features": _sql_url_features(),
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
         "asof_forward_tolerance": SQL_ASOF_FORWARD,

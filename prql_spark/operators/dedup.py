@@ -738,12 +738,46 @@ def dedup_paragraphs(
     to zero survivors and drops from the output (it is an exact
     duplicate at the only granularity it has).
     """
-    para_split = "split(" + text_col + ", '\\n{2,}')"
+    return _dedup_spans(
+        df, text_col, id_col, min_chars,
+        split_pattern="\\n{2,}", join_sep="\\n\\n",
+        kept_col="n_paras_kept",
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 0,
+) -> DataFrame:
+    """:func:`dedup_paragraphs` at LINE granularity — C4's repeated
+    line removal (Raffel et al. 2020 dedup "three-sentence spans";
+    line-level is the common practical variant: nav menus, cookie
+    banners, and list boilerplate repeat as single lines). Same
+    single-exchange winner shape; output column ``n_lines_kept``."""
+    return _dedup_spans(
+        df, text_col, id_col, min_chars,
+        split_pattern="\\n+", join_sep="\\n",
+        kept_col="n_lines_kept",
+    )
+
+
+def _dedup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_chars: int,
+    split_pattern: str,
+    join_sep: str,
+    kept_col: str,
+) -> DataFrame:
+    span_split = f"split({text_col}, '{split_pattern}')"
     norm = "lower(trim(regexp_replace(__para, '\\\\s+', ' ')))"
     paras = (
         df.select(
             F.col(id_col),
-            F.posexplode(F.expr(para_split)).alias("__pi", "__para"),
+            F.posexplode(F.expr(span_split)).alias("__pi", "__para"),
         )
         .where(F.expr("trim(__para) != ''"))
         .withColumn("__pn", F.expr(norm))
@@ -766,10 +800,10 @@ def dedup_paragraphs(
         kept.groupBy(id_col)
         .agg(
             F.expr(
-                "concat_ws('\\n\\n', transform(array_sort("
+                f"concat_ws('{join_sep}', transform(array_sort("
                 "collect_list(named_struct('i', __pi, 'p', __para))), "
                 "s -> s.p))"
             ).alias("text_deduped"),
-            F.count(F.lit(1)).cast("int").alias("n_paras_kept"),
+            F.count(F.lit(1)).cast("int").alias(kept_col),
         )
     )

@@ -1067,3 +1067,56 @@ def html_to_text(
     extraction (see strip_boilerplate / gopher_quality_flags).
     """
     return df.withColumn(out_col, F.expr(html_to_text_expr(text_col)))
+
+
+# scheme://host extraction without backslashes: identical pattern
+# text runs on Java regex (Spark) and RE2 (the DuckDB oracle)
+URL_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#@]*@)?([^/:?#]+)"
+URL_PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)?"
+
+
+def url_features(
+    df: DataFrame,
+    url_col: str = "url",
+    block_domains: tuple[str, ...] = (),
+) -> DataFrame:
+    """Crawl URL triage — the filter-by-URL step every web pipeline
+    runs before touching page content (C4 dropped blocklisted
+    domains; RefinedWeb's URL filter scores host/path): extract
+    ``url_host``, ``url_domain`` (last-two-labels heuristic — NOT
+    public-suffix-aware: co.uk-style hosts resolve to the suffix;
+    plug a suffix table upstream where that matters), ``url_tld``,
+    ``url_path_depth``, and ``url_blocked`` (host equals or is a
+    subdomain of any ``block_domains`` entry — the domains are plan
+    constants, so the check is a narrow JVM map, no join).
+    """
+    host = f"lower(regexp_extract({url_col}, '{URL_HOST_RE}', 2))"
+    path = f"regexp_extract({url_col}, '{URL_PATH_RE}', 1)"
+    if block_domains:
+        blocked = " OR ".join(
+            f"(url_host = '{d}' OR url_host LIKE '%.{d}')"
+            for d in block_domains
+        )
+    else:
+        blocked = "FALSE"
+    return (
+        df.withColumn("url_host", F.expr(host))
+        .withColumn("__hl", F.expr("split(url_host, '[.]')"))
+        .withColumn(
+            "url_domain",
+            F.expr(
+                "IF(size(__hl) >= 2, "
+                "concat_ws('.', slice(__hl, size(__hl) - 1, 2)), "
+                "url_host)"
+            ),
+        )
+        .withColumn("url_tld", F.expr("element_at(__hl, -1)"))
+        .withColumn(
+            "url_path_depth",
+            F.expr(
+                f"size(filter(split({path}, '/'), s -> s != ''))"
+            ),
+        )
+        .withColumn("url_blocked", F.expr(blocked))
+        .drop("__hl")
+    )

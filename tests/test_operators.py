@@ -1651,3 +1651,51 @@ def test_dedup_paragraphs_planted(spark, catalog):
         "from documents\ntake 5\ndedup_paragraphs", catalog
     )
     assert set(out.columns) == {"doc_id", "text_deduped", "n_paras_kept"}
+
+
+def test_dedup_lines_planted(spark):
+    """Line-granularity span dedup: the repeated cookie banner
+    survives once corpus-wide; blank lines ignored."""
+    from pyspark.sql import Row
+
+    from prql_spark.operators.dedup import dedup_lines
+
+    banner = "cookie notice: accept all cookies"
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=f"first story\n{banner}\nmore text"),
+        Row(doc_id=2, text=f"{banner}\nsecond story"),
+    ])
+    got = {r.doc_id: r for r in dedup_lines(df).collect()}
+    assert got[1].text_deduped == f"first story\n{banner}\nmore text"
+    assert got[2].text_deduped == "second story"
+    assert got[2].n_lines_kept == 1
+
+
+def test_url_features_edges(spark):
+    """Host extraction tolerates userinfo and ports; the blocklist
+    matches subdomains but NOT lookalike suffixes; path depth counts
+    non-empty segments; query strings are not path."""
+    from pyspark.sql import Row
+
+    from prql_spark.operators.text import url_features
+
+    rows = [
+        Row(doc_id=1, url="https://www.example.org/a/b/c"),
+        Row(doc_id=2, url="http://user:pw@ads.invalid:8080/x?q=1"),
+        Row(doc_id=3, url="https://notads.invalid/"),
+        Row(doc_id=4, url="https://sub.ads.invalid"),
+        Row(doc_id=5, url="https://Example.ORG/path/?u=2#frag"),
+    ]
+    out = {r.doc_id: r for r in url_features(
+        spark.createDataFrame(rows), block_domains=("ads.invalid",)
+    ).collect()}
+    assert out[1].url_host == "www.example.org"
+    assert out[1].url_domain == "example.org"
+    assert out[1].url_tld == "org" and out[1].url_path_depth == 3
+    assert out[2].url_host == "ads.invalid" and out[2].url_blocked
+    assert out[2].url_path_depth == 1  # ?q=1 is not path
+    assert out[3].url_host == "notads.invalid"
+    assert not out[3].url_blocked  # lookalike suffix, different domain
+    assert out[4].url_blocked      # true subdomain
+    assert out[5].url_host == "example.org"  # lowercased
+    assert out[5].url_path_depth == 1

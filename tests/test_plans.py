@@ -317,6 +317,8 @@ def test_operator_construction_is_lazy(spark):
     rebalance counts) are exercised with explicit parameters — the
     documented production path. The DAGScheduler's job counter is
     read before/after each constructor; any increment is a job."""
+    from pyspark.sql import functions as F
+
     from prql_spark.operators import dedup, similarity, splits, text
     from prql_spark.operators.profile import rollup_stats
 
@@ -370,6 +372,12 @@ def test_operator_construction_is_lazy(spark):
             docs, docs.select("text")
         ),
         "dedup_paragraphs": lambda: dedup.dedup_paragraphs(docs),
+        "dedup_lines": lambda: dedup.dedup_lines(docs),
+        "url_features": lambda: text.url_features(
+            docs.withColumn("url", F.expr(
+                "concat('https://h.example/', doc_id)")),
+            block_domains=("bad.example",),
+        ),
         "split_by_hash": lambda: splits.split_by_hash(docs, "doc_id"),
         "sample_by_hash": lambda: splits.sample_by_hash(
             docs, "doc_id", 0.5
