@@ -785,6 +785,208 @@ def entry(spark: SparkSession) -> DataFrame:
     return compile_prql(Q1_PRICING_SUMMARY, _cat(spark, SF0001))
 
 
+# --- round 5: the remaining TPC-H query SHAPES, adapted to the
+# reduced synthetic schema (no partsupp table; lineitem carries the
+# part↔supplier association; no commit/receipt dates — lateness is
+# shipdate vs orderdate + 75 days). Each keeps the ORIGINAL query's
+# decorrelation challenge: q2 per-group argmin, q9 multi-dim profit
+# rollup, q11 global-scalar HAVING, q16 NOT-IN exclusion +
+# count-distinct, q20 nested-IN chain, q21 double-EXISTS.
+
+Q2_MIN_COST_SUPPLIER = """
+table sup_price = (
+  from l=lineitem
+  join p=part [p_partkey == l_partkey]
+  filter p_type == "ECONOMY"
+  derive [unit = l_extendedprice / l_quantity]
+  group [p_partkey, l_suppkey] (aggregate [sprice = min unit])
+)
+table best = (
+  from sup_price
+  group [p_partkey] (aggregate [min_price = min sprice])
+)
+from sp=sup_price
+join b=best [p_partkey]
+filter sprice == min_price
+join s=supplier [s_suppkey == l_suppkey]
+select [p_partkey, s_name, sprice]
+sort [p_partkey, s_name]
+"""
+
+Q2_SQL = """
+WITH sup_price AS (
+  SELECT p_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS sprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'ECONOMY' GROUP BY p_partkey, l_suppkey),
+best AS (SELECT p_partkey, min(sprice) AS min_price
+         FROM sup_price GROUP BY p_partkey)
+SELECT p_partkey, s_name, sprice
+FROM sup_price JOIN best USING (p_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE sprice = min_price
+ORDER BY p_partkey, s_name
+"""
+
+Q9_PRODUCT_PROFIT = """
+from l=lineitem
+join p=part [p_partkey == l_partkey]
+filter s"{p.p_name} LIKE '%widget%'"
+join s=supplier [s_suppkey == l_suppkey]
+join n=nation [n_nationkey == s_nationkey]
+join o=orders [o_orderkey == l_orderkey]
+derive [
+  o_year = s"year({o.o_orderdate})",
+  amount = l_extendedprice * (1 - l_discount),
+]
+group [n_name, o_year] (
+  aggregate [sum_profit = round (sum amount) 4]
+)
+sort [n_name, -o_year]
+"""
+
+Q9_SQL = """
+SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_profit
+FROM lineitem JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year ORDER BY n_name, o_year DESC
+"""
+
+Q11_IMPORTANT_SHARE = """
+table part_value = (
+  from l=lineitem
+  group [l_partkey] (
+    aggregate [value = round (sum (l_extendedprice * (1 - l_discount))) 4]
+  )
+)
+table total = (
+  from part_value
+  aggregate [avg_value = avg value, tag = max 1]
+)
+from pv=part_value
+derive [ptag = 1]
+join t=total [tag == ptag]
+filter value > avg_value * 1.2
+select [l_partkey, value]
+sort [-value, l_partkey]
+"""
+
+Q11_SQL = """
+WITH part_value AS (
+  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS value
+  FROM lineitem GROUP BY l_partkey),
+total AS (SELECT avg(value) AS avg_value FROM part_value)
+SELECT l_partkey, value FROM part_value, total
+WHERE value > avg_value * 1.2
+ORDER BY value DESC, l_partkey
+"""
+
+Q16_SUPPLIER_COUNTS = """
+table bad_suppliers = (
+  from supplier
+  filter s_acctbal < 0.0
+  select [s_suppkey]
+)
+from l=lineitem
+join p=part [p_partkey == l_partkey]
+filter p_size <= 20
+join side:left b=bad_suppliers [s_suppkey == l_suppkey]
+filter s_suppkey == null
+group [p_brand, p_type] (
+  aggregate [supplier_cnt = count_distinct l_suppkey]
+)
+sort [-supplier_cnt, p_brand, p_type]
+"""
+
+Q16_SQL = """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 20
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+"""
+
+Q20_EXCESS_SUPPLIERS = """
+table widget_parts = (
+  from part
+  filter s"{p_name} LIKE '%widget%'"
+  select [p_partkey]
+)
+table heavy = (
+  from l=lineitem
+  filter l_shipdate >= @1997-01-01 and l_shipdate < @1998-01-01
+  join wp=widget_parts [p_partkey == l_partkey]
+  group [l_suppkey] (aggregate [qty = sum l_quantity])
+  filter qty > 100.0
+)
+from s=supplier
+join h=heavy [l_suppkey == s_suppkey]
+join n=nation [n_nationkey == s_nationkey]
+select [s_name, n_name, qty]
+sort [s_name]
+"""
+
+Q20_SQL = """
+SELECT s_name, n_name, qty
+FROM supplier
+JOIN (SELECT l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE '%widget%')
+      GROUP BY l_suppkey HAVING sum(l_quantity) > 100.0) h
+  ON h.l_suppkey = s_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+ORDER BY s_name
+"""
+
+Q21_WAITING_SUPPLIER = """
+table order_supp = (
+  from l=lineitem
+  join o=orders [o_orderkey == l_orderkey]
+  filter o_orderstatus == "F"
+  derive [
+    late = s"CASE WHEN {l.l_shipdate} > {o.o_orderdate} + INTERVAL 75 DAYS THEN 1 ELSE 0 END",
+  ]
+  group [l_orderkey, l_suppkey] (aggregate [late_any = max late])
+)
+table order_stats = (
+  from order_supp
+  group [l_orderkey] (aggregate [n_supp = count, n_late = sum late_any])
+)
+from os=order_supp
+filter late_any == 1
+join st=order_stats [l_orderkey]
+filter n_supp >= 2 and n_late == 1
+join s=supplier [s_suppkey == l_suppkey]
+group [s_name] (aggregate [numwait = count])
+sort [-numwait, +s_name]
+take 20
+"""
+
+Q21_SQL = """
+WITH order_supp AS (
+  SELECT l_orderkey, l_suppkey,
+    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 75 DAY
+        THEN 1 ELSE 0 END) AS late_any
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F' GROUP BY l_orderkey, l_suppkey),
+order_stats AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late_any) AS n_late
+  FROM order_supp GROUP BY l_orderkey)
+SELECT s_name, count(*) AS numwait
+FROM order_supp JOIN order_stats USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE late_any = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
 _PRQL_QUERIES: dict[str, tuple[str, str]] = {
     "q1_pricing_summary": (Q1_PRICING_SUMMARY, Q1_SQL),
     "q3_shipping_priority": (Q3_SHIPPING_PRIORITY, Q3_SQL),
@@ -802,6 +1004,12 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
     "q17_small_qty_revenue": (Q17_SMALL_QTY_REVENUE, Q17_SQL),
     "q19_disjunctive_filter": (Q19_DISJUNCTIVE_FILTER, Q19_SQL),
     "q22_inactive_balance": (Q22_INACTIVE_BALANCE, Q22_SQL),
+    "q2_min_cost_supplier": (Q2_MIN_COST_SUPPLIER, Q2_SQL),
+    "q9_product_profit": (Q9_PRODUCT_PROFIT, Q9_SQL),
+    "q11_important_share": (Q11_IMPORTANT_SHARE, Q11_SQL),
+    "q16_supplier_counts": (Q16_SUPPLIER_COUNTS, Q16_SQL),
+    "q20_excess_suppliers": (Q20_EXCESS_SUPPLIERS, Q20_SQL),
+    "q21_waiting_supplier": (Q21_WAITING_SUPPLIER, Q21_SQL),
     "top_customers_left_join": (TOP_CUSTOMERS, TOP_CUSTOMERS_SQL),
     "distinct_idiom": (DISTINCT_SEGMENTS, DISTINCT_SEGMENTS_SQL),
     "window_running_total": (RUNNING_TOTAL, RUNNING_TOTAL_SQL),
@@ -841,8 +1049,22 @@ _NEW_THIS_ROUND = [
     "text_html_to_text",
     "ann_assign_hier",
     "dedup_paragraphs",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_share",
+    "q16_supplier_counts",
+]
+
+# ALSO new this round, but the window only fits 8 new entries on top
+# of the 42 stale refreshes — these three sit immediately BEHIND the
+# window (mimic-validated this round, front of next round's window;
+# each is the simplest variant of an in-window sibling: lines ≈
+# paragraphs, url triage is a narrow map, q20's IN-chain ≈ q16)
+_NEW_BEHIND = [
     "dedup_lines",
     "text_url_features",
+    "q20_excess_suppliers",
 ]
 
 # most recent driver row is from ROUND 3 (these sat behind round 4's
@@ -954,6 +1176,7 @@ _DRIVER_ORDER = (
     _NEW_THIS_ROUND
     + _STALE_PREV
     + _FRESH_PREV[:_core_fit]
+    + _NEW_BEHIND
     + _FRESH_PREV[_core_fit:]
 )
 

@@ -63,6 +63,10 @@ HEADLINE = {
     "text_collocations": "collect",
     # round-4 additions
     "prepare_training_corpus": "count",
+    # round-5 additions: the two heaviest new TPC-H shapes (q21's
+    # double-EXISTS decorrelation; q9's 4-join profit rollup)
+    "q21_waiting_supplier": "collect",
+    "q9_product_profit": "collect",
 }
 
 

@@ -14,6 +14,7 @@ def test_driver_order_is_consistent():
     sections = (
         entry_mod._NEW_THIS_ROUND
         + entry_mod._STALE_PREV
+        + entry_mod._NEW_BEHIND
         + entry_mod._FRESH_PREV
     )
     assert sorted(sections) == sorted(order)
