@@ -363,6 +363,15 @@ class Compiler:
     def _load(self, name: str) -> DataFrame:
         if name in self.local_tables:
             return self.local_tables[name]
+        if name.startswith("{{"):
+            # reference parity: a jinja block parses as an Ident of
+            # its raw text (parser.rs:615). Only SQL text can carry
+            # it onward (dbt renders the template before execution).
+            raise PrqlCompileError(
+                f"jinja source {name!r} requires the SQL backend "
+                "(to_sql); the DataFrame engine cannot resolve an "
+                "unrendered template"
+            )
         try:
             return self.catalog.load(name)
         except KeyError as e:
@@ -693,6 +702,14 @@ class Compiler:
             raise PrqlCompileError("range literal outside take/in")
         raise PrqlCompileError(f"cannot compile expression {node!r}")
 
+    def _jinja(self, node: Ident) -> CExpr:
+        raise self._err(
+            f"jinja block {node.name!r} requires the SQL backend "
+            "(to_sql); the DataFrame engine cannot evaluate an "
+            "unrendered template",
+            node,
+        )
+
     def _param(self, node: Param) -> CExpr:
         # The DataFrame engine executes immediately — there is no
         # later bind step a $n placeholder could wait for. The SQL
@@ -729,6 +746,11 @@ class Compiler:
 
     def _ident(self, node: Ident) -> CExpr:
         name = node.name
+        if name.startswith("{{"):
+            # jinja in expression position: verbatim on the SQL
+            # backend (dbt renders it), impossible on the DataFrame
+            # engine — route through the Param seam's policy
+            return self._jinja(node)
         if name in self.scope:
             return CExpr(self._qi(self.scope[name]))
         if name in stdlib.ZERO_ARG:
@@ -737,7 +759,7 @@ class Compiler:
             return self.expr(self._inline_user(name, [], {}))
         # eager resolution: an unknown name would otherwise surface
         # later as a Catalyst analysis stack with no PRQL location
-        if self.df is not None:
+        if self.df is not None and "*" not in set(self.df.columns):
             bare = name.strip("`")
             cols = set(self.df.columns)
             if "." not in bare:

@@ -202,6 +202,15 @@ def tokenize(src: str) -> list[Tok]:
                 toks.append(Tok("IDENT", name, i))
             i = j
             continue
+        if src.startswith("{{", i):
+            # dbt Jinja passthrough (reference prql.pest `jinja` rule;
+            # parser.rs:615 keeps the raw text as an Ident)
+            j = src.find("}}", i + 2)
+            if j < 0:
+                raise PrqlParseError(f"unterminated jinja block at {i}")
+            toks.append(Tok("JINJA", src[i : j + 2], i))
+            i = j + 2
+            continue
         if c in _ONE_CHAR_OPS:
             toks.append(Tok("OP", c, i))
             i += 1
@@ -228,6 +237,7 @@ _TERM_STARTS = {
     "NULL",
     "DOTDOT",
     "PARAM",
+    "JINJA",
 }
 
 
@@ -551,6 +561,11 @@ class Parser:
         if t.kind == "PARAM":
             self.next()
             return Param(t.value, pos=t.pos)
+        if t.kind == "JINJA":
+            # reference parity: the block IS an Ident whose name is
+            # the raw text (prql-compiler/src/parser.rs:615-630)
+            self.next()
+            return Ident(t.value, pos=t.pos)
         if t.kind == "IDENT":
             self.next()
             return Ident(t.value, pos=t.pos)

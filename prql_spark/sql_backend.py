@@ -104,6 +104,12 @@ class SqlCompiler(Compiler):
 
         return CExpr(node.name)
 
+    def _jinja(self, node):
+        # dbt renders the template before the SQL runs — verbatim
+        from prql_spark.compiler import CExpr
+
+        return CExpr(node.name)
+
     # ------------------------------------------------- dialect seam
 
     QUOTE = "double"  # identifier quoting: "double" | "backtick"
@@ -145,6 +151,11 @@ class SqlCompiler(Compiler):
             rel = self.local_tables[tname]
             self.ctes.setdefault(tname, rel)
             return tname, list(rel.columns)
+        if tname.startswith("{{"):
+            # jinja source (dbt): emit verbatim; columns unknowable
+            # until dbt renders the template — the "*" sentinel turns
+            # off eager name resolution for this relation
+            return tname, ["*"]
         try:
             probe = self.catalog.load(tname)
         except KeyError as e:

@@ -138,3 +138,19 @@ def test_sql_parameter_on_dataframe_path_reports_prql_error(catalog):
         compile_prql("from orders\nfilter o_custkey == $1", catalog)
     msg = str(ei.value)
     assert "SQL backend" in msg and "line 2" in msg and "$1" in msg
+
+
+def test_jinja_on_dataframe_path_reports_prql_error(catalog):
+    """An unrendered jinja template cannot execute on the DataFrame
+    engine: a PRQL error naming the SQL backend, for both source and
+    expression position."""
+    import pytest
+
+    from prql_spark.compiler import PrqlCompileError, compile_prql
+
+    with pytest.raises(PrqlCompileError, match="SQL backend"):
+        compile_prql("from {{ ref('t') }}\ntake 1", catalog)
+    with pytest.raises(PrqlCompileError, match="SQL backend"):
+        compile_prql(
+            "from orders\nderive [x = {{ var('v') }}]", catalog
+        )

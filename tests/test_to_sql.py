@@ -191,3 +191,23 @@ def test_sql_parameters_pass_through_every_dialect(catalog, oracle):
         to_sql(q, catalog, dialect="duckdb"), [1]
     ).fetchall()
     assert all(len(r) == 2 for r in rows)
+
+
+def test_jinja_blocks_pass_through(catalog):
+    """Reference prql.pest `jinja` rule / parser.rs:615: `{{ ... }}`
+    parses as an Ident of its raw text and survives verbatim in the
+    emitted SQL (dbt renders the template afterwards) — in FROM
+    position and in expression position."""
+    from prql_spark.sql_backend import to_sql
+
+    q = "from {{ ref('stg_orders') }}\naggregate [total = sum order_id]"
+    sql = to_sql(q, catalog, dialect="generic")
+    assert "FROM {{ ref('stg_orders') }}" in sql
+    assert 'SUM("order_id")' in sql
+
+    q2 = (
+        "from orders\nderive [cutoff = {{ var('cutoff') }}]\n"
+        "filter o_totalprice > cutoff\nselect [o_orderkey]"
+    )
+    sql2 = to_sql(q2, catalog, dialect="generic")
+    assert "{{ var('cutoff') }}" in sql2
