@@ -108,8 +108,69 @@ def _assert_no_concurrent_jvms():
         )
 
 
+def fresh_op(op: str, n_copies: int):
+    """Measure ONE op in THIS (fresh) JVM against already-synthesized
+    scratch data — the round-5 lesson operationalized: ops measured
+    late in the full sequence inherit session heap state (observed
+    embedding_near_dups 69 s in-run vs 17 s fresh-JVM on identical
+    code/data). Cross-round comparisons should use these numbers.
+
+    Usage: python scripts/scale_experiment.py [n_copies] --fresh <op>
+    (run the full experiment once first so the scratch data exists).
+    """
+    _assert_no_concurrent_jvms()
+    spark = build_spark("scale-exp-fresh")
+    spark.sparkContext.setLogLevel("ERROR")
+    dpath = os.path.join(SCRATCH, f"docs_x{n_copies}")
+    vpath = os.path.join(SCRATCH, f"embs_x{n_copies}")
+
+    from prql_spark.operators import similarity
+
+    def docs():
+        return spark.read.parquet(dpath)
+
+    def vecs():
+        return spark.read.parquet(vpath)
+
+    ops = {
+        "dedup_exact": lambda: dedup.dedup_exact(docs()),
+        "dedup_minhash_lsh": lambda: dedup.dedup_minhash_lsh(docs()),
+        "simhash_pairs": lambda: dedup.simhash_near_pairs(
+            dedup.simhash_signatures(docs()), max_hamming=3
+        ),
+        "ngram_jaccard_pairs": lambda: dedup.ngram_jaccard_pairs(
+            docs(), threshold=0.8
+        ),
+        "embedding_near_dups": lambda: similarity.embedding_near_dups(
+            vecs(), dim=64, threshold=0.98, multiprobe=False
+        ),
+        "dedup_paragraphs": lambda: dedup.dedup_paragraphs(docs()),
+        "dedup_lines": lambda: dedup.dedup_lines(docs()),
+    }
+    if op not in ops:
+        raise SystemExit(
+            f"unknown op {op!r}; one of {sorted(ops)}"
+        )
+    secs, rows = [], 0
+    for _ in range(2):
+        spark._jvm.System.gc()
+        t = time.time()
+        rows = ops[op]().count()
+        secs.append(round(time.time() - t, 2))
+    print(json.dumps(
+        {"op": op, "sec": secs[1], "cold_sec": secs[0], "rows": rows,
+         "n_copies": n_copies, "fresh_jvm": True}
+    ))
+    spark.stop()
+
+
 def main():
-    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_copies = int(args[0]) if args else 100
+    if "--fresh" in sys.argv:
+        op = sys.argv[sys.argv.index("--fresh") + 1]
+        fresh_op(op, n_copies)
+        return
     _assert_no_concurrent_jvms()
     spark = build_spark("scale-exp")
     spark.sparkContext.setLogLevel("ERROR")

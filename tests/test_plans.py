@@ -421,3 +421,19 @@ def test_operator_construction_is_lazy(spark):
             eager[name] = ran
         assert out.columns  # built a real DataFrame
     assert eager == {}, f"operators ran jobs at construction: {eager}"
+
+
+def test_span_dedup_single_key_exchange(catalog):
+    """dedup_paragraphs' scale contract: the winner aggregation is
+    the ONE exchange keyed on the paragraph hash (map-side partial
+    min first), the winner join reuses that key partitioning, and no
+    cartesian/self-join of the corpus appears anywhere."""
+    from prql_spark.operators.dedup import dedup_paragraphs
+
+    plan = plan_of(dedup_paragraphs(catalog.load("documents")))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # partial min before the paragraph-key exchange
+    assert "partial_min" in plan
+    # exchanges: paragraph-key (winner agg + join sides) and the
+    # final per-doc reassembly — bounded, no O(n^2) shape
+    assert plan.count("Exchange hashpartitioning") <= 4
