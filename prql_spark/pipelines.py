@@ -56,6 +56,8 @@ def prepare_training_corpus(
     chunk_long_docs: bool = True,
     chunk_overlap: int = 0,
     html_input: bool = False,
+    span_dedup: str | None = None,
+    span_dedup_min_chars: int = 30,
     checkpoint_filtered: bool = True,
     collect_stats: bool = False,
 ) -> tuple[DataFrame, CorpusStats]:
@@ -80,6 +82,21 @@ def prepare_training_corpus(
     boilerplate stripping — quality/Gopher/repetition rules over raw
     markup mis-score badly (tags inflate symbol ratios, scripts
     inflate repetition).
+
+    ``span_dedup="paragraph"`` / ``"line"`` inserts corpus-wide
+    repeated-span removal (RefinedWeb's line dedup, C4's span rules)
+    right after boilerplate stripping: boilerplate paragraphs /
+    cookie-banner lines are cut everywhere but their first
+    occurrence BEFORE any scoring, so repeated chrome neither
+    inflates repetition penalties nor survives into training text.
+    Spans shorter than ``span_dedup_min_chars`` are exempt (section
+    headers must not vanish corpus-wide). The stage re-keys the
+    working frame to (id, text_clean, n_spans_kept) — the original
+    raw-text columns end at this point, and a doc losing every span
+    drops like any other duplicate. Caveat with ``html_input``: the
+    extractor collapses newlines, so span structure must come from
+    the raw input — combining both currently degrades span dedup to
+    whole-document granularity (single-span docs).
 
     ``chunk_long_docs=True`` (default) splits any document whose
     cleaned text exceeds ``pack_target_tokens`` into budget-sized
@@ -107,6 +124,25 @@ def prepare_training_corpus(
     # counts the PRE-dedup corpus (LM statistics weight text by its
     # observed frequency, the CCNet convention).
     cleaned = splits.strip_boilerplate(docs, text_col)
+    if span_dedup is not None:
+        if span_dedup not in ("paragraph", "line"):
+            raise ValueError(
+                "span_dedup must be 'paragraph', 'line', or None, "
+                f"got {span_dedup!r}"
+            )
+        # NOTE: strip_boilerplate collapsed newlines into spaces, so
+        # span-dedup the RAW text and re-strip afterwards (the span
+        # structure lives in the raw newlines)
+        fn = (
+            dedup.dedup_paragraphs
+            if span_dedup == "paragraph"
+            else dedup.dedup_lines
+        )
+        sd = fn(
+            docs, text_col=text_col, id_col=id_col,
+            min_chars=span_dedup_min_chars,
+        )
+        cleaned = splits.strip_boilerplate(sd, "text_deduped")
     exact = dedup.dedup_exact(cleaned, "text_clean", id_col)
     scored = text.quality_score(exact, "text_clean")
     scored = text.lang_id(scored, "text_clean")

@@ -122,3 +122,37 @@ def test_prepare_training_corpus_html_input(spark):
     assert len(got) == 1
     assert "SPAMTOKEN" not in got[0].text_clean
     assert "quality prose & more" in got[0].text_clean
+
+
+def test_prepare_training_corpus_span_dedup(spark):
+    """span_dedup='paragraph': a footer paragraph shared across docs
+    survives only in the lowest-id doc's cleaned text; short headers
+    are exempt via span_dedup_min_chars."""
+    from pyspark.sql import Row
+
+    prose = " ".join(
+        f"the brave{i} fox of hill{i} is near{i}" for i in range(10)
+    )
+    prose2 = " ".join(
+        f"a calm{i} owl in dale{i} was here{i}" for i in range(10)
+    )
+    footer = "subscribe to the newsletter for weekly updates and news"
+    rows = [
+        Row(doc_id=1, text=f"{prose}\n\n{footer}\n\nIntro"),
+        Row(doc_id=2, text=f"{prose2}\n\n{footer}\n\nIntro"),
+    ]
+    result, _ = prepare_training_corpus(
+        spark.createDataFrame(rows), min_quality=0.0, langs=("en",),
+        span_dedup="paragraph",
+    )
+    got = {r.doc_id: r for r in result.collect()}
+    assert footer in got[1].text_clean
+    assert footer not in got[2].text_clean
+    # "Intro" is under min_chars (30) — kept in BOTH docs
+    assert "Intro" in got[1].text_clean and "Intro" in got[2].text_clean
+    import pytest as _p
+
+    with _p.raises(ValueError, match="span_dedup"):
+        prepare_training_corpus(
+            spark.createDataFrame(rows), span_dedup="sentence"
+        )
