@@ -2380,23 +2380,12 @@ def q_html_to_text(spark, sf_dir):
 
 
 def _sql_html_to_text() -> str:
-    """DuckDB mirror: the identical block/tag/entity/whitespace chain
-    (patterns avoid backreferences so Java regex and RE2 agree);
-    DuckDB's regexp_replace needs the explicit 'g' flag."""
-    from prql_spark.operators.text import (
-        _HTML_BLOCK_PATTERNS,
-        _HTML_ENTITIES,
-        _HTML_TAG_PATTERN,
-    )
+    """DuckDB mirror: the SAME expression builder as the engine
+    (text.html_to_text_expr) in its duckdb dialect — one source of
+    truth, the chains cannot drift."""
+    from prql_spark.operators.text import html_to_text_expr
 
-    e = "html"
-    for pat in _HTML_BLOCK_PATTERNS:
-        e = f"regexp_replace({e}, '{pat}', ' ', 'g')"
-    e = f"regexp_replace({e}, '{_HTML_TAG_PATTERN}', ' ', 'g')"
-    for ent, rep in _HTML_ENTITIES:
-        rep_sql = "''''" if rep == "\\'" else f"'{rep}'"
-        e = f"replace({e}, '{ent}', {rep_sql})"
-    e = f"trim(regexp_replace({e}, '[ \\t\\r\\n]+', ' ', 'g'))"
+    e = html_to_text_expr("html", dialect="duckdb")
     wrap = _HTML_WRAP.format(text="text").replace("{{", "{").replace(
         "}}", "}"
     )

@@ -1033,16 +1033,47 @@ _HTML_ENTITIES = (
 )
 
 
-def html_to_text_expr(col: str) -> str:
-    """The extraction as ONE nested Spark-SQL expression (JVM-side,
-    codegen-eligible — no Python in the loop)."""
+# closing block-level tags become newlines (not spaces) so document
+# structure survives extraction for downstream span dedup: paragraph
+# containers → a BLANK line (the '\n{2,}' boundary dedup_paragraphs
+# splits on), list items / table rows / <br> → a single newline (the
+# dedup_lines granularity)
+_HTML_PARA_PATTERN = (
+    "(?i)</(p|div|h1|h2|h3|h4|h5|h6|blockquote|section|article"
+    "|ul|ol|table|pre)>"
+)
+_HTML_LINE_PATTERN = "(?i)</(li|tr)>|<br[^>]*>"
+
+
+def html_to_text_expr(col: str, dialect: str = "spark") -> str:
+    """The extraction as ONE nested SQL expression — the SAME builder
+    emits the Spark form (JVM-side, codegen-eligible) and the DuckDB
+    oracle form (explicit 'g' flag, e''-escaped newlines), so the two
+    can never drift."""
+    spark = dialect == "spark"
+    g = "" if spark else ", 'g'"
+    nl = "'\\n'" if spark else "e'\\n'"
+    nl2 = "'\\n\\n'" if spark else "e'\\n\\n'"
+    # Spark SQL literals eat one level of backslashes; DuckDB's don't
+    ws = "'[ \\\\t\\\\r]+'" if spark else "'[ \\t\\r]+'"
+    hug = "' ?\\\\n ?'" if spark else "' ?\\n ?'"
+    many = "'\\\\n{3,}'" if spark else "'\\n{3,}'"
+    edge = (
+        "'^[ \\\\n]+|[ \\\\n]+$'" if spark else "'^[ \\n]+|[ \\n]+$'"
+    )
     e = col
     for pat in _HTML_BLOCK_PATTERNS:
-        e = f"regexp_replace({e}, '{pat}', ' ')"
-    e = f"regexp_replace({e}, '{_HTML_TAG_PATTERN}', ' ')"
+        e = f"regexp_replace({e}, '{pat}', ' '{g})"
+    e = f"regexp_replace({e}, '{_HTML_PARA_PATTERN}', {nl2}{g})"
+    e = f"regexp_replace({e}, '{_HTML_LINE_PATTERN}', {nl}{g})"
+    e = f"regexp_replace({e}, '{_HTML_TAG_PATTERN}', ' '{g})"
     for ent, rep in _HTML_ENTITIES:
-        e = f"replace({e}, '{ent}', '{rep}')"
-    return f"trim(regexp_replace({e}, '[ \\\\t\\\\r\\\\n]+', ' '))"
+        rep_sql = "''''" if (rep == "\\'" and not spark) else f"'{rep}'"
+        e = f"replace({e}, '{ent}', {rep_sql})"
+    e = f"regexp_replace({e}, {ws}, ' '{g})"      # runs → one space
+    e = f"regexp_replace({e}, {hug}, {nl}{g})"    # spaces hugging \n
+    e = f"regexp_replace({e}, {many}, {nl2}{g})"  # ≥3 \n → blank line
+    return f"regexp_replace({e}, {edge}, ''{g})"  # trim incl. \n
 
 
 def html_to_text(
@@ -1056,10 +1087,12 @@ def html_to_text(
     inflate symbol ratios, scripts inflate repetition).
 
     Drops <script>/<style> blocks and comments WITH their contents,
-    strips remaining tags, decodes the common entities (&amp; last,
-    so author-escaped entities stay escaped), and collapses
-    whitespace. A narrow JVM-side projection — no shuffle, no UDF;
-    at 100 TB this is a free rider on the ingestion scan.
+    turns closing block-level tags and <br> into NEWLINES (paragraph
+    structure survives for span dedup), strips remaining tags,
+    decodes the common entities (&amp; last, so author-escaped
+    entities stay escaped), and normalizes whitespace per line. A
+    narrow JVM-side projection — no shuffle, no UDF; at 100 TB this
+    is a free rider on the ingestion scan.
 
     Deliberately regexp-based, not a DOM parse: malformed real-world
     HTML kills strict parsers, and boilerplate REMOVAL (nav/footer

@@ -93,10 +93,9 @@ def prepare_training_corpus(
     headers must not vanish corpus-wide). The stage re-keys the
     working frame to (id, text_clean, n_spans_kept) — the original
     raw-text columns end at this point, and a doc losing every span
-    drops like any other duplicate. Caveat with ``html_input``: the
-    extractor collapses newlines, so span structure must come from
-    the raw input — combining both currently degrades span dedup to
-    whole-document granularity (single-span docs).
+    drops like any other duplicate. Composes with ``html_input``:
+    the extractor emits newlines at block boundaries, so paragraph
+    structure survives extraction and span dedup sees real spans.
 
     ``chunk_long_docs=True`` (default) splits any document whose
     cleaned text exceeds ``pack_target_tokens`` into budget-sized

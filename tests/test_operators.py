@@ -1597,7 +1597,9 @@ def test_html_to_text_planted(spark, catalog):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.text_extracted for r in html_to_text(df).collect()}
-    assert got[1] == 'Head Hello & welcome <3 A B "q" it\'s'
+    # paragraph-container closers become blank lines: paragraph
+    # structure survives extraction (span dedup depends on this)
+    assert got[1] == 'Head\n\nHello & welcome <3\n\nA B "q" it\'s'
     assert got[2] == "plain text, no markup"
     assert got[3] == "after bold &lt;"  # author wrote "&lt;" — kept
     assert got[4] == ""

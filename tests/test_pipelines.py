@@ -156,3 +156,33 @@ def test_prepare_training_corpus_span_dedup(spark):
         prepare_training_corpus(
             spark.createDataFrame(rows), span_dedup="sentence"
         )
+
+
+def test_prepare_training_corpus_html_plus_span_dedup(spark):
+    """The composed crawl path: raw HTML in, block-aware extraction
+    preserves paragraph boundaries, and the shared footer <p> dedups
+    across documents."""
+    from pyspark.sql import Row
+
+    def page(prose):
+        return (
+            "<html><body><p>" + prose + "</p>"
+            "<p>subscribe to the newsletter for weekly updates</p>"
+            "</body></html>"
+        )
+
+    p1 = " ".join(f"the brave{i} fox of hill{i} is near{i}"
+                  for i in range(10))
+    p2 = " ".join(f"a calm{i} owl in dale{i} was here{i}"
+                  for i in range(10))
+    result, _ = prepare_training_corpus(
+        spark.createDataFrame(
+            [Row(doc_id=1, text=page(p1)), Row(doc_id=2, text=page(p2))]
+        ),
+        min_quality=0.0, langs=("en",),
+        html_input=True, span_dedup="paragraph",
+    )
+    got = {r.doc_id: r for r in result.collect()}
+    assert "subscribe to the newsletter" in got[1].text_clean
+    assert "subscribe to the newsletter" not in got[2].text_clean
+    assert p2 in got[2].text_clean
