@@ -1065,6 +1065,7 @@ _NEW_BEHIND = [
     "dedup_lines",
     "text_url_features",
     "q20_excess_suppliers",
+    "dedup_window_fraction",
 ]
 
 # most recent driver row is from ROUND 3 (these sat behind round 4's

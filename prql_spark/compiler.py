@@ -96,6 +96,7 @@ def _extended_transforms() -> dict:
         "dedup_paragraphs": dedup.dedup_paragraphs,
         "dedup_lines": dedup.dedup_lines,
         "url_features": text.url_features,
+        "duplicated_window_fraction": dedup.duplicated_window_fraction,
     }
 
 

@@ -2521,6 +2521,49 @@ FROM x ORDER BY doc_id
 """
 
 
+# a 12-word suffix appended to EVERY doc: its 5 interior 8-gram
+# windows are shared corpus-wide (windows straddling the doc/suffix
+# boundary stay unique), so each doc has a known duplicated-window
+# floor for the oracle to verify
+_DUPWIN_SUFFIX = (
+    "' alpha beta gamma delta epsilon zeta eta theta iota "
+    "kappa lambda mu'"
+)
+
+
+def q_dup_window_fraction(spark, sf_dir):
+    """Windowed exact-substring duplication signal value-oracled:
+    every doc carries a planted shared 12-word suffix; DuckDB replays
+    gram explode → occurrence counts → per-doc duplicated fraction."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.expr(f"concat(text, {_DUPWIN_SUFFIX})")
+    )
+    return dedup.duplicated_window_fraction(docs, n=8).orderBy("doc_id")
+
+
+SQL_DUP_WINDOW_FRACTION = f"""
+WITH w AS (
+  SELECT doc_id,
+    {WORDS_DD.replace("text", f"concat(text, {_DUPWIN_SUFFIX})")} AS ws
+  FROM documents),
+g0 AS (
+  SELECT doc_id, unnest(list_transform(
+    range(0, greatest(len(ws) - 8, 0) + 1),
+    i -> array_to_string(list_slice(ws, i + 1, i + 8), ' '))) AS gram
+  FROM w),
+g AS (SELECT * FROM g0 WHERE gram != ''),
+c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram)
+SELECT doc_id,
+  count(*) AS n_windows,
+  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS dup_windows,
+  round(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END)
+    / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+FROM g JOIN c USING (gram)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _HIER_NPROBE = 2  # of 8 superclusters — genuinely partial probing
 
 
@@ -2642,6 +2685,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_lines": q_dedup_lines,
         "text_url_features": q_url_features,
+        "dedup_window_fraction": q_dup_window_fraction,
     }
 
 
@@ -2688,6 +2732,7 @@ def entry_oracles() -> dict[str, str]:
         "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
         "dedup_lines": SQL_DEDUP_LINES,
         "text_url_features": _sql_url_features(),
+        "dedup_window_fraction": SQL_DUP_WINDOW_FRACTION,
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
         "asof_forward_tolerance": SQL_ASOF_FORWARD,

@@ -807,3 +807,55 @@ def _dedup_spans(
             F.count(F.lit(1)).cast("int").alias(kept_col),
         )
     )
+
+
+def duplicated_window_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-corpus duplicated-window signal — the window-granular
+    approximation of EXACT SUBSTRING dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which
+    removes 50-token repeated spans via suffix arrays; distributed
+    pipelines approximate with fixed word windows): for every
+    document, the fraction of its word n-gram windows whose text
+    occurs at least ``min_count`` times in the WHOLE corpus
+    (within-doc repeats count, as in the paper). High fractions mark
+    template/mirror documents that survive document-level dedup.
+
+    Shape: one gram explode (substitution-safe chain), ONE gram-key
+    exchange for the occurrence counts, a gram-key join that reuses
+    that partitioning, and the per-doc ratio aggregate — linear in
+    total window count, no pairs. Docs shorter than ``n`` words
+    contribute their whole text as one window (the gram chain's
+    short-doc contract), so the signal degrades to document-level
+    exact matching, never to silence.
+    """
+    from prql_spark.operators.text import _words, ngram_expr
+
+    grams = (
+        df.select(F.col(id_col), F.expr(_words(text_col)).alias("__ws"))
+        .select(
+            F.col(id_col),
+            F.explode(F.expr(ngram_expr("__ws", n))).alias("gram"),
+        )
+        .where(F.expr("gram != ''"))
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__c"))
+    return (
+        grams.join(counts, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.expr(
+                f"CAST(sum(IF(__c >= {min_count}, 1, 0)) AS BIGINT)"
+            ).alias("dup_windows"),
+            F.expr(
+                f"round(sum(IF(__c >= {min_count}, 1, 0)) "
+                "/ CAST(count(*) AS DOUBLE), 6)"
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1701,3 +1701,41 @@ def test_url_features_edges(spark):
     assert out[4].url_blocked      # true subdomain
     assert out[5].url_host == "example.org"  # lowercased
     assert out[5].url_path_depth == 1
+
+
+def test_duplicated_window_fraction_planted(spark, catalog):
+    """Windowed exact-substring signal: a doc sharing an 8-word run
+    with another doc gets exactly the straddle-free shared windows
+    counted; in-doc repeats count as occurrences; short docs fall
+    back to whole-text matching. PRQL-callable."""
+    from pyspark.sql import Row
+
+    from prql_spark import compile_prql
+    from prql_spark.operators.dedup import duplicated_window_fraction
+
+    shared = "one two three four five six seven eight"  # 8 words
+    rows = [
+        Row(doc_id=1, text=f"a b c d e f g h i j {shared}"),
+        Row(doc_id=2, text=f"k l m n o p q r s t {shared}"),
+        Row(doc_id=3, text="totally unique words here nothing repeats"),
+        Row(doc_id=4, text="short dup"),
+        Row(doc_id=5, text="short dup"),
+    ]
+    out = {r.doc_id: r for r in duplicated_window_fraction(
+        spark.createDataFrame(rows), n=8
+    ).collect()}
+    # docs 1/2: 18 words → 11 windows; ONLY the final window (the
+    # shared 8-word run) is duplicated
+    assert out[1].n_windows == 11 and out[1].dup_windows == 1
+    assert out[2].dup_windows == 1
+    assert out[3].dup_windows == 0
+    # short docs: one whole-text window each, duplicated across 4/5
+    assert out[4].n_windows == 1 and out[4].dup_fraction == 1.0
+    assert out[5].dup_fraction == 1.0
+    # PRQL pipeline step
+    df = compile_prql(
+        "from documents\ntake 20\nduplicated_window_fraction", catalog
+    )
+    assert set(df.columns) == {
+        "doc_id", "n_windows", "dup_windows", "dup_fraction"
+    }

@@ -372,6 +372,8 @@ def test_operator_construction_is_lazy(spark):
             docs, docs.select("text")
         ),
         "dedup_paragraphs": lambda: dedup.dedup_paragraphs(docs),
+        "duplicated_window_fraction": lambda:
+            dedup.duplicated_window_fraction(docs),
         "dedup_lines": lambda: dedup.dedup_lines(docs),
         "url_features": lambda: text.url_features(
             docs.withColumn("url", F.expr(
