@@ -1034,18 +1034,120 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
 # this round, and the composition is DERIVED (sections concatenated,
 # window membership asserted in tests/test_entry_contract.py) so the
 # counts can never drift from the lists again:
-#   1. entries NEW this round (never driver-checked),
-#   2. the entries whose most recent driver row is OLDEST (for round
-#      5: the 42 last checked in round 3, displaced by round 4's
-#      window),
-#   3. entries checked last round (flagship core first) — fill the
-#      window to 50,
-#   4. the rest (driver-green last round, re-verified by the mimic
+#   1. entries NEVER driver-checked (new this round, or added late
+#      last round behind a full window),
+#   2. the entries whose most recent driver row is OLDEST — all of
+#      them when they fit; any that don't are listed in
+#      _STALE_SPILL immediately behind the window and MUST front
+#      the next round's window,
+#   3. the rest (driver-green last round, re-verified by the mimic
 #      every session) behind the window.
+#
+# CORE policy (round 6 on): the ~10 most load-bearing entries —
+# one per family: TPC-H aggregation/join shapes, the dedup family,
+# decontamination, tokenization, WARC ingestion — are pinned inside
+# the window EVERY round, so the flagship plans never carry driver
+# evidence older than one round. Cost: with ~105 entries, 50 window
+# slots and 10 pinned, non-core entries rotate through the remaining
+# 40 slots, so their worst-case driver-evidence age rises from 1 to
+# ~2 rounds (the session mimic still re-verifies all 105 every
+# round). This round the core is drawn entirely from the r4-stale
+# block, so pinning costs zero extra slots.
 _DRIVER_WINDOW = 50
 
-# new in round 5 — never driver-checked
+_CORE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "top_customers_left_join",
+    "group_topk",
+    "dedup_exact",
+    "dedup_against_near",
+    "text_token_count",
+    "sources_warc_read",
+]
+
+# never driver-checked: the four late round-5 additions that sat
+# behind round 5's full window (mimic-green since), plus entries new
+# in round 6
 _NEW_THIS_ROUND = [
+    "dedup_lines",
+    "text_url_features",
+    "q20_excess_suppliers",
+    "dedup_window_fraction",
+    # new in round 6
+    "dedup_remove_windows",
+]
+
+# reserved for new entries that outgrow the window (empty this round)
+_NEW_BEHIND: list[str] = []
+
+# most recent driver row is from ROUND 4 (round 5's behind-window
+# block). 45 of the 50 fit alongside the 5 never-checked entries;
+# the spill below holds the 5 that don't.
+_STALE_PREV = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q8_market_share",
+    "top_customers_left_join",
+    "group_topk",
+    "dedup_exact",
+    "text_token_count",
+    "multimodal_netpbm_decode",
+    "text_quantile_buckets",
+    "dedup_against_near",
+    "text_tfidf_top_terms",
+    "profile_rollup",
+    "sources_warc_read",
+    "splits_rebalance_mix",
+    "multimodal_wav_decode",
+    "multimodal_y4m_decode",
+    "text_chunk_documents",
+    "text_script_profile",
+    "user_func_cte",
+    "text_doc_frequency",
+    "q6_forecast_revenue",
+    "window_interval_range",
+    "text_fingerprint",
+    "text_ngram_counts",
+    "events_hourly_rollup",
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q7_volume_shipping",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_filter",
+    "q22_inactive_balance",
+    "events_daily_rollup",
+    "agg_stddev_minmax",
+    "window_dense_rank_first_last",
+    "window_lag_row_number",
+    "multimodal_metadata",
+    "multimodal_frame_sample",
+    "asof_forward_tolerance",
+    "distinct_idiom",
+]
+
+# r4-checked entries the round-6 window cannot fit — the 5 LOWEST-
+# RISK pure-window/limit shapes (each a thin slice of an in-window
+# sibling's compile path). Oldest driver evidence in the repo from
+# here on: these MUST open round 7's window.
+_STALE_SPILL = [
+    "window_running_total",
+    "window_moving_average",
+    "take_range",
+    "null_handling",
+    "fstring_cast",
+]
+
+# checked in round 5 (fresh driver evidence) — behind the window
+_FRESH_PREV = [
     "text_html_to_text",
     "ann_assign_hier",
     "dedup_paragraphs",
@@ -1054,25 +1156,6 @@ _NEW_THIS_ROUND = [
     "q9_product_profit",
     "q11_important_share",
     "q16_supplier_counts",
-]
-
-# ALSO new this round, but the window only fits 8 new entries on top
-# of the 42 stale refreshes — these three sit immediately BEHIND the
-# window (mimic-validated this round, front of next round's window;
-# each is the simplest variant of an in-window sibling: lines ≈
-# paragraphs, url triage is a narrow map, q20's IN-chain ≈ q16)
-_NEW_BEHIND = [
-    "dedup_lines",
-    "text_url_features",
-    "q20_excess_suppliers",
-    "dedup_window_fraction",
-]
-
-# most recent driver row is from ROUND 3 (these sat behind round 4's
-# window: the round-3 core spill + the whole fresh-r3 block). All 42
-# rotate into round 5's window so every entry's driver evidence stays
-# at most one round old.
-_STALE_PREV = [
     "text_quality_score",
     "text_lang_id",
     "dedup_ngram_jaccard",
@@ -1117,68 +1200,12 @@ _STALE_PREV = [
     "sources_diff_snapshots",
 ]
 
-# checked in round 4 (fresh driver evidence): flagship core first —
-# fills the window to 50; the rest fall behind with round-4 rows
-_FRESH_PREV = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q8_market_share",
-    "top_customers_left_join",
-    "group_topk",
-    "dedup_exact",
-    "text_token_count",
-    "multimodal_netpbm_decode",
-    "text_quantile_buckets",
-    "dedup_against_near",
-    "text_tfidf_top_terms",
-    "profile_rollup",
-    "sources_warc_read",
-    "splits_rebalance_mix",
-    "multimodal_wav_decode",
-    "multimodal_y4m_decode",
-    "text_chunk_documents",
-    "text_script_profile",
-    "user_func_cte",
-    "window_running_total",
-    "text_doc_frequency",
-    "q6_forecast_revenue",
-    "window_interval_range",
-    "text_fingerprint",
-    "text_ngram_counts",
-    "events_hourly_rollup",
-    "q4_order_priority",
-    "q12_shipmode_priority",
-    "q14_promo_revenue",
-    "q10_returned_items",
-    "q18_large_orders",
-    "q7_volume_shipping",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_filter",
-    "q22_inactive_balance",
-    "distinct_idiom",
-    "window_moving_average",
-    "take_range",
-    "null_handling",
-    "fstring_cast",
-    "events_daily_rollup",
-    "agg_stddev_minmax",
-    "window_dense_rank_first_last",
-    "window_lag_row_number",
-    "multimodal_metadata",
-    "multimodal_frame_sample",
-    "asof_forward_tolerance",
-]
-
-_core_fit = max(_DRIVER_WINDOW - len(_NEW_THIS_ROUND) - len(_STALE_PREV), 0)
 _DRIVER_ORDER = (
     _NEW_THIS_ROUND
     + _STALE_PREV
-    + _FRESH_PREV[:_core_fit]
     + _NEW_BEHIND
-    + _FRESH_PREV[_core_fit:]
+    + _STALE_SPILL
+    + _FRESH_PREV
 )
 
 

@@ -97,6 +97,7 @@ def _extended_transforms() -> dict:
         "dedup_lines": dedup.dedup_lines,
         "url_features": text.url_features,
         "duplicated_window_fraction": dedup.duplicated_window_fraction,
+        "remove_duplicated_windows": dedup.remove_duplicated_windows,
     }
 
 

@@ -2564,6 +2564,55 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_remove_dup_windows(spark, sf_dir):
+    """Duplicated-window REMOVAL value-oracled: every doc carries the
+    planted shared 12-word suffix, whose 5 interior 8-gram windows
+    are corpus-wide duplicates covering all 12 suffix words — DuckDB
+    replays gram marking → word coverage → anti-join → ordered
+    reassembly and must see the suffix cut from every document."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.expr(f"concat(text, {_DUPWIN_SUFFIX})")
+    )
+    return dedup.remove_duplicated_windows(docs, n=8).orderBy("doc_id")
+
+
+SQL_REMOVE_DUP_WINDOWS = f"""
+WITH w AS (
+  SELECT doc_id, concat(text, {_DUPWIN_SUFFIX}) AS t FROM documents),
+b AS (SELECT doc_id,
+        string_split_regex(trim(t), '\\s+') AS ws,
+        string_split_regex(lower(trim(t)), '\\s+') AS lws
+      FROM w),
+gi AS (SELECT doc_id, lws,
+         unnest(range(0, greatest(len(lws) - 8, 0) + 1)) AS wi
+       FROM b),
+g0 AS (SELECT doc_id, wi,
+         array_to_string(list_slice(lws, wi + 1, wi + 8), ' ') AS gram
+       FROM gi),
+g AS (SELECT * FROM g0 WHERE gram != ''),
+c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+mk AS (SELECT doc_id, wi FROM g JOIN c USING (gram) WHERE cnt >= 2),
+cov0 AS (SELECT doc_id,
+           unnest(generate_series(wi, wi + 7)) AS j FROM mk),
+cov AS (SELECT DISTINCT doc_id, j FROM cov0),
+wd AS (SELECT doc_id, ws, len(ws) AS m,
+         unnest(generate_series(1, len(ws))) AS i FROM b),
+w2 AS (SELECT doc_id, m, i - 1 AS j, ws[i] AS word FROM wd
+       WHERE ws[i] != ''),
+k AS (SELECT w2.doc_id, w2.m, w2.j, w2.word
+      FROM w2 LEFT JOIN cov
+        ON cov.doc_id = w2.doc_id AND cov.j = w2.j
+      WHERE cov.j IS NULL)
+SELECT doc_id,
+  string_agg(word, ' ' ORDER BY j) AS text_cleaned,
+  CAST(any_value(m) AS BIGINT) AS n_words,
+  CAST(any_value(m) - count(*) AS BIGINT) AS n_removed_words,
+  round((any_value(m) - count(*)) / CAST(any_value(m) AS DOUBLE), 6)
+    AS removed_fraction
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _HIER_NPROBE = 2  # of 8 superclusters — genuinely partial probing
 
 
@@ -2686,6 +2735,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "text_url_features": q_url_features,
         "dedup_window_fraction": q_dup_window_fraction,
+        "dedup_remove_windows": q_remove_dup_windows,
     }
 
 
@@ -2733,6 +2783,7 @@ def entry_oracles() -> dict[str, str]:
         "dedup_lines": SQL_DEDUP_LINES,
         "text_url_features": _sql_url_features(),
         "dedup_window_fraction": SQL_DUP_WINDOW_FRACTION,
+        "dedup_remove_windows": SQL_REMOVE_DUP_WINDOWS,
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
         "asof_forward_tolerance": SQL_ASOF_FORWARD,

@@ -859,3 +859,97 @@ def duplicated_window_fraction(
             ).alias("dup_fraction"),
         )
     )
+
+
+def remove_duplicated_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cross-corpus duplicated-window REMOVAL — the cut step after
+    :func:`duplicated_window_fraction`'s signal (Lee et al. 2022
+    ExactSubstr dedup: their suffix-array pass removes every 50-token
+    span occurring more than once; the distributed approximation
+    marks fixed word windows whose text repeats corpus-wide and cuts
+    the words they cover). A window is MARKED when its lowercased
+    text occurs at least ``min_count`` times in the whole corpus
+    (within-doc repeats count, as in the paper); overlapping marked
+    windows merge naturally because removal is per covered WORD. All
+    occurrences are cut — including the first (the paper's behavior:
+    text appearing verbatim more than once is overwhelmingly
+    boilerplate, so no canonical copy is kept).
+
+    Output: one row per document that keeps at least one word —
+    ``text_cleaned`` (surviving words in order, single-space joined,
+    original case), ``n_words`` (before), ``n_removed_words``,
+    ``removed_fraction``. A document whose every word is covered by
+    marked windows drops from the output entirely (it is duplicated
+    text wall-to-wall), mirroring :func:`dedup_paragraphs`'s
+    contract for fully-deduped docs. Documents shorter than ``n``
+    words contribute their whole text as ONE window, so a short doc
+    duplicated corpus-wide is removed outright, never silently kept.
+
+    Shape at scale — linear, no pairs, every exchange on a slim key:
+    one gram explode, ONE 16-byte-hash gram-key exchange for the
+    occurrence counts, a gram-key join that reuses that partitioning,
+    a marked-coverage explode deduplicated on ``(id, word_index)``
+    (two ints), a word-level anti join on the same composite key,
+    and the per-doc reassembly aggregate. Word indices beyond a
+    short document's length are covered harmlessly (they match no
+    word in the anti join), which keeps the coverage expression
+    branch-free.
+    """
+    from prql_spark.operators.text import ngram_expr
+
+    # case-preserving stream for the rebuilt text; matching runs on
+    # the lowercased stream (same tokenization: lower() commutes with
+    # the whitespace split)
+    ws = f"split(trim({text_col}), '\\\\s+')"
+    lw = f"split(lower(trim({text_col})), '\\\\s+')"
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.expr(ngram_expr(lw, n))).alias("__wi", "__g"),
+        )
+        .where(F.expr("__g != ''"))
+        .select(id_col, "__wi", F.expr("unhex(md5(__g))").alias("__gk"))
+    )
+    counts = grams.groupBy("__gk").agg(F.count(F.lit(1)).alias("__c"))
+    covered = (
+        grams.join(counts, "__gk")
+        .where(F.col("__c") >= min_count)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"sequence(__wi, __wi + {n} - 1)")
+            ).alias("__j"),
+        )
+        .distinct()
+    )
+    words = df.select(
+        F.col(id_col),
+        F.expr(f"size({ws})").alias("__m"),
+        F.posexplode(F.expr(ws)).alias("__j", "__w"),
+    ).where(F.expr("__w != ''"))
+    kept = words.join(covered, [id_col, "__j"], "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort("
+                "collect_list(named_struct('j', __j, 'w', __w))), "
+                "s -> s.w))"
+            ).alias("text_cleaned"),
+            F.first("__m").alias("n_words"),
+            F.expr(
+                "CAST(first(__m) - count(*) AS BIGINT)"
+            ).alias("n_removed_words"),
+            F.expr(
+                "round((first(__m) - count(*)) "
+                "/ CAST(first(__m) AS DOUBLE), 6)"
+            ).alias("removed_fraction"),
+        )
+        .withColumn("n_words", F.col("n_words").cast("long"))
+    )

@@ -58,6 +58,8 @@ def prepare_training_corpus(
     html_input: bool = False,
     span_dedup: str | None = None,
     span_dedup_min_chars: int = 30,
+    remove_dup_windows: int | None = None,
+    dup_window_min_count: int = 2,
     checkpoint_filtered: bool = True,
     collect_stats: bool = False,
 ) -> tuple[DataFrame, CorpusStats]:
@@ -97,6 +99,15 @@ def prepare_training_corpus(
     the extractor emits newlines at block boundaries, so paragraph
     structure survives extraction and span dedup sees real spans.
 
+    ``remove_dup_windows=N`` inserts corpus-wide duplicated-WINDOW
+    removal (the Lee et al. 2022 ExactSubstr cut,
+    :func:`~prql_spark.operators.dedup.remove_duplicated_windows`)
+    after span dedup: any N-word window whose text occurs at least
+    ``dup_window_min_count`` times corpus-wide is cut from every
+    document. Runs AFTER span dedup because its word-joined output
+    collapses the newline structure span dedup needs; a document
+    losing every word drops like any other duplicate.
+
     ``chunk_long_docs=True`` (default) splits any document whose
     cleaned text exceeds ``pack_target_tokens`` into budget-sized
     chunks AFTER the split assignment and BEFORE packing — otherwise
@@ -122,26 +133,33 @@ def prepare_training_corpus(
     # the 500k adversarial corpus). The unigram vocabulary still
     # counts the PRE-dedup corpus (LM statistics weight text by its
     # observed frequency, the CCNet convention).
-    cleaned = splits.strip_boilerplate(docs, text_col)
+    working, wcol = docs, text_col
     if span_dedup is not None:
         if span_dedup not in ("paragraph", "line"):
             raise ValueError(
                 "span_dedup must be 'paragraph', 'line', or None, "
                 f"got {span_dedup!r}"
             )
-        # NOTE: strip_boilerplate collapsed newlines into spaces, so
-        # span-dedup the RAW text and re-strip afterwards (the span
+        # NOTE: strip_boilerplate collapses newlines into spaces, so
+        # span-dedup the RAW text and strip afterwards (the span
         # structure lives in the raw newlines)
         fn = (
             dedup.dedup_paragraphs
             if span_dedup == "paragraph"
             else dedup.dedup_lines
         )
-        sd = fn(
-            docs, text_col=text_col, id_col=id_col,
+        working = fn(
+            working, text_col=wcol, id_col=id_col,
             min_chars=span_dedup_min_chars,
         )
-        cleaned = splits.strip_boilerplate(sd, "text_deduped")
+        wcol = "text_deduped"
+    if remove_dup_windows is not None:
+        working = dedup.remove_duplicated_windows(
+            working, text_col=wcol, id_col=id_col,
+            n=remove_dup_windows, min_count=dup_window_min_count,
+        )
+        wcol = "text_cleaned"
+    cleaned = splits.strip_boilerplate(working, wcol)
     exact = dedup.dedup_exact(cleaned, "text_clean", id_col)
     scored = text.quality_score(exact, "text_clean")
     scored = text.lang_id(scored, "text_clean")

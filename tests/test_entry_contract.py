@@ -15,6 +15,7 @@ def test_driver_order_is_consistent():
         entry_mod._NEW_THIS_ROUND
         + entry_mod._STALE_PREV
         + entry_mod._NEW_BEHIND
+        + entry_mod._STALE_SPILL
         + entry_mod._FRESH_PREV
     )
     assert sorted(sections) == sorted(order)
@@ -25,18 +26,35 @@ def test_driver_order_is_consistent():
 def test_driver_window_contains_new_and_stale_first():
     """The refresh policy: every never-checked entry and every entry
     whose last driver row is oldest must sit INSIDE the 50-entry
-    window; the window is filled to exactly 50 with core entries."""
+    window (any stale entries that cannot fit are explicitly listed
+    in _STALE_SPILL, to front the NEXT round's window)."""
     order = entry_mod._DRIVER_ORDER
     window = set(order[: entry_mod._DRIVER_WINDOW])
     assert set(entry_mod._NEW_THIS_ROUND) <= window
     assert set(entry_mod._STALE_PREV) <= window
-    spill = (
+    # the window is exactly full: new + stale = 50, nothing wasted
+    assert (
         len(entry_mod._NEW_THIS_ROUND) + len(entry_mod._STALE_PREV)
-        - entry_mod._DRIVER_WINDOW
+        == entry_mod._DRIVER_WINDOW
     )
-    assert spill <= 0, (
-        f"new+stale exceed the driver window by {spill} — split the "
-        "stale refresh across rounds"
+    # spilled stale entries sit IMMEDIATELY behind the window, ahead
+    # of everything fresher, so they open the next round's window
+    n_front = len(entry_mod._NEW_THIS_ROUND) + len(
+        entry_mod._STALE_PREV
+    ) + len(entry_mod._NEW_BEHIND)
+    behind = order[n_front : n_front + len(entry_mod._STALE_SPILL)]
+    assert behind == entry_mod._STALE_SPILL
+
+
+def test_core_entries_always_in_window():
+    """CORE policy (round 6 on): the ~10 most load-bearing entries —
+    one per family — are pinned inside the driver window every round,
+    so the flagship plans never carry stale driver evidence."""
+    order = entry_mod._DRIVER_ORDER
+    window = set(order[: entry_mod._DRIVER_WINDOW])
+    assert set(entry_mod._CORE) <= window, (
+        f"core entries outside the driver window: "
+        f"{set(entry_mod._CORE) - window}"
     )
 
 

@@ -1739,3 +1739,56 @@ def test_duplicated_window_fraction_planted(spark, catalog):
     assert set(df.columns) == {
         "doc_id", "n_windows", "dup_windows", "dup_fraction"
     }
+
+
+def test_remove_duplicated_windows_planted(spark, catalog):
+    """Duplicated-window REMOVAL (Lee et al. ExactSubstr step): the
+    shared 8-word run is cut from BOTH docs (all occurrences go,
+    including the first — boilerplate has no canonical copy), unique
+    text survives byte-exactly with original case, a short doc
+    duplicated corpus-wide is removed outright (drops from output),
+    and overlapping marked windows merge per word. PRQL-callable."""
+    from pyspark.sql import Row
+
+    from prql_spark import compile_prql
+    from prql_spark.operators.dedup import remove_duplicated_windows
+
+    shared = "one two three four five six seven eight"  # 8 words
+    rows = [
+        Row(doc_id=1, text=f"Alpha b c d e f g h i j {shared}"),
+        Row(doc_id=2, text=f"k l m n o p q r s t {shared}"),
+        Row(doc_id=3, text="totally unique words here nothing repeats"),
+        Row(doc_id=4, text="short dup"),
+        Row(doc_id=5, text="short dup"),
+        # 9 shared words → two overlapping marked windows (starts 10
+        # and 11) whose coverage merges to one 9-word cut
+        Row(doc_id=6, text=f"u v w x y z aa bb cc dd {shared} nine"),
+        Row(doc_id=7, text=f"ee ff gg hh ii jj kk ll mm nn {shared} nine"),
+    ]
+    out = {r.doc_id: r for r in remove_duplicated_windows(
+        spark.createDataFrame(rows), n=8
+    ).collect()}
+    # docs 1/2: only the final shared window is marked → its 8 words
+    # cut from both; the unique prefix survives with case intact
+    assert out[1].text_cleaned == "Alpha b c d e f g h i j"
+    assert out[1].n_words == 18 and out[1].n_removed_words == 8
+    assert out[2].text_cleaned == "k l m n o p q r s t"
+    assert out[3].text_cleaned == rows[2].text
+    assert out[3].n_removed_words == 0
+    # short dup docs: whole-text window duplicated → fully removed →
+    # rows drop from the output
+    assert 4 not in out and 5 not in out
+    # overlapping windows: "shared + nine" (9 words) marked twice at
+    # offsets 10 and 11 in doc 6 — the union removes all 9 words once
+    assert out[6].text_cleaned == "u v w x y z aa bb cc dd"
+    assert out[6].n_removed_words == 9
+    assert out[6].removed_fraction == round(9 / 19, 6)
+    assert out[7].n_removed_words == 9
+    # PRQL pipeline step
+    df = compile_prql(
+        "from documents\ntake 20\nremove_duplicated_windows", catalog
+    )
+    assert set(df.columns) == {
+        "doc_id", "text_cleaned", "n_words", "n_removed_words",
+        "removed_fraction",
+    }

@@ -158,6 +158,42 @@ def test_prepare_training_corpus_span_dedup(spark):
         )
 
 
+def test_prepare_training_corpus_window_removal(spark):
+    """remove_dup_windows=8: a 9-word run shared across two docs is
+    cut from BOTH documents' training text (the Lee et al.
+    ExactSubstr cut — no canonical copy), while each doc's unique
+    prose survives; composes with span_dedup (paragraph stage first,
+    window cut on its output)."""
+    from pyspark.sql import Row
+
+    prose = " ".join(
+        f"the brave{i} fox of hill{i} is near{i}" for i in range(10)
+    )
+    prose2 = " ".join(
+        f"a calm{i} owl in dale{i} was here{i}" for i in range(10)
+    )
+    tmpl = "this template sentence repeats across mirror sites word for word"
+    footer = "subscribe to the newsletter for weekly updates and news"
+    rows = [
+        Row(doc_id=1, text=f"{prose} {tmpl}\n\n{footer}"),
+        Row(doc_id=2, text=f"{prose2} {tmpl}\n\n{footer}"),
+    ]
+    result, _ = prepare_training_corpus(
+        spark.createDataFrame(rows), min_quality=0.0, langs=("en",),
+        span_dedup="paragraph", remove_dup_windows=8,
+    )
+    got = {r.doc_id: r for r in result.collect()}
+    # the shared template run is cut from BOTH docs
+    assert "template sentence" not in got[1].text_clean
+    assert "template sentence" not in got[2].text_clean
+    # unique prose survives; the footer paragraph deduped to doc 1
+    # by the span stage (so the window stage never saw it repeated)
+    assert "brave0" in got[1].text_clean
+    assert "calm0" in got[2].text_clean
+    assert footer in got[1].text_clean
+    assert footer not in got[2].text_clean
+
+
 def test_prepare_training_corpus_html_plus_span_dedup(spark):
     """The composed crawl path: raw HTML in, block-aware extraction
     preserves paragraph boundaries, and the shared footer <p> dedups
