@@ -716,6 +716,7 @@ def dedup_paragraphs(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_chars: int = 0,
+    max_spans: int | None = None,
 ) -> DataFrame:
     """CORPUS-WIDE paragraph-level dedup — the C4/RefinedWeb
     "repeated span removal" step at paragraph granularity: a
@@ -731,17 +732,27 @@ def dedup_paragraphs(
     dedup key is the paragraph lowercased and whitespace-collapsed.
 
     Shape at scale: one narrow posexplode, ONE hash exchange on the
-    paragraph key (map-side-combined min-struct winner), a key-join
-    that reuses that partitioning, and one group-by doc to
-    reassemble — cost tracks total paragraph count, never pairs. A
-    document consisting ENTIRELY of repeated paragraphs reassembles
-    to zero survivors and drops from the output (it is an exact
-    duplicate at the only granularity it has).
+    16-byte md5 of the normalized paragraph (the span TEXT never
+    rides a shuffle key — only the exploded side that reassembles
+    carries it), a key-join that reuses that partitioning, and one
+    group-by doc to reassemble — cost tracks total paragraph count,
+    never pairs. A document consisting ENTIRELY of repeated
+    paragraphs reassembles to zero survivors and drops from the
+    output (it is an exact duplicate at the only granularity it
+    has).
+
+    ``max_spans``: reducer-OOM guard for adversarial documents — a
+    doc's spans beyond the first ``max_spans`` are DROPPED (its text
+    truncates at that boundary) and the output grows a
+    ``spans_truncated`` flag, the star_cap posture applied to
+    reassembly: one pathological million-paragraph document bounds
+    its reassembly row instead of OOMing a reducer. ``None``
+    (default) disables the guard and keeps the 3-column schema.
     """
     return _dedup_spans(
         df, text_col, id_col, min_chars,
         split_pattern="\\n{2,}", join_sep="\\n\\n",
-        kept_col="n_paras_kept",
+        kept_col="n_paras_kept", max_spans=max_spans,
     )
 
 
@@ -750,16 +761,19 @@ def dedup_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_chars: int = 0,
+    max_spans: int | None = None,
 ) -> DataFrame:
     """:func:`dedup_paragraphs` at LINE granularity — C4's repeated
     line removal (Raffel et al. 2020 dedup "three-sentence spans";
     line-level is the common practical variant: nav menus, cookie
     banners, and list boilerplate repeat as single lines). Same
-    single-exchange winner shape; output column ``n_lines_kept``."""
+    single-exchange hashed-key winner shape (and the same
+    ``max_spans`` reassembly guard); output column
+    ``n_lines_kept``."""
     return _dedup_spans(
         df, text_col, id_col, min_chars,
         split_pattern="\\n+", join_sep="\\n",
-        kept_col="n_lines_kept",
+        kept_col="n_lines_kept", max_spans=max_spans,
     )
 
 
@@ -771,42 +785,66 @@ def _dedup_spans(
     split_pattern: str,
     join_sep: str,
     kept_col: str,
+    max_spans: int | None = None,
 ) -> DataFrame:
     span_split = f"split({text_col}, '{split_pattern}')"
     norm = "lower(trim(regexp_replace(__para, '\\\\s+', ' ')))"
-    paras = (
-        df.select(
+    if max_spans is not None:
+        # truncate + flag BEFORE the explode: the tail of a
+        # pathological document never enters the pipeline, so its
+        # reassembly row is bounded (raw split count, pre-empty-
+        # filter — the cheap upper bound)
+        src = df.select(
+            F.col(id_col), F.expr(span_split).alias("__arr")
+        ).select(
+            F.col(id_col),
+            F.expr(f"size(__arr) > {max_spans}").alias("__trunc"),
+            F.posexplode(
+                F.expr(f"slice(__arr, 1, {max_spans})")
+            ).alias("__pi", "__para"),
+        )
+    else:
+        src = df.select(
             F.col(id_col),
             F.posexplode(F.expr(span_split)).alias("__pi", "__para"),
         )
-        .where(F.expr("trim(__para) != ''"))
+    # the dedup key is the 16-byte md5 of the normalized span — the
+    # full span text never rides a shuffle key (3-10x slimmer
+    # exchanges at crawl scale); the text stays only on the exploded
+    # side that reassembles. min_chars compares the normalized
+    # length, so the candidate set is unchanged by the hashing.
+    paras = (
+        src.where(F.expr("trim(__para) != ''"))
         .withColumn("__pn", F.expr(norm))
+        .withColumn("__pl", F.length("__pn"))
+        .withColumn("__pk", F.expr("unhex(md5(__pn))"))
+        .drop("__pn")
     )
-    cand = paras.where(F.length("__pn") >= min_chars)
-    winners = cand.groupBy("__pn").agg(
+    cand = paras.where(F.col("__pl") >= min_chars)
+    winners = cand.groupBy("__pk").agg(
         F.expr(
             f"min(named_struct('d', {id_col}, 'i', __pi))"
         ).alias("__w")
     )
     kept = (
-        paras.join(winners, "__pn", "left")
+        paras.join(winners, "__pk", "left")
         .where(
             F.expr(
                 f"__w IS NULL OR (__w.d = {id_col} AND __w.i = __pi)"
             )
         )
     )
-    return (
-        kept.groupBy(id_col)
-        .agg(
-            F.expr(
-                f"concat_ws('{join_sep}', transform(array_sort("
-                "collect_list(named_struct('i', __pi, 'p', __para))), "
-                "s -> s.p))"
-            ).alias("text_deduped"),
-            F.count(F.lit(1)).cast("int").alias(kept_col),
-        )
-    )
+    aggs = [
+        F.expr(
+            f"concat_ws('{join_sep}', transform(array_sort("
+            "collect_list(named_struct('i', __pi, 'p', __para))), "
+            "s -> s.p))"
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).cast("int").alias(kept_col),
+    ]
+    if max_spans is not None:
+        aggs.append(F.expr("max(__trunc)").alias("spans_truncated"))
+    return kept.groupBy(id_col).agg(*aggs)
 
 
 def duplicated_window_fraction(
@@ -826,13 +864,16 @@ def duplicated_window_fraction(
     (within-doc repeats count, as in the paper). High fractions mark
     template/mirror documents that survive document-level dedup.
 
-    Shape: one gram explode (substitution-safe chain), ONE gram-key
-    exchange for the occurrence counts, a gram-key join that reuses
-    that partitioning, and the per-doc ratio aggregate — linear in
-    total window count, no pairs. Docs shorter than ``n`` words
-    contribute their whole text as one window (the gram chain's
-    short-doc contract), so the signal degrades to document-level
-    exact matching, never to silence.
+    Shape: one gram explode (substitution-safe chain), ONE exchange
+    on the 16-byte md5 of the gram (the gram TEXT never rides a
+    shuffle key — ~50-byte window strings would widen the exchange
+    3-10x at crawl scale for no semantic gain) for the occurrence
+    counts, a hash-key join that reuses that partitioning, and the
+    per-doc ratio aggregate — linear in total window count, no
+    pairs. Docs shorter than ``n`` words contribute their whole text
+    as one window (the gram chain's short-doc contract), so the
+    signal degrades to document-level exact matching, never to
+    silence.
     """
     from prql_spark.operators.text import _words, ngram_expr
 
@@ -843,10 +884,11 @@ def duplicated_window_fraction(
             F.explode(F.expr(ngram_expr("__ws", n))).alias("gram"),
         )
         .where(F.expr("gram != ''"))
+        .select(id_col, F.expr("unhex(md5(gram))").alias("__gk"))
     )
-    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__c"))
+    counts = grams.groupBy("__gk").agg(F.count(F.lit(1)).alias("__c"))
     return (
-        grams.join(counts, "gram")
+        grams.join(counts, "__gk")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_windows"),

@@ -1741,6 +1741,39 @@ def test_duplicated_window_fraction_planted(spark, catalog):
     }
 
 
+def test_dedup_spans_max_spans_guard(spark):
+    """Reassembly OOM guard: a planted mega-doc (10k one-line spans)
+    truncates to max_spans lines with the flag set; normal docs pass
+    through unflagged with identical text; the winner a truncated
+    span would have claimed falls to the surviving occurrence."""
+    from pyspark.sql import Row
+
+    from prql_spark.operators.dedup import dedup_lines
+
+    mega = "\n".join(f"mega line number {i} of the adversarial doc"
+                     for i in range(10_000))
+    rows = [
+        Row(doc_id=1, text=mega),
+        Row(doc_id=2, text="a normal line\nanother normal line"),
+        # shares its line with a TRUNCATED part of doc 1 — the winner
+        # (doc 1's occurrence) was cut, so doc 3 keeps its copy
+        Row(doc_id=3, text="mega line number 9999 of the adversarial doc"),
+    ]
+    out = {r.doc_id: r for r in dedup_lines(
+        spark.createDataFrame(rows), max_spans=100
+    ).collect()}
+    assert out[1].n_lines_kept == 100 and out[1].spans_truncated
+    assert out[2].text_deduped == rows[1].text
+    assert not out[2].spans_truncated
+    assert out[3].n_lines_kept == 1  # its duplicate was truncated away
+    # default path: no guard, no flag column, full text survives
+    full = {r.doc_id: r for r in dedup_lines(
+        spark.createDataFrame(rows)
+    ).collect()}
+    assert "spans_truncated" not in full[1].asDict()
+    assert full[1].n_lines_kept == 10_000
+
+
 def test_remove_duplicated_windows_planted(spark, catalog):
     """Duplicated-window REMOVAL (Lee et al. ExactSubstr step): the
     shared 8-word run is cut from BOTH docs (all occurrences go,

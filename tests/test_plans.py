@@ -436,6 +436,8 @@ def test_span_dedup_single_key_exchange(catalog):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     # partial min before the paragraph-key exchange
     assert "partial_min" in plan
+    # the exchange key is the 16-byte md5, never the span text
+    assert "md5" in plan
     # exchanges: paragraph-key (winner agg + join sides) and the
     # final per-doc reassembly — bounded, no O(n^2) shape
     assert plan.count("Exchange hashpartitioning") <= 4
