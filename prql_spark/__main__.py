@@ -60,11 +60,17 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="print the result schema without executing",
     )
+    # full reference dialect enum (dialect.rs:6-27) — kept in sync
+    # with sql_backend._DIALECT_EMITTERS by tests/test_cli.py
     mode.add_argument(
         "--sql",
         nargs="?",
         const="spark",
-        choices=["spark", "duckdb", "ansi"],
+        choices=[
+            "spark", "hive", "duckdb", "ansi", "generic", "postgres",
+            "sqlite", "snowflake", "mssql", "clickhouse", "mysql",
+            "bigquery",
+        ],
         help="emit SQL text instead of a plan (reference to_sql "
         "parity); optional dialect, default spark",
     )

@@ -2516,7 +2516,7 @@ SELECT doc_id, url, url_host,
   hl[len(hl)] AS url_tld,
   CAST(len(list_filter(string_split(pth, '/'), s -> s != ''))
        AS INTEGER) AS url_path_depth,
-  (url_host = '{d}' OR url_host LIKE '%.{d}') AS url_blocked
+  (url_host = '{d}' OR ends_with(url_host, '.{d}')) AS url_blocked
 FROM x ORDER BY doc_id
 """
 

@@ -876,7 +876,10 @@ def tfidf_top_terms(
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     scored = (
         tf.join(dfreq, "term")
-        .join(F.broadcast(n_docs))
+        # explicit crossJoin: the 1-row broadcast ride-in must not
+        # depend on spark.sql.crossJoin.enabled (an implicit
+        # condition-less join() fails analysis where that's off)
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
             F.expr("round(tf * (ln((__n + 1) / (df + 1)) + 1), 6)"),
@@ -1042,7 +1045,10 @@ _HTML_PARA_PATTERN = (
     "(?i)</(p|div|h1|h2|h3|h4|h5|h6|blockquote|section|article"
     "|ul|ol|table|pre)>"
 )
-_HTML_LINE_PATTERN = "(?i)</(li|tr)>|<br[^>]*>"
+# <br> bounded without backslashes (RE2 parity): bare, or followed
+# by space-or-slash then attributes — so a <broadcast-banner>-style
+# custom element is NOT a line break
+_HTML_LINE_PATTERN = "(?i)</(li|tr)>|<br>|<br[ /][^>]*>"
 
 
 def html_to_text_expr(col: str, dialect: str = "spark") -> str:
@@ -1112,37 +1118,64 @@ def url_features(
     df: DataFrame,
     url_col: str = "url",
     block_domains: tuple[str, ...] = (),
+    public_suffixes: tuple[str, ...] = (),
 ) -> DataFrame:
     """Crawl URL triage — the filter-by-URL step every web pipeline
     runs before touching page content (C4 dropped blocklisted
     domains; RefinedWeb's URL filter scores host/path): extract
-    ``url_host``, ``url_domain`` (last-two-labels heuristic — NOT
-    public-suffix-aware: co.uk-style hosts resolve to the suffix;
-    plug a suffix table upstream where that matters), ``url_tld``,
-    ``url_path_depth``, and ``url_blocked`` (host equals or is a
-    subdomain of any ``block_domains`` entry — the domains are plan
-    constants, so the check is a narrow JVM map, no join).
+    ``url_host``, ``url_domain``, ``url_tld``, ``url_path_depth``,
+    and ``url_blocked`` (host equals or is a subdomain of any
+    ``block_domains`` entry — entries are escaped plan constants
+    compared with equality/``endswith``, never LIKE patterns, so a
+    quote or ``_``/``%`` in a configured domain cannot break or
+    over-match the expression).
+
+    ``url_domain`` defaults to the last-two-labels heuristic;
+    passing ``public_suffixes`` (e.g. ``("co.uk", "com.au")``) makes
+    multi-label suffixes resolve to the registrable domain
+    (``shop.example.co.uk`` → ``example.co.uk``): the LONGEST
+    matching suffix wins, unmatched hosts keep the heuristic. The
+    suffixes become plan constants (a narrow JVM map) — right for
+    the dozens of suffixes a pipeline actually configures; loading
+    the full ~9k-entry public-suffix list would instead warrant a
+    broadcast join keyed on the host's candidate suffixes.
     """
     host = f"lower(regexp_extract({url_col}, '{URL_HOST_RE}', 2))"
     path = f"regexp_extract({url_col}, '{URL_PATH_RE}', 1)"
     if block_domains:
         blocked = " OR ".join(
-            f"(url_host = '{d}' OR url_host LIKE '%.{d}')"
+            f"(url_host = {_esc(d)} "
+            f"OR endswith(url_host, {_esc('.' + d)}))"
             for d in block_domains
         )
     else:
         blocked = "FALSE"
+    # labels to keep past the default 2: longest matching public
+    # suffix contributes (its label count + 1); 0 = heuristic
+    if public_suffixes:
+        keep = "greatest(%s, 0)" % ", ".join(
+            f"IF(endswith(url_host, {_esc('.' + s)}), "
+            f"{s.count('.') + 2}, 0)"
+            for s in public_suffixes
+        )
+        domain = (
+            f"CASE WHEN {keep} > 0 AND size(__hl) >= {keep} "
+            f"THEN concat_ws('.', slice(__hl, "
+            f"size(__hl) - {keep} + 1, {keep})) "
+            "WHEN size(__hl) >= 2 "
+            "THEN concat_ws('.', slice(__hl, size(__hl) - 1, 2)) "
+            "ELSE url_host END"
+        )
+    else:
+        domain = (
+            "IF(size(__hl) >= 2, "
+            "concat_ws('.', slice(__hl, size(__hl) - 1, 2)), "
+            "url_host)"
+        )
     return (
         df.withColumn("url_host", F.expr(host))
         .withColumn("__hl", F.expr("split(url_host, '[.]')"))
-        .withColumn(
-            "url_domain",
-            F.expr(
-                "IF(size(__hl) >= 2, "
-                "concat_ws('.', slice(__hl, size(__hl) - 1, 2)), "
-                "url_host)"
-            ),
-        )
+        .withColumn("url_domain", F.expr(domain))
         .withColumn("url_tld", F.expr("element_at(__hl, -1)"))
         .withColumn(
             "url_path_depth",

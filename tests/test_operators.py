@@ -1703,6 +1703,39 @@ def test_url_features_edges(spark):
     assert out[5].url_path_depth == 1
 
 
+def test_url_features_blocklist_hardening_and_suffixes(spark):
+    """Round-5 ADVICE items: a quote-bearing blocklist domain must
+    not break the expression, a LIKE-wildcard character in a domain
+    must not over-match (a_b.com vs axb.com), and public_suffixes
+    resolves co.uk-style hosts to the registrable domain (longest
+    suffix wins; unmatched hosts keep the last-2 heuristic)."""
+    from pyspark.sql import Row
+
+    from prql_spark.operators.text import url_features
+
+    rows = [
+        Row(doc_id=1, url="https://o'brien.example/x"),
+        Row(doc_id=2, url="https://a_b.com/"),
+        Row(doc_id=3, url="https://axb.com/"),
+        Row(doc_id=4, url="https://shop.example.co.uk/a"),
+        Row(doc_id=5, url="https://example.co.uk/"),
+        Row(doc_id=6, url="https://plain.example.org/"),
+        Row(doc_id=7, url="https://deep.shop.example.com.au/"),
+    ]
+    out = {r.doc_id: r for r in url_features(
+        spark.createDataFrame(rows),
+        block_domains=("o'brien.example", "a_b.com"),
+        public_suffixes=("co.uk", "com.au"),
+    ).collect()}
+    assert out[1].url_blocked          # quote escaped, not a syntax error
+    assert out[2].url_blocked          # exact match
+    assert not out[3].url_blocked      # _ is NOT a wildcard
+    assert out[4].url_domain == "example.co.uk"
+    assert out[5].url_domain == "example.co.uk"
+    assert out[6].url_domain == "example.org"   # heuristic path intact
+    assert out[7].url_domain == "example.com.au"
+
+
 def test_duplicated_window_fraction_planted(spark, catalog):
     """Windowed exact-substring signal: a doc sharing an 8-word run
     with another doc gets exactly the straddle-free shared windows
