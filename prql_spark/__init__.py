@@ -8,6 +8,7 @@ Public surface:
   (dedup, similarity search, text analysis, multimodal plumbing).
 """
 
+from prql_spark.ast_io import format_prql, from_json, to_json
 from prql_spark.compiler import PrqlCompileError, compile_prql
 from prql_spark.parser import PrqlParseError, parse
 from prql_spark.session import build_spark
@@ -21,7 +22,10 @@ __all__ = [
     "build_spark",
     "compile",
     "compile_prql",
+    "format_prql",
+    "from_json",
     "parse",
+    "to_json",
     "to_sql",
 ]
 

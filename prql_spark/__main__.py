@@ -80,6 +80,19 @@ def main(argv: list[str] | None = None) -> int:
         help="print the parsed AST as JSON (parse-only — no Spark "
         "session; reference `prql parse` parity)",
     )
+    mode.add_argument(
+        "--fmt",
+        action="store_true",
+        help="print canonically formatted PRQL (parse-only — no "
+        "Spark session; reference `format` parity)",
+    )
+    ap.add_argument(
+        "--from-json",
+        action="store_true",
+        help="treat the input as a JSON AST (the --ast output) "
+        "instead of PRQL source (reference `from_json` parity); "
+        "combines with --sql/--run/--schema/--explain/--fmt",
+    )
     ap.add_argument(
         "-n", "--rows", type=int, default=20, help="rows to show with --run"
     )
@@ -99,30 +112,26 @@ def main(argv: list[str] | None = None) -> int:
     from prql_spark.compiler import PrqlCompileError
     from prql_spark.parser import PrqlParseError
 
-    if args.ast:
-        import dataclasses
-        import json
-
-        from prql_spark.parser import parse
-
-        def enc(node):
-            if dataclasses.is_dataclass(node):
-                d = {"_type": type(node).__name__}
-                for f in dataclasses.fields(node):
-                    if f.name == "pos":  # token offset: noise in dumps
-                        continue
-                    d[f.name] = enc(getattr(node, f.name))
-                return d
-            if isinstance(node, dict):
-                return {k: enc(v) for k, v in node.items()}
-            if isinstance(node, (list, tuple)):
-                return [enc(v) for v in node]
-            if isinstance(node, (str, int, float, bool)) or node is None:
-                return node
-            return str(node)  # dates/times/intervals
+    if args.from_json:
+        from prql_spark.ast_io import from_json
 
         try:
-            print(json.dumps(enc(parse(text)), indent=2))
+            text = from_json(text)  # Query AST flows to every mode
+        except (ValueError, KeyError, TypeError) as e:
+            print(f"error: bad JSON AST: {e}", file=sys.stderr)
+            return 1
+
+    if args.ast or args.fmt:  # parse-only modes: no Spark session
+        from prql_spark.ast_io import format_query, to_json
+        from prql_spark.parser import parse
+        from prql_spark.plans.nodes import Query
+
+        try:
+            q = text if isinstance(text, Query) else parse(text)
+            if args.ast:
+                print(to_json(q, indent=2))
+            else:
+                print(format_query(q), end="")
         except PrqlParseError as e:
             print(f"error: {e}", file=sys.stderr)
             return 1

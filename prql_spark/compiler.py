@@ -1074,12 +1074,21 @@ def _substitute(node, binding: dict):
     return node
 
 
-def compile_prql(text: str, catalog: Catalog) -> DataFrame:
-    """Compile PRQL source to a (lazy) Spark DataFrame."""
-    try:
-        q = parse(text)
-    except PrqlParseError as e:
-        raise PrqlParseError(f"{e}\n--- in query:\n{text}") from None
+def compile_prql(text, catalog: Catalog) -> DataFrame:
+    """Compile PRQL source — or an already-built ``Query`` AST (the
+    ``from_json`` path, reference lib.rs:40 parity) — to a (lazy)
+    Spark DataFrame."""
+    from prql_spark.plans.nodes import Query as _Query
+
+    if isinstance(text, _Query):
+        q, text = text, ""
+    else:
+        try:
+            q = parse(text)
+        except PrqlParseError as e:
+            raise PrqlParseError(
+                f"{e}\n--- in query:\n{text}"
+            ) from None
     if q.dialect is not None and q.dialect not in (
         "generic", "ansi", "hive", "spark"
     ):

@@ -412,7 +412,7 @@ _DIALECT_EMITTERS: dict[str, type] = {
 }
 
 
-def to_sql(text: str, catalog: Catalog, dialect: str = "spark") -> str:
+def to_sql(text, catalog: Catalog, dialect: str = "spark") -> str:
     """Compile PRQL to SQL text (reference parity: ``to_sql``,
     prql-compiler/src/ast/dialect.rs:6-27 for the dialect surface).
 
@@ -425,6 +425,7 @@ def to_sql(text: str, catalog: Catalog, dialect: str = "spark") -> str:
     operators or an unknown dialect.
     """
     from prql_spark.parser import parse
+    from prql_spark.plans.nodes import Query as _Query
 
     cls = _DIALECT_EMITTERS.get(dialect)
     if cls is None:
@@ -432,8 +433,10 @@ def to_sql(text: str, catalog: Catalog, dialect: str = "spark") -> str:
             f"unknown SQL dialect {dialect!r}; expected one of "
             + ", ".join(sorted(_DIALECT_EMITTERS))
         )
-    c = cls(catalog, src=text)
-    c.compile_query(parse(text))
+    # a pre-built Query AST (the from_json path) compiles directly
+    q = text if isinstance(text, _Query) else parse(text)
+    c = cls(catalog, src=text if isinstance(text, str) else "")
+    c.compile_query(q)
     return c.emit()
 
 

@@ -99,3 +99,30 @@ def test_cli_ast_mode():
     # parse error still carries line/col, and no Spark session starts
     r = _cli("from orders | take !!", "--ast")
     assert r.returncode == 1 and "line 1" in r.stderr
+
+
+def test_cli_fmt_and_from_json_roundtrip():
+    """--fmt pretty-prints (parse-only); --from-json feeds the --ast
+    output back through any mode (reference format/from_json
+    parity): ast → from-json → sql equals direct sql."""
+    r = _cli("from orders|filter o_totalprice>100|take 5", "--fmt")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == (
+        "from orders\nfilter o_totalprice > 100\ntake 5\n"
+    )
+    ast = _cli("from orders | take 5", "--ast").stdout
+    via_json = _cli(
+        "--from-json", "--sql", "duckdb",
+        "--data-dir", "/root/testdata/sf0.001",
+        stdin=ast,
+    )
+    direct = _cli(
+        "from orders | take 5", "--sql", "duckdb",
+        "--data-dir", "/root/testdata/sf0.001",
+    )
+    assert via_json.returncode == 0, via_json.stderr
+    assert via_json.stdout == direct.stdout
+    # --from-json + --fmt: JSON AST back to PRQL, no Spark session
+    r = _cli("--from-json", "--fmt", stdin=ast)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == "from orders\ntake 5\n"
