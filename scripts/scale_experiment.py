@@ -146,6 +146,12 @@ def fresh_op(op: str, n_copies: int):
         ),
         "dedup_paragraphs": lambda: dedup.dedup_paragraphs(docs()),
         "dedup_lines": lambda: dedup.dedup_lines(docs()),
+        "dup_window_fraction": lambda: dedup.duplicated_window_fraction(
+            docs()
+        ),
+        "remove_dup_windows": lambda: dedup.remove_duplicated_windows(
+            docs()
+        ),
     }
     if op not in ops:
         raise SystemExit(
