@@ -1078,14 +1078,15 @@ _NEW_THIS_ROUND = [
     "dedup_window_fraction",
     # new in round 6
     "dedup_remove_windows",
+    "dedup_remove_sentences",
 ]
 
 # reserved for new entries that outgrow the window (empty this round)
 _NEW_BEHIND: list[str] = []
 
 # most recent driver row is from ROUND 4 (round 5's behind-window
-# block). 45 of the 50 fit alongside the 5 never-checked entries;
-# the spill below holds the 5 that don't.
+# block). 44 of the 50 fit alongside the 6 never-checked entries;
+# the spill below holds the 6 that don't.
 _STALE_PREV = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -1131,19 +1132,19 @@ _STALE_PREV = [
     "multimodal_metadata",
     "multimodal_frame_sample",
     "asof_forward_tolerance",
-    "distinct_idiom",
 ]
 
-# r4-checked entries the round-6 window cannot fit — the 5 LOWEST-
-# RISK pure-window/limit shapes (each a thin slice of an in-window
-# sibling's compile path). Oldest driver evidence in the repo from
-# here on: these MUST open round 7's window.
+# r4-checked entries the round-6 window cannot fit — the 6 LOWEST-
+# RISK pure-window/limit/distinct shapes (each a thin slice of an
+# in-window sibling's compile path). Oldest driver evidence in the
+# repo from here on: these MUST open round 7's window.
 _STALE_SPILL = [
     "window_running_total",
     "window_moving_average",
     "take_range",
     "null_handling",
     "fstring_cast",
+    "distinct_idiom",
 ]
 
 # checked in round 5 (fresh driver evidence) — behind the window

@@ -73,6 +73,7 @@ HEADLINE = {
     "dedup_lines": "count",
     "dedup_window_fraction": "count",
     "dedup_remove_windows": "count",
+    "dedup_remove_sentences": "count",
     "text_html_to_text": "count",
 }
 

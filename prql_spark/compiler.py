@@ -98,6 +98,7 @@ def _extended_transforms() -> dict:
         "url_features": text.url_features,
         "duplicated_window_fraction": dedup.duplicated_window_fraction,
         "remove_duplicated_windows": dedup.remove_duplicated_windows,
+        "remove_duplicated_sentences": dedup.remove_duplicated_sentences,
     }
 
 

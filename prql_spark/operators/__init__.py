@@ -2613,6 +2613,67 @@ FROM k GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# a 3-sentence suffix appended to EVERY doc: its one interior
+# 3-sentence window is shared corpus-wide, so C4-rule removal must
+# cut exactly those 3 sentences from every document
+_DUPSENT_SUFFIX = (
+    "' Like this page. Share this page with your friends. "
+    "Subscribe to our newsletter now.'"
+)
+
+
+def q_remove_dup_sentences(spark, sf_dir):
+    """C4 three-sentence-span removal value-oracled: the planted
+    shared 3-sentence suffix must vanish from every document; DuckDB
+    replays sentence segmentation → per-sentence md5 keys → window
+    marking → coverage → anti-join → ordered reassembly."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.expr(f"concat(text, {_DUPSENT_SUFFIX})")
+    )
+    return dedup.remove_duplicated_sentences(docs, n=3).orderBy("doc_id")
+
+
+def _sql_remove_dup_sentences() -> str:
+    from prql_spark.operators.dedup import sentence_split_expr
+
+    split_dd = sentence_split_expr(
+        f"concat(text, {_DUPSENT_SUFFIX})", dialect="duckdb"
+    )
+    return f"""
+WITH b AS (SELECT doc_id, {split_dd} AS sa FROM documents),
+kb AS (SELECT doc_id, sa, list_transform(sa, s ->
+         md5(lower(trim(regexp_replace(s, '\\s+', ' ', 'g'))))) AS sk
+       FROM b),
+gi AS (SELECT doc_id, sk,
+         unnest(range(0, greatest(len(sk) - 3, 0) + 1)) AS wi
+       FROM kb),
+g AS (SELECT doc_id, wi,
+        array_to_string(list_slice(sk, wi + 1, wi + 3), ' ') AS wk
+      FROM gi),
+c AS (SELECT wk, count(*) AS cnt FROM g GROUP BY wk),
+mk AS (SELECT doc_id, wi FROM g JOIN c USING (wk) WHERE cnt >= 2),
+cov0 AS (SELECT doc_id,
+           unnest(generate_series(wi, wi + 2)) AS si FROM mk),
+cov AS (SELECT DISTINCT doc_id, si FROM cov0),
+sd AS (SELECT doc_id, sa,
+         len(list_filter(sa, s -> trim(s) != '')) AS m,
+         unnest(generate_series(1, len(sa))) AS i FROM b),
+s2 AS (SELECT doc_id, m, i - 1 AS si, sa[i] AS sent FROM sd
+       WHERE trim(sa[i]) != ''),
+k AS (SELECT s2.doc_id, s2.m, s2.si, s2.sent
+      FROM s2 LEFT JOIN cov
+        ON cov.doc_id = s2.doc_id AND cov.si = s2.si
+      WHERE cov.si IS NULL)
+SELECT doc_id,
+  string_agg(sent, ' ' ORDER BY si) AS text_cleaned,
+  CAST(any_value(m) AS BIGINT) AS n_sentences,
+  CAST(any_value(m) - count(*) AS BIGINT) AS n_removed_sentences,
+  round((any_value(m) - count(*)) / CAST(any_value(m) AS DOUBLE), 6)
+    AS removed_fraction
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _HIER_NPROBE = 2  # of 8 superclusters — genuinely partial probing
 
 
@@ -2736,6 +2797,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_features": q_url_features,
         "dedup_window_fraction": q_dup_window_fraction,
         "dedup_remove_windows": q_remove_dup_windows,
+        "dedup_remove_sentences": q_remove_dup_sentences,
     }
 
 
@@ -2784,6 +2846,7 @@ def entry_oracles() -> dict[str, str]:
         "text_url_features": _sql_url_features(),
         "dedup_window_fraction": SQL_DUP_WINDOW_FRACTION,
         "dedup_remove_windows": SQL_REMOVE_DUP_WINDOWS,
+        "dedup_remove_sentences": _sql_remove_dup_sentences(),
         "events_hourly_rollup": SQL_EVENTS_HOURLY,
         "asof_join_attribution": SQL_ASOF_JOIN,
         "asof_forward_tolerance": SQL_ASOF_FORWARD,

@@ -903,6 +903,132 @@ def duplicated_window_fraction(
     )
 
 
+def sentence_split_expr(col: str, dialect: str = "spark") -> str:
+    """Sentence segmentation as ONE SQL expression, emitted for both
+    engines from the same builder (the html_to_text pattern, so the
+    Spark op and the DuckDB oracle can never drift): whitespace
+    following sentence-final punctuation becomes a newline (RE2 has
+    no lookbehind, so the boundary is CONSUMED and re-inserted via a
+    group backreference — works on Java regex and RE2 alike), then
+    the text splits on newline runs. Existing newlines are sentence
+    boundaries too. Deliberately heuristic — abbreviation-aware
+    segmentation is a tokenizer concern; for dedup, a stable cheap
+    boundary beats a clever unstable one."""
+    if dialect == "spark":
+        marked = (
+            f"regexp_replace({col}, '([.!?])[ \\\\t]+', '$1\\n')"
+        )
+        return f"split({marked}, '\\\\n+')"
+    marked = (
+        f"regexp_replace({col}, '([.!?])[ \\t]+', e'\\\\1\\n', 'g')"
+    )
+    return f"string_split_regex({marked}, '\\n+')"
+
+
+def remove_duplicated_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """C4's dedup rule, verbatim (Raffel et al. 2020 §2.2:
+    "we discarded any three-sentence span occurring more than once
+    in the data set"): every sentence covered by an ``n``-sentence
+    window whose normalized text repeats at least ``min_count``
+    times corpus-wide is cut from every document; documents
+    reassemble from surviving sentences in order. All occurrences
+    are cut (no canonical copy — C4's behavior). Documents shorter
+    than ``n`` sentences contribute their whole text as ONE window,
+    and a document losing every sentence drops from the output.
+
+    The sentence-granular sibling of
+    :func:`remove_duplicated_windows` — same linear bucket shape,
+    with the window key built as an md5-of-md5s: each sentence
+    normalizes (lowercase, whitespace-collapse) and hashes INSIDE a
+    substitution-safe per-element transform, then the window key
+    hashes the concatenation of its sentences' 32-char hashes — so
+    the count exchange carries 16 bytes per window no matter how
+    long the sentences are. One hashed-window-key count exchange, a
+    partition-reusing join, a coverage explode deduplicated on
+    ``(id, sentence_index)``, a sentence-level anti join, and the
+    per-doc reassembly.
+
+    Output: ``text_cleaned`` (surviving sentences joined with one
+    space — the original inter-sentence whitespace is normalized,
+    the sentences themselves byte-preserved), ``n_sentences``,
+    ``n_removed_sentences``, ``removed_fraction``.
+    """
+    from prql_spark.operators.text import ngram_expr
+
+    sents = sentence_split_expr(text_col)
+    # per-sentence 32-char md5 of the normalized text; the lambda
+    # body references only its own variable — substitution-safe
+    keys = (
+        f"transform({sents}, s -> md5(lower(trim("
+        "regexp_replace(s, '\\\\s+', ' ')))))"
+    )
+    # stage the key array as a column (evaluated once per row) —
+    # ngram_expr references it several times, all as whole-array
+    # arguments (the §6(c)/(c′) discipline)
+    wins = (
+        df.select(F.col(id_col), F.expr(keys).alias("__sk"))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(ngram_expr("__sk", n))
+            ).alias("__wi", "__wk"),
+        )
+        .select(
+            id_col, "__wi", F.expr("unhex(md5(__wk))").alias("__hk")
+        )
+    )
+    counts = wins.groupBy("__hk").agg(F.count(F.lit(1)).alias("__c"))
+    covered = (
+        wins.join(counts, "__hk")
+        .where(F.col("__c") >= min_count)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"sequence(__wi, __wi + {n} - 1)")
+            ).alias("__si"),
+        )
+        .distinct()
+    )
+    sentences = (
+        df.select(F.col(id_col), F.expr(sents).alias("__sa"))
+        .select(
+            F.col(id_col),
+            # count REAL sentences (a trailing boundary leaves an
+            # empty split segment; it must not count as "removed")
+            F.expr(
+                "size(filter(__sa, x -> trim(x) != ''))"
+            ).alias("__m"),
+            F.posexplode("__sa").alias("__si", "__s"),
+        )
+        .where(F.expr("trim(__s) != ''"))
+    )
+    kept = sentences.join(covered, [id_col, "__si"], "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort("
+                "collect_list(named_struct('i', __si, 's', __s))), "
+                "p -> p.s))"
+            ).alias("text_cleaned"),
+            F.first("__m").cast("long").alias("n_sentences"),
+            F.expr(
+                "CAST(first(__m) - count(*) AS BIGINT)"
+            ).alias("n_removed_sentences"),
+            F.expr(
+                "round((first(__m) - count(*)) "
+                "/ CAST(first(__m) AS DOUBLE), 6)"
+            ).alias("removed_fraction"),
+        )
+    )
+
+
 def remove_duplicated_windows(
     df: DataFrame,
     text_col: str = "text",

@@ -1774,6 +1774,46 @@ def test_duplicated_window_fraction_planted(spark, catalog):
     }
 
 
+def test_remove_duplicated_sentences_planted(spark, catalog):
+    """C4's three-sentence-span rule: a 3-sentence block shared by
+    two docs is cut from BOTH (all occurrences), unique sentences
+    survive byte-exactly, sentence whitespace variation does not
+    defeat the match (normalized keys), and a doc that IS the shared
+    block drops entirely. PRQL-callable."""
+    from pyspark.sql import Row
+
+    from prql_spark import compile_prql
+    from prql_spark.operators.dedup import remove_duplicated_sentences
+
+    blk = "Like this page. Share it widely. Subscribe to us now."
+    rows = [
+        Row(doc_id=1, text=f"A unique opening thought here. {blk}"),
+        # same block but with doubled spaces — normalization matches
+        Row(doc_id=2, text="Another original idea entirely. "
+            + blk.replace(". ", ".  ")),
+        Row(doc_id=3, text="Fully original. Nothing shared here. "
+            "Three unique sentences total."),
+        Row(doc_id=4, text=blk),
+    ]
+    out = {r.doc_id: r for r in remove_duplicated_sentences(
+        spark.createDataFrame(rows), n=3
+    ).collect()}
+    assert out[1].text_cleaned == "A unique opening thought here."
+    assert out[1].n_sentences == 4 and out[1].n_removed_sentences == 3
+    assert out[2].text_cleaned == "Another original idea entirely."
+    assert out[3].n_removed_sentences == 0
+    assert out[3].text_cleaned == rows[2].text
+    assert 4 not in out  # the whole doc was the duplicated span
+    # PRQL pipeline step
+    df = compile_prql(
+        "from documents\ntake 20\nremove_duplicated_sentences", catalog
+    )
+    assert set(df.columns) == {
+        "doc_id", "text_cleaned", "n_sentences",
+        "n_removed_sentences", "removed_fraction",
+    }
+
+
 def test_dedup_spans_max_spans_guard(spark):
     """Reassembly OOM guard: a planted mega-doc (10k one-line spans)
     truncates to max_spans lines with the flag set; normal docs pass
