@@ -217,8 +217,13 @@ def _arg(node: Node) -> str:
     # them would be WRONG for ident-headed operands — inside parens
     # the grammar switches to the pipeline-step (juxtaposition)
     # context, and "(m1 or m2)" re-parses as a CALL m1(or, m2).
+    # EXCEPT operator-headed emissions ("-a != b"): a bare leading
+    # -/+/! breaks the argument loop entirely, and parens are safe
+    # there precisely because the content does NOT start with an
+    # identifier (found by the hypothesis roundtrip sweep).
     if isinstance(node, (Binary, RangeLit)):
-        return _expr(node, 0)
+        s = _expr(node, 0)
+        return f"({s})" if s[:1] in ("-", "+", "!") else s
     return "(" + _step(node) + ")"
 
 

@@ -275,3 +275,42 @@ def test_random_pipeline_three_backend_parity(spark, catalog, oracle, prql):
         [tuple(_norm(v) for v in r) for r in sdf.collect()], key=repr
     )
     assert got == want, prql
+
+
+@settings(
+    max_examples=200,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(prql=pipeline())
+def test_random_pipeline_format_json_roundtrip(prql):
+    """The formatter and JSON codec hold over the generated pipeline
+    space, not just hand-picked queries: parse(format(x)) == parse(x)
+    (idempotent), from_json(to_json(x)) == parse(x). Pure-Python —
+    no Spark session, so the example budget is cheap."""
+    from prql_spark.ast_io import format_prql, from_json, to_json
+    from prql_spark.parser import parse
+
+    q0 = parse(prql)
+    formatted = format_prql(prql)
+    assert parse(formatted) == q0, formatted
+    assert format_prql(formatted) == formatted
+    assert from_json(to_json(prql)) == q0
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(e=num_expr(2), cond=bool_expr())
+def test_random_expression_format_roundtrip(e, cond):
+    """Formatter parity over the random EXPRESSION space (operator
+    precedence, unary minus, nesting): the re-emitted pipeline
+    parses to the identical AST."""
+    from prql_spark.ast_io import format_prql
+    from prql_spark.parser import parse
+
+    prql = f"from lineitem\nderive [x = {e.prql}]\nfilter {cond.prql}"
+    q0 = parse(prql)
+    assert parse(format_prql(prql)) == q0, format_prql(prql)
