@@ -59,6 +59,7 @@ def prepare_training_corpus(
     span_dedup: str | None = None,
     span_dedup_min_chars: int = 30,
     remove_dup_windows: int | None = None,
+    remove_dup_sentence_spans: int | None = None,
     dup_window_min_count: int = 2,
     checkpoint_filtered: bool = True,
     collect_stats: bool = False,
@@ -107,6 +108,11 @@ def prepare_training_corpus(
     document. Runs AFTER span dedup because its word-joined output
     collapses the newline structure span dedup needs; a document
     losing every word drops like any other duplicate.
+    ``remove_dup_sentence_spans=N`` is the sentence-granular variant
+    (C4's rule at N=3,
+    :func:`~prql_spark.operators.dedup.remove_duplicated_sentences`),
+    inserted BEFORE the word-window cut when both are set (coarse
+    spans first, fine windows over what survives).
 
     ``chunk_long_docs=True`` (default) splits any document whose
     cleaned text exceeds ``pack_target_tokens`` into budget-sized
@@ -153,6 +159,13 @@ def prepare_training_corpus(
             min_chars=span_dedup_min_chars,
         )
         wcol = "text_deduped"
+    if remove_dup_sentence_spans is not None:
+        working = dedup.remove_duplicated_sentences(
+            working, text_col=wcol, id_col=id_col,
+            n=remove_dup_sentence_spans,
+            min_count=dup_window_min_count,
+        )
+        wcol = "text_cleaned"
     if remove_dup_windows is not None:
         working = dedup.remove_duplicated_windows(
             working, text_col=wcol, id_col=id_col,

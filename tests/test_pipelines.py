@@ -194,6 +194,32 @@ def test_prepare_training_corpus_window_removal(spark):
     assert footer not in got[2].text_clean
 
 
+def test_prepare_training_corpus_sentence_span_removal(spark):
+    """remove_dup_sentence_spans=2: a 2-sentence block shared across
+    docs (C4's rule at n=2) is cut from BOTH documents' training
+    text; unique sentences survive."""
+    from pyspark.sql import Row
+
+    p1 = ". ".join(f"the brave{i} fox of hill{i} is near{i}"
+                   for i in range(10)) + "."
+    p2 = ". ".join(f"a calm{i} owl in dale{i} was here{i}"
+                   for i in range(10)) + "."
+    blk = "Share this with your friends. Subscribe to the newsletter now."
+    rows = [
+        Row(doc_id=1, text=f"{p1} {blk}"),
+        Row(doc_id=2, text=f"{p2} {blk}"),
+    ]
+    result, _ = prepare_training_corpus(
+        spark.createDataFrame(rows), min_quality=0.0, langs=("en",),
+        remove_dup_sentence_spans=2,
+    )
+    got = {r.doc_id: r for r in result.collect()}
+    assert "Subscribe to the newsletter" not in got[1].text_clean
+    assert "Subscribe to the newsletter" not in got[2].text_clean
+    assert "brave0" in got[1].text_clean
+    assert "calm0" in got[2].text_clean
+
+
 def test_prepare_training_corpus_html_plus_span_dedup(spark):
     """The composed crawl path: raw HTML in, block-aware extraction
     preserves paragraph boundaries, and the shared footer <p> dedups

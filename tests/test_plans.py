@@ -441,3 +441,27 @@ def test_span_dedup_single_key_exchange(catalog):
     # exchanges: paragraph-key (winner agg + join sides) and the
     # final per-doc reassembly — bounded, no O(n^2) shape
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_window_removal_plan_shape(catalog):
+    """remove_duplicated_windows / remove_duplicated_sentences scale
+    contract: every exchange keys on a 16-byte hash or on slim
+    (id, index) int pairs — never gram/sentence TEXT; no cartesian,
+    no Python, bounded exchange count, map-side partial count before
+    the gram-key exchange."""
+    from prql_spark.operators.dedup import (
+        remove_duplicated_sentences,
+        remove_duplicated_windows,
+    )
+
+    docs = catalog.load("documents")
+    for fn in (remove_duplicated_windows, remove_duplicated_sentences):
+        plan = plan_of(fn(docs))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "EvalPython" not in plan
+        assert "md5" in plan
+        assert "partial_count" in plan
+        # count exchange + covered distinct + anti-join sides +
+        # reassembly: bounded, linear
+        assert plan.count("Exchange hashpartitioning") <= 6, fn
