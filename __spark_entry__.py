@@ -1079,14 +1079,15 @@ _NEW_THIS_ROUND = [
     # new in round 6
     "dedup_remove_windows",
     "dedup_remove_sentences",
+    "sources_bucketed_join",
 ]
 
 # reserved for new entries that outgrow the window (empty this round)
 _NEW_BEHIND: list[str] = []
 
 # most recent driver row is from ROUND 4 (round 5's behind-window
-# block). 44 of the 50 fit alongside the 6 never-checked entries;
-# the spill below holds the 6 that don't.
+# block). 43 of the 50 fit alongside the 7 never-checked entries;
+# the spill below holds the 7 that don't.
 _STALE_PREV = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -1125,7 +1126,6 @@ _STALE_PREV = [
     "q17_small_qty_revenue",
     "q19_disjunctive_filter",
     "q22_inactive_balance",
-    "events_daily_rollup",
     "agg_stddev_minmax",
     "window_dense_rank_first_last",
     "window_lag_row_number",
@@ -1134,10 +1134,12 @@ _STALE_PREV = [
     "asof_forward_tolerance",
 ]
 
-# r4-checked entries the round-6 window cannot fit — the 6 LOWEST-
-# RISK pure-window/limit/distinct shapes (each a thin slice of an
-# in-window sibling's compile path). Oldest driver evidence in the
-# repo from here on: these MUST open round 7's window.
+# r4-checked entries the round-6 window cannot fit — the 7 LOWEST-
+# RISK pure-window/limit/distinct/rollup shapes (each a thin slice
+# of an in-window sibling's compile path; events_daily_rollup is
+# the day-grain twin of the in-window events_hourly_rollup). Oldest
+# driver evidence in the repo from here on: these MUST open round
+# 7's window.
 _STALE_SPILL = [
     "window_running_total",
     "window_moving_average",
@@ -1145,6 +1147,7 @@ _STALE_SPILL = [
     "null_handling",
     "fstring_cast",
     "distinct_idiom",
+    "events_daily_rollup",
 ]
 
 # checked in round 5 (fresh driver evidence) — behind the window

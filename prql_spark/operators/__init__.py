@@ -1071,6 +1071,58 @@ def q_zorder_roundtrip(spark, sf_dir):
     )
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed-layout co-located join (sources/bucketing.py),
+    value-oracled as lossless: orders+lineitem written co-bucketed
+    by order key, read back through the catalog, joined and
+    aggregated — identical values to the plain-parquet join DuckDB
+    runs. The plan contract (ZERO Exchange on the co-bucketed join,
+    single-bucket pruning under an equality filter, shuffle fallback
+    on mismatched bucket counts) is pinned in tests/test_layout.py."""
+    import hashlib
+
+    from prql_spark.sources.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    to, tl = f"prql_bkt_o_{tag}", f"prql_bkt_l_{tag}"
+    cat = Catalog(spark, sf_dir)
+    write_bucketed(
+        cat.load("orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ),
+        to, "o_orderkey", 8, sort_cols="o_orderkey",
+    )
+    write_bucketed(
+        cat.load("lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        tl, "l_orderkey", 8, sort_cols="l_orderkey",
+    )
+    o, li = read_bucketed(spark, to), read_bucketed(spark, tl)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "round(sum(l_extendedprice * (1 - l_discount)), 2)"
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o_orderpriority, count(*) AS n,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 SQL_ZORDER_ROUNDTRIP = """
 SELECT o_custkey % 10 AS custkey_mod, count(*) AS n,
   round(sum(o_totalprice), 2) AS price_sum,
@@ -2763,6 +2815,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_aggregate": q_salted_agg,
         "kafka_json_roundtrip": q_kafka_roundtrip,
         "sources_zorder_roundtrip": q_zorder_roundtrip,
+        "sources_bucketed_join": q_bucketed_join,
         "text_bm25_rank": q_bm25_rank,
         "text_contamination": q_contamination,
         "text_gopher_flags": q_gopher_flags,
@@ -2865,6 +2918,7 @@ def entry_oracles() -> dict[str, str]:
         "skew_salted_aggregate": SQL_SALTED_AGG,
         "kafka_json_roundtrip": SQL_KAFKA_ROUNDTRIP,
         "sources_zorder_roundtrip": SQL_ZORDER_ROUNDTRIP,
+        "sources_bucketed_join": SQL_BUCKETED_JOIN,
         "text_bm25_rank": _sql_bm25(),
         "text_contamination": SQL_CONTAMINATION,
         "text_gopher_flags": SQL_GOPHER,
