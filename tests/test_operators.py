@@ -1898,3 +1898,65 @@ def test_remove_duplicated_windows_planted(spark, catalog):
         "doc_id", "text_cleaned", "n_words", "n_removed_words",
         "removed_fraction",
     }
+
+
+def _model_remove_windows(texts, n=8, min_count=2):
+    """Pure-Python model of remove_duplicated_windows (the oracle
+    for the randomized cross-check below)."""
+    split = {i: [w for w in t.strip().split()] for i, t in texts.items()}
+    low = {i: [w.lower() for w in ws] for i, ws in split.items()}
+    grams = {}
+    for i, lw in low.items():
+        m = len(lw)
+        starts = [0] if m < n else range(m - n + 1)
+        for s in starts:
+            g = " ".join(lw if m < n else lw[s : s + n])
+            if g:
+                grams.setdefault(g, []).append((i, s))
+    out = {}
+    for i, ws in split.items():
+        m = len(ws)
+        lw = low[i]
+        covered = set()
+        starts = [0] if m < n else range(m - n + 1)
+        for s in starts:
+            g = " ".join(lw if m < n else lw[s : s + n])
+            if g and len(grams[g]) >= min_count:
+                covered.update(range(s, s + n))
+        kept = [w for j, w in enumerate(ws) if j not in covered and w]
+        if kept:
+            out[i] = (" ".join(kept), m, m - len(kept))
+    return out
+
+
+def test_remove_duplicated_windows_randomized(spark):
+    """Randomized corpora from a tiny vocabulary (forcing heavy
+    window collisions) cross-checked against a pure-Python model —
+    coverage far beyond the planted cases: overlapping marked
+    windows, whole-doc wipeouts, short docs, case folding."""
+    import random
+
+    from pyspark.sql import Row
+
+    from prql_spark.operators.dedup import remove_duplicated_windows
+
+    rng = random.Random(61)
+    vocab = ["Alpha", "beta", "Gamma", "delta", "x1", "y2"]
+    for trial in range(8):
+        n = rng.choice([2, 3, 5])
+        texts = {
+            i: " ".join(
+                rng.choice(vocab)
+                for _ in range(rng.randint(1, 18))
+            )
+            for i in range(rng.randint(2, 9))
+        }
+        want = _model_remove_windows(texts, n=n)
+        rows = [Row(doc_id=i, text=t) for i, t in texts.items()]
+        got = {
+            r.doc_id: (r.text_cleaned, r.n_words, r.n_removed_words)
+            for r in remove_duplicated_windows(
+                spark.createDataFrame(rows), n=n
+            ).collect()
+        }
+        assert got == want, (trial, n, texts)
