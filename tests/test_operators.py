@@ -1960,3 +1960,77 @@ def test_remove_duplicated_windows_randomized(spark):
             ).collect()
         }
         assert got == want, (trial, n, texts)
+
+
+def test_remove_duplicated_sentences_randomized(spark):
+    """Randomized sentence corpora cross-checked against a
+    pure-Python model replicating the boundary regex exactly —
+    pins segmentation + normalization + window marking end-to-end."""
+    import random
+    import re
+
+    from pyspark.sql import Row
+
+    from prql_spark.operators.dedup import remove_duplicated_sentences
+
+    def model(texts, n, min_count=2):
+        def sents(t):
+            marked = re.sub(r"([.!?])[ \t]+", "\\1\n", t)
+            return re.split(r"\n+", marked)
+
+        def key(s):
+            return re.sub(r"\s+", " ", s).strip().lower()
+
+        raw = {i: sents(t) for i, t in texts.items()}
+        keys = {i: [key(s) for s in sa] for i, sa in raw.items()}
+        wins = {}
+        for i, sk in keys.items():
+            m = len(sk)
+            starts = [0] if m < n else range(m - n + 1)
+            for s in starts:
+                w = " ".join(sk if m < n else sk[s : s + n])
+                wins.setdefault(w, []).append((i, s))
+        out = {}
+        for i, sa in raw.items():
+            sk = keys[i]
+            m_raw = len(sk)
+            covered = set()
+            starts = [0] if m_raw < n else range(m_raw - n + 1)
+            for s in starts:
+                w = " ".join(sk if m_raw < n else sk[s : s + n])
+                if len(wins[w]) >= min_count:
+                    covered.update(range(s, s + n))
+            kept = [
+                s0 for j, s0 in enumerate(sa)
+                if j not in covered and s0.strip()
+            ]
+            m = sum(1 for s0 in sa if s0.strip())
+            if kept:
+                out[i] = (" ".join(kept), m, m - len(kept))
+        return out
+
+    rng = random.Random(47)
+    phrases = [
+        "the fox runs.", "An owl rests!", "who is there?",
+        "rain falls.", "THE FOX RUNS.",  # case-collides with [0]
+    ]
+    for trial in range(6):
+        n = rng.choice([2, 3])
+        texts = {
+            i: " ".join(
+                rng.choice(phrases)
+                for _ in range(rng.randint(1, 7))
+            )
+            for i in range(rng.randint(2, 7))
+        }
+        want = model(texts, n)
+        rows = [Row(doc_id=i, text=t) for i, t in texts.items()]
+        got = {
+            r.doc_id: (
+                r.text_cleaned, r.n_sentences, r.n_removed_sentences
+            )
+            for r in remove_duplicated_sentences(
+                spark.createDataFrame(rows), n=n
+            ).collect()
+        }
+        assert got == want, (trial, n, texts)
