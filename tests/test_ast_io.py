@@ -96,3 +96,16 @@ def test_format_drops_only_nonsemantic_trivia():
     out = format_prql(src)
     assert "#" not in out and "<" not in out
     assert parse(out) == parse(src)
+
+
+def test_reference_integration_query_roundtrips():
+    """The reference repo's own integration query (the most complex
+    PRQL in its test suite) survives format and JSON roundtrips."""
+    src = open(
+        "/root/reference/prql-compiler/tests/integration/queries/"
+        "invoice_totals.prql"
+    ).read()
+    q0 = parse(src)
+    assert parse(format_prql(src)) == q0
+    assert format_prql(format_prql(src)) == format_prql(src)
+    assert from_json(to_json(src)) == q0
