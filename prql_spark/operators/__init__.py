@@ -1088,6 +1088,15 @@ def q_bucketed_join(spark, sf_dir):
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     to, tl = f"prql_bkt_o_{tag}", f"prql_bkt_l_{tag}"
+    # a PREVIOUS session's managed-table dirs survive in the
+    # warehouse while the fresh in-memory catalog has never heard of
+    # the tables — drop_bucketed removes both the catalog entry and
+    # the orphaned path (creating over it is an AnalysisException;
+    # the round-6 mimic caught exactly this on its second session)
+    from prql_spark.sources.bucketing import drop_bucketed
+
+    for t in (to, tl):
+        drop_bucketed(spark, t)
     cat = Catalog(spark, sf_dir)
     write_bucketed(
         cat.load("orders").select(

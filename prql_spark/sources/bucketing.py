@@ -62,4 +62,18 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
 
 
 def drop_bucketed(spark: SparkSession, table: str) -> None:
+    """Drop the catalog entry AND any orphaned warehouse directory.
+
+    With the in-memory catalog, a managed table written by a
+    PREVIOUS session leaves its directory behind while the fresh
+    catalog has never heard of the table — `DROP TABLE` alone is a
+    no-op then, and the next `saveAsTable` fails on the existing
+    location. Removing the path covers both cases."""
+    import os
+    import shutil
+
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, table), ignore_errors=True)

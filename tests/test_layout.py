@@ -190,6 +190,8 @@ def test_bucketed_join_elides_exchanges(spark):
     tables = ["t_bkt_o", "t_bkt_l", "t_bkt_l6"]
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
+        for t in tables:  # clear orphans from any crashed prior run
+            drop_bucketed(spark, t)
         write_bucketed(orders, "t_bkt_o", "o_orderkey", 4,
                        sort_cols="o_orderkey")
         write_bucketed(lineitem, "t_bkt_l", "l_orderkey", 4,
