@@ -1080,14 +1080,15 @@ _NEW_THIS_ROUND = [
     "dedup_remove_windows",
     "dedup_remove_sentences",
     "sources_bucketed_join",
+    "splits_leakage_audit",
 ]
 
 # reserved for new entries that outgrow the window (empty this round)
 _NEW_BEHIND: list[str] = []
 
 # most recent driver row is from ROUND 4 (round 5's behind-window
-# block). 43 of the 50 fit alongside the 7 never-checked entries;
-# the spill below holds the 7 that don't.
+# block). 42 of the 50 fit alongside the 8 never-checked entries;
+# the spill below holds the 8 that don't.
 _STALE_PREV = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -1126,7 +1127,6 @@ _STALE_PREV = [
     "q17_small_qty_revenue",
     "q19_disjunctive_filter",
     "q22_inactive_balance",
-    "agg_stddev_minmax",
     "window_dense_rank_first_last",
     "window_lag_row_number",
     "multimodal_metadata",
@@ -1134,12 +1134,13 @@ _STALE_PREV = [
     "asof_forward_tolerance",
 ]
 
-# r4-checked entries the round-6 window cannot fit — the 7 LOWEST-
-# RISK pure-window/limit/distinct/rollup shapes (each a thin slice
-# of an in-window sibling's compile path; events_daily_rollup is
-# the day-grain twin of the in-window events_hourly_rollup). Oldest
-# driver evidence in the repo from here on: these MUST open round
-# 7's window.
+# r4-checked entries the round-6 window cannot fit — the 8 LOWEST-
+# RISK pure-window/limit/distinct/rollup/agg shapes (each a thin
+# slice of an in-window sibling's compile path; events_daily_rollup
+# is the day-grain twin of the in-window events_hourly_rollup;
+# agg_stddev_minmax is a thin slice of core q1's aggregate path).
+# Oldest driver evidence in the repo from here on: these MUST open
+# round 7's window.
 _STALE_SPILL = [
     "window_running_total",
     "window_moving_average",
@@ -1148,6 +1149,7 @@ _STALE_SPILL = [
     "fstring_cast",
     "distinct_idiom",
     "events_daily_rollup",
+    "agg_stddev_minmax",
 ]
 
 # checked in round 5 (fresh driver evidence) — behind the window

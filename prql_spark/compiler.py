@@ -99,6 +99,7 @@ def _extended_transforms() -> dict:
         "duplicated_window_fraction": dedup.duplicated_window_fraction,
         "remove_duplicated_windows": dedup.remove_duplicated_windows,
         "remove_duplicated_sentences": dedup.remove_duplicated_sentences,
+        "split_leakage": splits.split_leakage,
     }
 
 

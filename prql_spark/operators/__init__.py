@@ -2735,6 +2735,58 @@ FROM k GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# deterministic planted leakage: every doc gets a split from
+# doc_id % 3; every 10th doc is re-added under a shifted id with a
+# split GUARANTEED to differ — those groups must surface
+_LEAK_BASE_SPLIT = (
+    "CASE doc_id % 3 WHEN 0 THEN 'train' WHEN 1 THEN 'val' "
+    "ELSE 'test' END"
+)
+_LEAK_DUP_SPLIT = "IF(doc_id % 3 = 0, 'test', 'train')"
+
+
+def q_split_leakage(spark, sf_dir):
+    """Cross-split leakage audit value-oracled: planted duplicate
+    docs under different splits must surface as leaked text groups
+    (with any natural same-text groups the corpus already has);
+    DuckDB replays normalize → md5 group → distinct-split HAVING."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.withColumn("split", F.expr(_LEAK_BASE_SPLIT))
+    dup = (
+        docs.where("doc_id % 10 = 0")
+        .withColumn("split", F.expr(_LEAK_DUP_SPLIT))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "text", "split",
+        )
+    )
+    return splits.split_leakage(
+        base.select("doc_id", "text", "split").unionByName(dup)
+    ).orderBy("text_key")
+
+
+SQL_SPLIT_LEAKAGE = f"""
+WITH b AS (
+  SELECT doc_id, text, {_LEAK_BASE_SPLIT} AS split FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text,
+    CASE WHEN doc_id % 3 = 0 THEN 'test' ELSE 'train' END
+  FROM documents WHERE doc_id % 10 = 0),
+k AS (SELECT
+        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+          AS text_key,
+        split, doc_id
+      FROM b)
+SELECT text_key, count(*) AS n_docs,
+  CAST(count(DISTINCT split) AS INTEGER) AS n_splits,
+  array_to_string(list_sort(list(DISTINCT split)), ',') AS splits,
+  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM k GROUP BY text_key
+HAVING count(DISTINCT split) >= 2
+ORDER BY text_key
+"""
+
+
 _HIER_NPROBE = 2  # of 8 superclusters — genuinely partial probing
 
 
@@ -2825,6 +2877,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kafka_json_roundtrip": q_kafka_roundtrip,
         "sources_zorder_roundtrip": q_zorder_roundtrip,
         "sources_bucketed_join": q_bucketed_join,
+        "splits_leakage_audit": q_split_leakage,
         "text_bm25_rank": q_bm25_rank,
         "text_contamination": q_contamination,
         "text_gopher_flags": q_gopher_flags,
@@ -2928,6 +2981,7 @@ def entry_oracles() -> dict[str, str]:
         "kafka_json_roundtrip": SQL_KAFKA_ROUNDTRIP,
         "sources_zorder_roundtrip": SQL_ZORDER_ROUNDTRIP,
         "sources_bucketed_join": SQL_BUCKETED_JOIN,
+        "splits_leakage_audit": SQL_SPLIT_LEAKAGE,
         "text_bm25_rank": _sql_bm25(),
         "text_contamination": SQL_CONTAMINATION,
         "text_gopher_flags": SQL_GOPHER,

@@ -225,3 +225,55 @@ def rebalance_to_mix(
     return stratified_sample_by_hash(
         df, key_col, strata_col, fracs, default_fraction=0.0, salt=salt
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    split_col: str = "split",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-split LEAKAGE audit — the check a training pipeline runs
+    after splitting: text that appears (near-exactly: lowercased,
+    whitespace-collapsed) in MORE than one split leaks evaluation
+    data into training. Document-level dedup before splitting
+    prevents this for surviving docs, but leakage re-enters through
+    later unions, per-source re-splits, or augmentation — so the
+    audit is its own operator, run on the FINAL pre-training frame.
+
+    One row per leaked text group: ``text_key`` (md5 hex of the
+    normalized text — the group identity, stable across engines),
+    ``n_docs``, ``n_splits``, ``splits`` (sorted comma-joined
+    distinct split labels), ``min_doc_id``/``max_doc_id`` (exemplars
+    to pull). Empty result = no leakage.
+
+    Shape at scale: a narrow normalize+hash map, ONE 16-byte-key
+    exchange (map-side-combined counts + distinct-split sets), a
+    HAVING-style filter — linear, and the exchange carries hashes
+    and ids only, never text. For NEAR-duplicate leakage, run
+    ``minhash_lsh_pairs`` on the frame and keep pairs whose two
+    sides' splits differ (tests pin that composition).
+    """
+    key = (
+        f"md5(lower(trim(regexp_replace({text_col}, '\\\\s+', ' '))))"
+    )
+    return (
+        df.select(
+            F.expr(key).alias("text_key"),
+            F.col(split_col).cast("string").alias("__sp"),
+            F.col(id_col),
+        )
+        .groupBy("text_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "CAST(size(collect_set(__sp)) AS INT)"
+            ).alias("n_splits"),
+            F.expr(
+                "concat_ws(',', array_sort(collect_set(__sp)))"
+            ).alias("splits"),
+            F.min(id_col).alias("min_doc_id"),
+            F.max(id_col).alias("max_doc_id"),
+        )
+        .where(F.col("n_splits") >= 2)
+    )

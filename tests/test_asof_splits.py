@@ -240,3 +240,54 @@ def test_stratified_sample_null_stratum_and_quoting(spark):
         df, "k", "src", {"o'reilly": 1.0}, default_fraction=0.0
     )
     assert none.where("src IS NULL").count() == 0
+
+
+def test_split_leakage_exact_and_near(spark):
+    """Leakage audit: planted same-text docs across splits surface
+    with the right group stats; whitespace/case variants collapse to
+    one group; clean corpora return empty; and the NEAR composition
+    (minhash pairs filtered to cross-split) catches a paraphrase-free
+    near-dup the exact audit misses."""
+    from pyspark.sql import Row, functions as F
+
+    from prql_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from prql_spark.operators.splits import split_leakage
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    rows = [
+        Row(doc_id=1, split="train", text=base),
+        Row(doc_id=2, split="test", text="  THE quick  brown fox "
+            "jumps over the lazy dog and then runs far away into "
+            "the deep dark forest tonight "),  # exact after norm
+        Row(doc_id=3, split="train", text="totally different text"),
+        Row(doc_id=4, split="val", text="another unrelated doc"),
+        # near-dup of base, one word changed — NOT exact
+        Row(doc_id=5, split="test", text=base.replace("dog", "cat")),
+    ]
+    df = spark.createDataFrame(rows)
+    leaks = split_leakage(df).collect()
+    assert len(leaks) == 1
+    lk = leaks[0]
+    assert lk.n_docs == 2 and lk.n_splits == 2
+    assert lk.splits == "test,train"
+    assert (lk.min_doc_id, lk.max_doc_id) == (1, 2)
+    # clean frame → empty
+    clean = df.where("doc_id in (1, 3, 4)")
+    assert split_leakage(clean).count() == 0
+    # near leakage: minhash pairs whose sides sit in different splits
+    sigs = minhash_signatures(df, "text", "doc_id")
+    pairs = minhash_lsh_pairs(sigs, "doc_id", threshold=0.5)
+    sp = df.select("doc_id", "split")
+    near = (
+        pairs.join(sp.withColumnRenamed("doc_id", "id_a")
+                     .withColumnRenamed("split", "split_a"), "id_a")
+        .join(sp.withColumnRenamed("doc_id", "id_b")
+                .withColumnRenamed("split", "split_b"), "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+    got = {(r.id_a, r.id_b) for r in near.collect()}
+    assert (1, 5) in got  # the paraphrase leak the exact audit missed
