@@ -1081,14 +1081,15 @@ _NEW_THIS_ROUND = [
     "dedup_remove_sentences",
     "sources_bucketed_join",
     "splits_leakage_audit",
+    "multimodal_image_ahash",
 ]
 
 # reserved for new entries that outgrow the window (empty this round)
 _NEW_BEHIND: list[str] = []
 
 # most recent driver row is from ROUND 4 (round 5's behind-window
-# block). 42 of the 50 fit alongside the 8 never-checked entries;
-# the spill below holds the 8 that don't.
+# block). 41 of the 50 fit alongside the 9 never-checked entries;
+# the spill below holds the 9 that don't.
 _STALE_PREV = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -1110,7 +1111,6 @@ _STALE_PREV = [
     "text_chunk_documents",
     "text_script_profile",
     "user_func_cte",
-    "text_doc_frequency",
     "q6_forecast_revenue",
     "window_interval_range",
     "text_fingerprint",
@@ -1134,13 +1134,14 @@ _STALE_PREV = [
     "asof_forward_tolerance",
 ]
 
-# r4-checked entries the round-6 window cannot fit — the 8 LOWEST-
-# RISK pure-window/limit/distinct/rollup/agg shapes (each a thin
-# slice of an in-window sibling's compile path; events_daily_rollup
-# is the day-grain twin of the in-window events_hourly_rollup;
-# agg_stddev_minmax is a thin slice of core q1's aggregate path).
-# Oldest driver evidence in the repo from here on: these MUST open
-# round 7's window.
+# r4-checked entries the round-6 window cannot fit — the 9 LOWEST-
+# RISK thin-slice shapes (each a slim variant of an in-window
+# sibling's path: the window/limit/distinct family next to the core
+# TPC-H set; events_daily_rollup is the day-grain twin of the
+# in-window events_hourly_rollup; agg_stddev_minmax a slice of core
+# q1's aggregate path; text_doc_frequency the explode+count slice
+# under the in-window tfidf/ngram family). Oldest driver evidence
+# in the repo from here on: these MUST open round 7's window.
 _STALE_SPILL = [
     "window_running_total",
     "window_moving_average",
@@ -1150,6 +1151,7 @@ _STALE_SPILL = [
     "distinct_idiom",
     "events_daily_rollup",
     "agg_stddev_minmax",
+    "text_doc_frequency",
 ]
 
 # checked in round 5 (fresh driver evidence) — behind the window

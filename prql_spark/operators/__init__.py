@@ -2787,6 +2787,55 @@ ORDER BY text_key
 """
 
 
+def _ahash_planted_media(spark):
+    import numpy as np
+
+    base = multimodal.netpbm_planted_payloads()
+    grad = np.zeros((6, 9, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.arange(9, dtype=np.uint8) * 28
+    grad[:, :, 1] = 77
+    grad[:, :, 2] = np.arange(6, dtype=np.uint8)[:, None] * 40
+    g2 = grad.copy()
+    g2[0, 0] = [10, 70, 3]
+    g2[5, 8] = [250, 80, 200]
+    near = (6, b"P6\n9 6\n255\n" + g2.tobytes(),
+            "image/x-portable-pixmap")
+    rows = [(i, bytearray(p), t) for i, p, t in base + [near]]
+    return spark.createDataFrame(
+        rows, "media_id long, media binary, media_type string"
+    )
+
+
+def q_image_ahash(spark, sf_dir):
+    """Perceptual image average-hash through the REAL netpbm codec,
+    value-oracled: planted payloads (incl. a 2-pixel-nudged NEAR-DUP
+    of the gradient and two undecodables) must produce the offline-
+    computed 64-bit hashes — NULL hash + ok=false for undecodables.
+    The near-dup PAIRING (ahash → banded simhash machinery, planted
+    pair at Hamming 1) is pinned in tests/test_operators.py."""
+    out = multimodal.image_ahash(
+        _ahash_planted_media(spark), multimodal.NetpbmCodec()
+    )
+    return out.orderBy("media_id")
+
+
+# expected 64-bit hashes computed OFFLINE by running NetpbmCodec's
+# luma_grid + mean-threshold on the planted payloads (round 6)
+SQL_IMAGE_AHASH = """
+SELECT CAST(media_id AS BIGINT) AS media_id, media_type,
+  CAST(ahash AS BIGINT) AS ahash, ok
+FROM (VALUES
+  (1, 'image/x-portable-pixmap', -506390040455094048, true),
+  (2, 'image/x-portable-graymap', -17179869184, true),
+  (3, 'image/x-portable-graymap', -16557367361536, true),
+  (4, 'image/x-portable-pixmap', NULL, false),
+  (5, 'image/x-portable-graymap', NULL, false),
+  (6, 'image/x-portable-pixmap', -218159664303382304, true)
+) AS t(media_id, media_type, ahash, ok)
+ORDER BY media_id
+"""
+
+
 _HIER_NPROBE = 2  # of 8 superclusters — genuinely partial probing
 
 
@@ -2878,6 +2927,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sources_zorder_roundtrip": q_zorder_roundtrip,
         "sources_bucketed_join": q_bucketed_join,
         "splits_leakage_audit": q_split_leakage,
+        "multimodal_image_ahash": q_image_ahash,
         "text_bm25_rank": q_bm25_rank,
         "text_contamination": q_contamination,
         "text_gopher_flags": q_gopher_flags,
@@ -2982,6 +3032,7 @@ def entry_oracles() -> dict[str, str]:
         "sources_zorder_roundtrip": SQL_ZORDER_ROUNDTRIP,
         "sources_bucketed_join": SQL_BUCKETED_JOIN,
         "splits_leakage_audit": SQL_SPLIT_LEAKAGE,
+        "multimodal_image_ahash": SQL_IMAGE_AHASH,
         "text_bm25_rank": _sql_bm25(),
         "text_contamination": SQL_CONTAMINATION,
         "text_gopher_flags": SQL_GOPHER,

@@ -98,6 +98,15 @@ class MediaCodec:
             return None
         return payload[: max_dim * max_dim // 64]
 
+    def luma_grid(
+        self, payload: bytes | None, media_type: str, n: int = 8
+    ) -> list[float] | None:
+        """n×n nearest-neighbor luma thumbnail (row-major, values in
+        [0, 1]) — the input to perceptual hashing. ``None`` means the
+        payload is not decodable by this codec (the hasher emits a
+        NULL hash, never a fabricated one)."""
+        return None
+
 
 class Sha256FakeCodec(MediaCodec):
     """DEFAULT, a deterministic FAKE (no media libs in this
@@ -111,6 +120,18 @@ class Sha256FakeCodec(MediaCodec):
         height = 64 + h[1] % 192
         feats = [round(b / 255.0, 6) for b in h[:8]]
         return width, height, feats
+
+    def luma_grid(self, payload, media_type, n=8):
+        # deterministic digest-derived grid: the ahash PLUMBING runs
+        # (and oracles replay) even without a real decoder — repeated
+        # sha256 stretches the digest to n*n pseudo-luma bytes
+        if payload is None:
+            return None
+        out, block = [], payload
+        while len(out) < n * n:
+            block = hashlib.sha256(block).digest()
+            out.extend(block)
+        return [b / 255.0 for b in out[: n * n]]
 
 
 class PillowCodec(MediaCodec):
@@ -237,6 +258,27 @@ class NetpbmCodec(MediaCodec):
         ]
         feats = means + [float(luma.std())] + quads[:4]
         return w, h, [round(float(x), 6) for x in feats]
+
+    def luma_grid(self, payload, media_type, n=8):
+        import numpy as np
+
+        parsed = self._parse(payload)
+        if parsed is None:
+            return None
+        img, maxval = parsed
+        h, w, ch = img.shape
+        f = img.astype(np.float64) / maxval
+        if ch == 3:
+            luma = (
+                0.299 * f[:, :, 0]
+                + 0.587 * f[:, :, 1]
+                + 0.114 * f[:, :, 2]
+            )
+        else:
+            luma = f[:, :, 0]
+        rows = (np.arange(n) * h / n).astype(np.int64)
+        cols = (np.arange(n) * w / n).astype(np.int64)
+        return [float(x) for x in luma[rows][:, cols].ravel()]
 
     def resize_payload(self, payload, max_dim):
         import numpy as np
@@ -635,3 +677,87 @@ def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+AHASH_SCHEMA = "media_id long, media_type string, ahash long, ok boolean"
+
+
+def image_ahash(
+    media: DataFrame, codec: MediaCodec | None = None
+) -> DataFrame:
+    """Perceptual average-hash per image — the visual analogue of
+    simhash: an 8×8 nearest-neighbor luma thumbnail thresholded at
+    its own mean packs into a 64-bit hash, so re-encodes, small
+    crops, and minor noise land within a few bits of each other
+    while unrelated images differ in ~32. Runs through the
+    :class:`MediaCodec` seam (``luma_grid``): the real
+    :class:`NetpbmCodec` hashes actual pixels; the default sha256
+    fake exercises the identical plumbing with digest-derived grids.
+    Undecodable payloads get ``ok=false`` and a NULL hash — never a
+    fabricated one.
+
+    Arrow-batched ``mapInPandas`` (the payload never leaves the
+    executor); output is 17 bytes/image, so at 100 TB of media the
+    hash frame is broadcast-small per billion images.
+    """
+    codec = codec or _DEFAULT_CODEC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            hashes, oks = [], []
+            for p, t in zip(pdf["media"], pdf["media_type"]):
+                g = codec.luma_grid(p, t, 8)
+                if g is None:
+                    hashes.append(None)
+                    oks.append(False)
+                    continue
+                a = np.asarray(g, dtype=np.float64)
+                bits = a > a.mean()
+                packed = np.uint64(0)
+                for i in range(64):
+                    if bits[i]:
+                        packed |= np.uint64(1) << np.uint64(i)
+                hashes.append(int(packed.astype(np.int64)))
+                oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                    "ok": oks,
+                }
+            )
+
+    return media.mapInPandas(run, AHASH_SCHEMA)
+
+
+def image_near_dups(
+    media: DataFrame,
+    max_hamming: int = 6,
+    codec: MediaCodec | None = None,
+    star_cap: int = 64,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: :func:`image_ahash` feeds the
+    same banded bucket-combine machinery simhash text dedup uses
+    (4×16-bit bands, bit_count verify, star-capped mega-buckets) —
+    one hash pass over the media, then the pairing never touches
+    payloads again. Returns (media_id_a, media_id_b, hamming)."""
+    from prql_spark.operators.dedup import simhash_near_pairs
+
+    sigs = (
+        image_ahash(media, codec)
+        .where("ok")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.col("ahash").alias("simhash"),
+        )
+    )
+    return simhash_near_pairs(
+        sigs, "doc_id", max_hamming=max_hamming, star_cap=star_cap
+    ).select(
+        F.col("id_a").alias("media_id_a"),
+        F.col("id_b").alias("media_id_b"),
+        "hamming",
+    )

@@ -2034,3 +2034,48 @@ def test_remove_duplicated_sentences_randomized(spark):
             ).collect()
         }
         assert got == want, (trial, n, texts)
+
+
+def test_image_ahash_and_near_dups(spark):
+    """Perceptual average-hash through the REAL netpbm codec: a
+    2-pixel nudge of the gradient lands at Hamming 1 of the
+    original (and is the ONLY pair at max_hamming=8), undecodables
+    get NULL hash + ok=false, and the default sha256-fake codec
+    exercises the identical plumbing (decodable payloads hash, all
+    64-bit values in signed range)."""
+    import numpy as np
+    from prql_spark.operators import multimodal as mm
+
+    base = mm.netpbm_planted_payloads()
+    grad = np.zeros((6, 9, 3), dtype=np.uint8)
+    grad[:, :, 0] = np.arange(9, dtype=np.uint8) * 28
+    grad[:, :, 1] = 77
+    grad[:, :, 2] = np.arange(6, dtype=np.uint8)[:, None] * 40
+    g2 = grad.copy()
+    g2[0, 0] = [10, 70, 3]
+    g2[5, 8] = [250, 80, 200]
+    rows = [(i, bytearray(p), t) for i, p, t in base] + [
+        (6, bytearray(b"P6\n9 6\n255\n" + g2.tobytes()),
+         "image/x-portable-pixmap"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media binary, media_type string"
+    )
+    ah = {r.media_id: r for r in mm.image_ahash(
+        media, mm.NetpbmCodec()
+    ).collect()}
+    assert ah[1].ok and ah[6].ok
+    assert not ah[4].ok and ah[4].ahash is None
+    assert not ah[5].ok and ah[5].ahash is None
+    assert bin(ah[1].ahash ^ ah[6].ahash).count("1") == 1
+    pairs = mm.image_near_dups(
+        media, max_hamming=8, codec=mm.NetpbmCodec()
+    ).collect()
+    assert [(p.media_id_a, p.media_id_b, p.hamming) for p in pairs] \
+        == [(1, 6, 1)]
+    # fake-codec plumbing: every payload hashes deterministically
+    fk = mm.image_ahash(media).collect()
+    assert all(r.ok and r.ahash is not None for r in fk)
+    again = mm.image_ahash(media).collect()
+    assert sorted((r.media_id, r.ahash) for r in fk) == \
+        sorted((r.media_id, r.ahash) for r in again)
