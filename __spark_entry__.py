@@ -1082,14 +1082,15 @@ _NEW_THIS_ROUND = [
     "sources_bucketed_join",
     "splits_leakage_audit",
     "multimodal_image_ahash",
+    "multimodal_video_framehash",
 ]
 
 # reserved for new entries that outgrow the window (empty this round)
 _NEW_BEHIND: list[str] = []
 
 # most recent driver row is from ROUND 4 (round 5's behind-window
-# block). 41 of the 50 fit alongside the 9 never-checked entries;
-# the spill below holds the 9 that don't.
+# block). 40 of the 50 fit alongside the 10 never-checked entries;
+# the spill below holds the 10 that don't.
 _STALE_PREV = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -1129,19 +1130,20 @@ _STALE_PREV = [
     "q22_inactive_balance",
     "window_dense_rank_first_last",
     "window_lag_row_number",
-    "multimodal_metadata",
     "multimodal_frame_sample",
     "asof_forward_tolerance",
 ]
 
-# r4-checked entries the round-6 window cannot fit — the 9 LOWEST-
+# r4-checked entries the round-6 window cannot fit — the 10 LOWEST-
 # RISK thin-slice shapes (each a slim variant of an in-window
 # sibling's path: the window/limit/distinct family next to the core
 # TPC-H set; events_daily_rollup is the day-grain twin of the
 # in-window events_hourly_rollup; agg_stddev_minmax a slice of core
 # q1's aggregate path; text_doc_frequency the explode+count slice
-# under the in-window tfidf/ngram family). Oldest driver evidence
-# in the repo from here on: these MUST open round 7's window.
+# under the in-window tfidf/ngram family; multimodal_metadata the
+# plumbing slice under the in-window decode/resize/framehash
+# family). Oldest driver evidence in the repo from here on: these
+# MUST open round 7's window.
 _STALE_SPILL = [
     "window_running_total",
     "window_moving_average",
@@ -1152,6 +1154,7 @@ _STALE_SPILL = [
     "events_daily_rollup",
     "agg_stddev_minmax",
     "text_doc_frequency",
+    "multimodal_metadata",
 ]
 
 # checked in round 5 (fresh driver evidence) — behind the window

@@ -2836,6 +2836,46 @@ ORDER BY media_id
 """
 
 
+def q_video_framehash(spark, sf_dir):
+    """Per-frame perceptual video hashes through the REAL y4m codec,
+    value-oracled: planted banded-pattern videos (incl. a trimmed
+    copy sharing 5 of 6 frame hashes and an undecodable payload that
+    contributes no rows) must produce the offline-computed 64-bit
+    hashes. The video near-dup PAIRING (shared-frame counting via
+    the star-capped bucket machinery) is pinned in
+    tests/test_operators.py."""
+    rows = [
+        (i, bytearray(p), t)
+        for i, p, t in multimodal.y4m_ahash_planted_payloads()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media binary, media_type string"
+    )
+    return multimodal.video_frame_hashes(
+        media, multimodal.Y4mCodec()
+    ).orderBy("media_id", "frame_index")
+
+
+# expected hashes computed OFFLINE by Y4mCodec.frame_luma_grids +
+# mean-threshold on the planted payloads (round 6)
+SQL_VIDEO_FRAMEHASH = """
+SELECT CAST(media_id AS BIGINT) AS media_id,
+  CAST(frame_index AS INTEGER) AS frame_index,
+  CAST(fhash AS BIGINT) AS fhash
+FROM (VALUES
+  (1, 0, -4294967296), (1, 1, 72057594021150720),
+  (1, 2, 281474976645120), (1, 3, 1099511627520),
+  (1, 4, 4294967295), (1, 5, -72057594021150721),
+  (2, 0, 72057594021150720), (2, 1, 281474976645120),
+  (2, 2, 1099511627520), (2, 3, 4294967295),
+  (2, 4, -72057594021150721),
+  (3, 0, -3689348814741910324), (3, 1, -5425512962855750476),
+  (3, 2, -6148914691236517206), (3, 3, 6510615555426900570)
+) AS t(media_id, frame_index, fhash)
+ORDER BY media_id, frame_index
+"""
+
+
 _HIER_NPROBE = 2  # of 8 superclusters — genuinely partial probing
 
 
@@ -2928,6 +2968,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sources_bucketed_join": q_bucketed_join,
         "splits_leakage_audit": q_split_leakage,
         "multimodal_image_ahash": q_image_ahash,
+        "multimodal_video_framehash": q_video_framehash,
         "text_bm25_rank": q_bm25_rank,
         "text_contamination": q_contamination,
         "text_gopher_flags": q_gopher_flags,
@@ -3033,6 +3074,7 @@ def entry_oracles() -> dict[str, str]:
         "sources_bucketed_join": SQL_BUCKETED_JOIN,
         "splits_leakage_audit": SQL_SPLIT_LEAKAGE,
         "multimodal_image_ahash": SQL_IMAGE_AHASH,
+        "multimodal_video_framehash": SQL_VIDEO_FRAMEHASH,
         "text_bm25_rank": _sql_bm25(),
         "text_contamination": SQL_CONTAMINATION,
         "text_gopher_flags": SQL_GOPHER,

@@ -107,6 +107,14 @@ class MediaCodec:
         NULL hash, never a fabricated one)."""
         return None
 
+    def frame_luma_grids(
+        self, payload: bytes | None, media_type: str, n: int = 8
+    ) -> list[list[float]] | None:
+        """Per-FRAME n×n luma thumbnails for video payloads (one
+        grid per frame, each shaped like :meth:`luma_grid`'s
+        output). ``None`` = not decodable as video by this codec."""
+        return None
+
 
 class Sha256FakeCodec(MediaCodec):
     """DEFAULT, a deterministic FAKE (no media libs in this
@@ -132,6 +140,18 @@ class Sha256FakeCodec(MediaCodec):
             block = hashlib.sha256(block).digest()
             out.extend(block)
         return [b / 255.0 for b in out[: n * n]]
+
+    def frame_luma_grids(self, payload, media_type, n=8):
+        # fake "frames" = 32-byte payload slices (frame_sample's fake
+        # chunking), each stretched to a digest grid — identical
+        # slices yield identical grids, so duplicated content still
+        # collides exactly like a real decode would
+        if payload is None:
+            return None
+        return [
+            self.luma_grid(bytes(payload[i : i + 32]), media_type, n)
+            for i in range(0, len(payload), 32)
+        ]
 
 
 class PillowCodec(MediaCodec):
@@ -475,6 +495,21 @@ class Y4mCodec(MediaCodec):
         ]
         return w, h, [round(f, 6) for f in feats]
 
+    def frame_luma_grids(self, payload, media_type, n=8):
+        import numpy as np
+
+        parsed = self._parse(payload)
+        if parsed is None:
+            return None
+        w, h, fps, frames, _, _ = parsed
+        rows = (np.arange(n) * h / n).astype(np.int64)
+        cols = (np.arange(n) * w / n).astype(np.int64)
+        out = []
+        for fr in frames:
+            luma = fr.astype(np.float64).reshape(h, w) / 255.0
+            out.append([float(x) for x in luma[rows][:, cols].ravel()])
+        return out
+
     def resize_payload(self, payload, max_dim):
         parsed = self._parse(payload)
         if parsed is None:
@@ -760,4 +795,144 @@ def image_near_dups(
         F.col("id_a").alias("media_id_a"),
         F.col("id_b").alias("media_id_b"),
         "hamming",
+    )
+
+
+FRAME_HASH_SCHEMA = "media_id long, frame_index int, fhash long"
+
+
+def y4m_ahash_planted_payloads() -> list[tuple[int, bytes, str]]:
+    """Deterministic y4m payloads for the frame-hash entry — frames
+    carry SPATIAL structure (shifted vertical bands), because the
+    average-hash of a flat frame is legitimately 0 and a planted set
+    of flat frames would collide into one degenerate bucket:
+    video 1 = six banded frames; video 2 = video 1 with its first
+    frame TRIMMED (a cut — shares five frame hashes); video 3 =
+    unrelated horizontal patterns; video 4 = undecodable garbage
+    (contributes no rows)."""
+    import numpy as np
+
+    def frame(luma: "np.ndarray") -> bytes:
+        chroma = np.full(32, 128, dtype=np.uint8)  # 8x8 C420
+        return b"FRAME\n" + luma.astype(np.uint8).tobytes() + chroma.tobytes()
+
+    hdr = b"YUV4MPEG2 W8 H8 F25:1 C420\n"
+    i, j = np.mgrid[0:8, 0:8]
+
+    def vid(lumas) -> bytes:
+        return hdr + b"".join(frame(x) for x in lumas)
+
+    v1 = [((i + k) % 8) * 32 for k in range(6)]
+    v3 = [((j * (k + 2)) % 8) * 32 for k in range(4)]
+    t = "video/x-y4m"
+    return [
+        (1, vid(v1), t),
+        (2, vid(v1[1:]), t),
+        (3, vid(v3), t),
+        (4, b"not a video at all", t),
+    ]
+
+
+def _pack_ahash(grid) -> int:
+    import numpy as np
+
+    a = np.asarray(grid, dtype=np.float64)
+    bits = a > a.mean()
+    packed = np.uint64(0)
+    for i in range(bits.size):
+        if bits[i]:
+            packed |= np.uint64(1) << np.uint64(i)
+    return int(packed.astype(np.int64))
+
+
+def video_frame_hashes(
+    media: DataFrame,
+    codec: MediaCodec | None = None,
+    every_n: int = 1,
+) -> DataFrame:
+    """Per-FRAME perceptual hashes for video payloads: each sampled
+    frame's 8×8 luma thumbnail packs into the same 64-bit
+    average-hash :func:`image_ahash` uses (via the codec seam's
+    ``frame_luma_grids`` — real planes through :class:`Y4mCodec`,
+    digest grids through the sha256 fake). ``every_n`` samples every
+    n-th frame; ``frame_index`` is the ORIGINAL frame position.
+    Undecodable payloads contribute no rows. One Arrow-batched pass;
+    payloads never leave the executor."""
+    codec = codec or _DEFAULT_CODEC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, t, p in zip(
+                pdf["media_id"], pdf["media_type"], pdf["media"]
+            ):
+                grids = codec.frame_luma_grids(p, t, 8)
+                if grids is None:
+                    continue
+                for fi in range(0, len(grids), every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    hashes.append(_pack_ahash(grids[fi]))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_index": idxs,
+                    "fhash": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_HASH_SCHEMA)
+
+
+def video_near_dups(
+    media: DataFrame,
+    min_shared_frames: int = 3,
+    codec: MediaCodec | None = None,
+    every_n: int = 1,
+    bucket_cap: int = 64,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs by shared perceptual frame hashes
+    — re-encodes, trims, and content mirrors share most of their
+    frame hashes while unrelated footage shares none. Shape: the
+    frame-hash pass, ONE fhash-key exchange collecting each bucket's
+    DISTINCT videos (frames repeated WITHIN one video never
+    self-pair), bucket-combine pair explosion through the shared
+    star-capped machinery, and a pair-count aggregate — linear in
+    total frames, no video-level pairs outside shared buckets.
+    Returns (media_id_a, media_id_b, shared_frames) for pairs
+    sharing at least ``min_shared_frames`` distinct frame hashes.
+
+    ``every_n`` trade-off: stride sampling cuts the hash pass n× but
+    a TRIMMED copy whose cut is not a stride multiple samples
+    disjoint frames and can be missed — sample every frame
+    (``every_n=1``, the default) when trim-robustness matters, or
+    hash at a keyframe-aligned stride upstream."""
+    from prql_spark.operators.dedup import pairs_from_buckets
+
+    fh = video_frame_hashes(media, codec, every_n)
+    grouped = (
+        fh.groupBy("fhash")
+        .agg(
+            F.expr(
+                "array_sort(collect_set(media_id))"
+            ).alias("mem")
+        )
+        .where(F.expr("size(mem) >= 2"))
+    )
+    pair = "named_struct('id_a', mem[p.i], 'id_b', mem[p.j])"
+    return (
+        pairs_from_buckets(grouped, pair, bucket_cap)
+        .select("p.id_a", "p.id_b", "fhash")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.expr(
+                "CAST(count(DISTINCT fhash) AS BIGINT)"
+            ).alias("shared_frames")
+        )
+        .where(F.col("shared_frames") >= min_shared_frames)
+        .select(
+            F.col("id_a").alias("media_id_a"),
+            F.col("id_b").alias("media_id_b"),
+            "shared_frames",
+        )
     )

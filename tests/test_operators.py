@@ -2079,3 +2079,37 @@ def test_image_ahash_and_near_dups(spark):
     again = mm.image_ahash(media).collect()
     assert sorted((r.media_id, r.ahash) for r in fk) == \
         sorted((r.media_id, r.ahash) for r in again)
+
+
+def test_video_near_dups_planted(spark):
+    """Frame-hash video near-dup: a trimmed copy shares exactly 5 of
+    6 frame hashes (one pair, correct count), unrelated footage
+    pairs with nothing, the undecodable payload contributes no
+    rows, and min_shared_frames gates the pair out when raised past
+    the overlap."""
+    from prql_spark.operators import multimodal as mm
+
+    rows = [(i, bytearray(p), t)
+            for i, p, t in mm.y4m_ahash_planted_payloads()]
+    media = spark.createDataFrame(
+        rows, "media_id long, media binary, media_type string"
+    )
+    fh = mm.video_frame_hashes(media, mm.Y4mCodec()).collect()
+    assert {r.media_id for r in fh} == {1, 2, 3}  # 4 undecodable
+    assert sum(1 for r in fh if r.media_id == 1) == 6
+    pairs = mm.video_near_dups(
+        media, min_shared_frames=2, codec=mm.Y4mCodec()
+    ).collect()
+    assert [(p.media_id_a, p.media_id_b, p.shared_frames)
+            for p in pairs] == [(1, 2, 5)]
+    assert mm.video_near_dups(
+        media, min_shared_frames=6, codec=mm.Y4mCodec()
+    ).count() == 0
+    # fake-codec plumbing on synthesized media: deterministic rows
+    from prql_spark.sources.catalog import Catalog
+
+    from .conftest import SF_DIR
+
+    m2 = mm.synthesize_media(Catalog(spark, SF_DIR).load("documents"))
+    a = mm.video_frame_hashes(m2).count()
+    assert a > 0 and a == mm.video_frame_hashes(m2).count()
