@@ -1083,14 +1083,15 @@ _NEW_THIS_ROUND = [
     "splits_leakage_audit",
     "multimodal_image_ahash",
     "multimodal_video_framehash",
+    "multimodal_audio_fingerprint",
 ]
 
 # reserved for new entries that outgrow the window (empty this round)
 _NEW_BEHIND: list[str] = []
 
 # most recent driver row is from ROUND 4 (round 5's behind-window
-# block). 40 of the 50 fit alongside the 10 never-checked entries;
-# the spill below holds the 10 that don't.
+# block). 39 of the 50 fit alongside the 11 never-checked entries;
+# the spill below holds the 11 that don't.
 _STALE_PREV = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -1101,7 +1102,6 @@ _STALE_PREV = [
     "dedup_exact",
     "text_token_count",
     "multimodal_netpbm_decode",
-    "text_quantile_buckets",
     "dedup_against_near",
     "text_tfidf_top_terms",
     "profile_rollup",
@@ -1134,7 +1134,7 @@ _STALE_PREV = [
     "asof_forward_tolerance",
 ]
 
-# r4-checked entries the round-6 window cannot fit — the 10 LOWEST-
+# r4-checked entries the round-6 window cannot fit — the 11 LOWEST-
 # RISK thin-slice shapes (each a slim variant of an in-window
 # sibling's path: the window/limit/distinct family next to the core
 # TPC-H set; events_daily_rollup is the day-grain twin of the
@@ -1142,8 +1142,9 @@ _STALE_PREV = [
 # q1's aggregate path; text_doc_frequency the explode+count slice
 # under the in-window tfidf/ngram family; multimodal_metadata the
 # plumbing slice under the in-window decode/resize/framehash
-# family). Oldest driver evidence in the repo from here on: these
-# MUST open round 7's window.
+# family; text_quantile_buckets the ntile slice of the spilled
+# window family). Oldest driver evidence in the repo from here on:
+# these MUST open round 7's window.
 _STALE_SPILL = [
     "window_running_total",
     "window_moving_average",
@@ -1155,6 +1156,7 @@ _STALE_SPILL = [
     "agg_stddev_minmax",
     "text_doc_frequency",
     "multimodal_metadata",
+    "text_quantile_buckets",
 ]
 
 # checked in round 5 (fresh driver evidence) — behind the window

@@ -2876,6 +2876,41 @@ ORDER BY media_id, frame_index
 """
 
 
+def q_audio_fingerprint(spark, sf_dir):
+    """Energy-delta audio fingerprints through the REAL WAV codec,
+    value-oracled: the planted half-volume copy MUST produce the
+    bit-identical fingerprint (exact volume invariance — relative
+    energy comparisons), the differently-modulated signal lands ~30
+    bits away, garbage gets NULL + ok=false. Near-dup pairing via
+    the banded machinery is pinned in tests/test_operators.py."""
+    rows = [
+        (i, bytearray(p), t)
+        for i, p, t in multimodal.wav_fingerprint_planted_payloads()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media binary, media_type string"
+    )
+    return multimodal.audio_fingerprint(
+        media, multimodal.WavCodec()
+    ).orderBy("media_id")
+
+
+# expected fingerprints computed OFFLINE by WavCodec.audio_envelope
+# + delta-threshold on the planted payloads (round 6); ids 1 and 2
+# EQUAL by construction (volume invariance)
+SQL_AUDIO_FINGERPRINT = """
+SELECT CAST(media_id AS BIGINT) AS media_id, media_type,
+  CAST(afp AS BIGINT) AS afp, ok
+FROM (VALUES
+  (1, 'audio/wav', 559000778369465375, true),
+  (2, 'audio/wav', 559000778369465375, true),
+  (3, 'audio/wav', 3717948417956963891, true),
+  (4, 'audio/wav', NULL, false)
+) AS t(media_id, media_type, afp, ok)
+ORDER BY media_id
+"""
+
+
 _HIER_NPROBE = 2  # of 8 superclusters — genuinely partial probing
 
 
@@ -2969,6 +3004,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "splits_leakage_audit": q_split_leakage,
         "multimodal_image_ahash": q_image_ahash,
         "multimodal_video_framehash": q_video_framehash,
+        "multimodal_audio_fingerprint": q_audio_fingerprint,
         "text_bm25_rank": q_bm25_rank,
         "text_contamination": q_contamination,
         "text_gopher_flags": q_gopher_flags,
@@ -3075,6 +3111,7 @@ def entry_oracles() -> dict[str, str]:
         "splits_leakage_audit": SQL_SPLIT_LEAKAGE,
         "multimodal_image_ahash": SQL_IMAGE_AHASH,
         "multimodal_video_framehash": SQL_VIDEO_FRAMEHASH,
+        "multimodal_audio_fingerprint": SQL_AUDIO_FINGERPRINT,
         "text_bm25_rank": _sql_bm25(),
         "text_contamination": SQL_CONTAMINATION,
         "text_gopher_flags": SQL_GOPHER,

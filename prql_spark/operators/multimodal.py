@@ -115,6 +115,15 @@ class MediaCodec:
         output). ``None`` = not decodable as video by this codec."""
         return None
 
+    def audio_envelope(
+        self, payload: bytes | None, media_type: str, n: int = 65
+    ) -> list[float] | None:
+        """``n``-window RMS energy contour of an audio payload
+        (mono-mixed, equal windows over the whole signal) — the
+        input to energy-delta fingerprinting. ``None`` = not
+        decodable as audio by this codec."""
+        return None
+
 
 class Sha256FakeCodec(MediaCodec):
     """DEFAULT, a deterministic FAKE (no media libs in this
@@ -152,6 +161,17 @@ class Sha256FakeCodec(MediaCodec):
             self.luma_grid(bytes(payload[i : i + 32]), media_type, n)
             for i in range(0, len(payload), 32)
         ]
+
+    def audio_envelope(self, payload, media_type, n=65):
+        # digest-stretched pseudo envelope (same rationale as
+        # luma_grid: identical payloads collide, plumbing is real)
+        if payload is None:
+            return None
+        out, block = bytearray(), bytes(payload)
+        while len(out) < n:
+            block = hashlib.sha256(block).digest()
+            out.extend(block)
+        return [b / 255.0 for b in out[:n]]
 
 
 class PillowCodec(MediaCodec):
@@ -383,6 +403,26 @@ class WavCodec(MediaCodec):
         ]
         feats = [n / rate, rms, float(np.max(np.abs(mono))), zc] + quarters
         return rate, n, [round(f, 6) for f in feats]
+
+    def audio_envelope(self, payload, media_type, n=65):
+        import numpy as np
+
+        parsed = self._parse(payload)
+        if parsed is None:
+            return None
+        x, rate = parsed
+        mono = x.mean(axis=1)
+        m = len(mono)
+        # n equal windows over the whole signal (last window absorbs
+        # the remainder); RMS per window
+        edges = (np.arange(n + 1) * m // n).clip(0, m)
+        out = []
+        for a, b in zip(edges[:-1], edges[1:]):
+            seg = mono[a:b]
+            out.append(
+                float(np.sqrt(np.mean(seg**2))) if len(seg) else 0.0
+            )
+        return out
 
     def resize_payload(self, payload, max_dim):
         import io
@@ -935,4 +975,119 @@ def video_near_dups(
             F.col("id_b").alias("media_id_b"),
             "shared_frames",
         )
+    )
+
+
+def wav_fingerprint_planted_payloads() -> list[tuple[int, bytes, str]]:
+    """Deterministic WAVs for the fingerprint entry: an amplitude-
+    modulated sine (1), the SAME signal at HALF volume (2 — must
+    fingerprint IDENTICALLY: the contract is exact volume
+    invariance), a differently-modulated sine (3 — ~30 bits away),
+    and garbage (4 — NULL fingerprint)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def make_wav(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(
+                (np.clip(samples, -1, 1) * 32767)
+                .astype("<i2").tobytes()
+            )
+        return buf.getvalue()
+
+    t = np.arange(8000) / 8000.0
+    sig = np.sin(2 * np.pi * 440 * t) * (
+        0.2 + 0.8 * np.abs(np.sin(2 * np.pi * 3 * t))
+    )
+    other = np.sin(2 * np.pi * 440 * t) * (
+        0.2 + 0.8 * np.abs(np.sin(2 * np.pi * 7 * t))
+    )
+    a = "audio/wav"
+    return [
+        (1, make_wav(sig), a),
+        (2, make_wav(sig * 0.5), a),
+        (3, make_wav(other), a),
+        (4, b"not audio", a),
+    ]
+
+
+def audio_fingerprint(
+    media: DataFrame, codec: MediaCodec | None = None
+) -> DataFrame:
+    """Energy-delta audio fingerprint — the audio analogue of
+    :func:`image_ahash`: a 65-window RMS energy contour (via the
+    codec seam's ``audio_envelope``) packs into 64 bits, bit i =
+    window i+1 louder than window i. Comparisons are RELATIVE, so
+    the fingerprint is exactly VOLUME-INVARIANT (scaling every
+    sample scales every window's RMS equally — identical bits),
+    while re-encodes preserve the contour within a few bits and
+    unrelated audio differs in ~32. A constant signal legitimately
+    fingerprints to 0 (no energy deltas). Undecodable payloads get
+    ``ok=false`` + NULL, never a fabricated value. One Arrow-batched
+    pass; payloads never leave the executor."""
+    codec = codec or _DEFAULT_CODEC
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            fps, oks = [], []
+            for p, t in zip(pdf["media"], pdf["media_type"]):
+                env = codec.audio_envelope(p, t, 65)
+                if env is None:
+                    fps.append(None)
+                    oks.append(False)
+                    continue
+                packed = np.uint64(0)
+                for i in range(64):
+                    if env[i + 1] > env[i]:
+                        packed |= np.uint64(1) << np.uint64(i)
+                fps.append(int(packed.astype(np.int64)))
+                oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "afp": pd.array(fps, dtype="Int64"),
+                    "ok": oks,
+                }
+            )
+
+    return media.mapInPandas(
+        run, "media_id long, media_type string, afp long, ok boolean"
+    )
+
+
+def audio_near_dups(
+    media: DataFrame,
+    max_hamming: int = 6,
+    codec: MediaCodec | None = None,
+    star_cap: int = 64,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs: :func:`audio_fingerprint` feeds
+    the banded simhash bucket-combine, mirroring
+    :func:`image_near_dups`. Returns (media_id_a, media_id_b,
+    hamming)."""
+    from prql_spark.operators.dedup import simhash_near_pairs
+
+    sigs = (
+        audio_fingerprint(media, codec)
+        .where("ok")
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.col("afp").alias("simhash"),
+        )
+    )
+    return simhash_near_pairs(
+        sigs, "doc_id", max_hamming=max_hamming, star_cap=star_cap
+    ).select(
+        F.col("id_a").alias("media_id_a"),
+        F.col("id_b").alias("media_id_b"),
+        "hamming",
     )

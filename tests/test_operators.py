@@ -2113,3 +2113,30 @@ def test_video_near_dups_planted(spark):
     m2 = mm.synthesize_media(Catalog(spark, SF_DIR).load("documents"))
     a = mm.video_frame_hashes(m2).count()
     assert a > 0 and a == mm.video_frame_hashes(m2).count()
+
+
+def test_audio_fingerprint_and_near_dups(spark):
+    """Energy-delta audio fingerprint: exact volume invariance (the
+    half-volume copy is bit-identical and pairs at Hamming 0), a
+    differently-modulated signal is far away, garbage gets NULL +
+    ok=false, and the fake codec exercises the plumbing."""
+    from prql_spark.operators import multimodal as mm
+
+    rows = [(i, bytearray(p), t)
+            for i, p, t in mm.wav_fingerprint_planted_payloads()]
+    media = spark.createDataFrame(
+        rows, "media_id long, media binary, media_type string"
+    )
+    fp = {r.media_id: r for r in mm.audio_fingerprint(
+        media, mm.WavCodec()
+    ).collect()}
+    assert fp[1].afp == fp[2].afp and fp[1].ok
+    assert bin(fp[1].afp ^ fp[3].afp).count("1") > 20
+    assert not fp[4].ok and fp[4].afp is None
+    pairs = mm.audio_near_dups(
+        media, max_hamming=0, codec=mm.WavCodec()
+    ).collect()
+    assert [(p.media_id_a, p.media_id_b, p.hamming) for p in pairs] \
+        == [(1, 2, 0)]
+    fk = mm.audio_fingerprint(media).collect()
+    assert all(r.ok for r in fk)
