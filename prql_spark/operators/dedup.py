@@ -1068,6 +1068,20 @@ def remove_duplicated_windows(
     short document's length are covered harmlessly (they match no
     word in the anti join), which keeps the coverage expression
     branch-free.
+
+    CLEAN-DOC PRUNING (round 6): only documents with at least one
+    marked window pay the word explode / anti-join / reassembly —
+    the AFFECTED id set (usually a small fraction of a real corpus;
+    AQE broadcasts it when it fits) splits the corpus, and clean
+    documents take a narrow word-join projection instead (their
+    output is byte-identical: words re-joined with single spaces).
+    On an adversarial all-duplicated corpus every doc is affected
+    and the split costs one extra small exchange; on a mostly-clean
+    corpus the heavy word shuffle shrinks to the duplicated slice.
+    Same-hour fresh-JVM A/B at 500k docs (SURVEY §6): 5%-duplicated
+    corpus 35.8-40.0 s → 24.2-24.8 s (identical 451060 survivors);
+    all-duplicated corpus within its (noisy) band, never slower
+    than the unpruned shape under like conditions.
     """
     from prql_spark.operators.text import ngram_expr
 
@@ -1096,13 +1110,33 @@ def remove_duplicated_windows(
         )
         .distinct()
     )
-    words = df.select(
-        F.col(id_col),
-        F.expr(f"size({ws})").alias("__m"),
-        F.posexplode(F.expr(ws)).alias("__j", "__w"),
-    ).where(F.expr("__w != ''"))
+    affected = covered.select(id_col).distinct()
+    # clean docs: byte-identical output (words rejoined with single
+    # spaces) from a narrow projection — no explode, no reassembly
+    clean = (
+        df.join(affected, id_col, "left_anti")
+        .where(F.expr(f"trim({text_col}) != ''"))
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"concat_ws(' ', filter({ws}, w -> w != ''))"
+            ).alias("text_cleaned"),
+            F.expr(f"CAST(size({ws}) AS BIGINT)").alias("n_words"),
+            F.lit(0).cast("long").alias("n_removed_words"),
+            F.lit(0.0).alias("removed_fraction"),
+        )
+    )
+    words = (
+        df.join(affected, id_col)  # only affected docs explode
+        .select(
+            F.col(id_col),
+            F.expr(f"size({ws})").alias("__m"),
+            F.posexplode(F.expr(ws)).alias("__j", "__w"),
+        )
+        .where(F.expr("__w != ''"))
+    )
     kept = words.join(covered, [id_col, "__j"], "left_anti")
-    return (
+    dirty = (
         kept.groupBy(id_col)
         .agg(
             F.expr(
@@ -1121,3 +1155,4 @@ def remove_duplicated_windows(
         )
         .withColumn("n_words", F.col("n_words").cast("long"))
     )
+    return dirty.unionByName(clean)

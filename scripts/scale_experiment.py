@@ -59,6 +59,40 @@ def synthesize(spark, n_copies: int) -> str:
     return out
 
 
+def synthesize_lowdup(spark, n_copies: int) -> str:
+    """Low-duplication variant of the scratch corpus: mutated copies
+    carry a UNIQUE per-copy suffix (no cross-copy collisions), so
+    only the every-20th EXACT copies form dup classes — ~5% of docs
+    duplicated, the realistic-corpus counterpoint to the default
+    dup-heavy synth (which collides copies mod 21 and marks
+    everything)."""
+    out = os.path.join(SCRATCH, f"docs_x{n_copies}_lowdup")
+    if os.path.exists(out):
+        return out
+    docs = Catalog(spark, SF_DIR).load("documents")
+    copies = spark.range(n_copies).withColumnRenamed("id", "copy")
+    big = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") * n_copies + F.col("copy")).alias("doc_id"),
+            F.when(F.col("copy") % 20 == 0, F.col("text"))
+            .otherwise(
+                F.expr(
+                    "concat_ws(' ', transform(split(text, ' '), "
+                    "(w, j) -> IF((j + copy) % 3 = 0, "
+                    "concat(w, '_', copy), w)))"
+                )
+            )
+            .alias("text"),
+            "source",
+            "n_chars",
+        )
+        .repartition(64)
+    )
+    big.write.mode("overwrite").parquet(out)
+    return out
+
+
 def synthesize_vectors(spark, n_copies: int) -> str:
     """n_copies noisy variants of every sf embedding (deterministic
     per-copy perturbation, JVM-side — no UDF)."""
@@ -121,7 +155,10 @@ def fresh_op(op: str, n_copies: int):
     _assert_no_concurrent_jvms()
     spark = build_spark("scale-exp-fresh")
     spark.sparkContext.setLogLevel("ERROR")
-    dpath = os.path.join(SCRATCH, f"docs_x{n_copies}")
+    suffix = "_lowdup" if "--lowdup" in sys.argv else ""
+    dpath = os.path.join(SCRATCH, f"docs_x{n_copies}{suffix}")
+    if suffix and not os.path.exists(dpath):
+        synthesize_lowdup(spark, n_copies)
     vpath = os.path.join(SCRATCH, f"embs_x{n_copies}")
 
     from prql_spark.operators import similarity
@@ -165,7 +202,8 @@ def fresh_op(op: str, n_copies: int):
         secs.append(round(time.time() - t, 2))
     print(json.dumps(
         {"op": op, "sec": secs[1], "cold_sec": secs[0], "rows": rows,
-         "n_copies": n_copies, "fresh_jvm": True}
+         "n_copies": n_copies, "fresh_jvm": True,
+         "corpus": "lowdup" if suffix else "dup_heavy"}
     ))
     spark.stop()
 
