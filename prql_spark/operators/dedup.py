@@ -957,7 +957,10 @@ def remove_duplicated_sentences(
     Output: ``text_cleaned`` (surviving sentences joined with one
     space — the original inter-sentence whitespace is normalized,
     the sentences themselves byte-preserved), ``n_sentences``,
-    ``n_removed_sentences``, ``removed_fraction``.
+    ``n_removed_sentences``, ``removed_fraction``. Clean-doc
+    pruning applies as in :func:`remove_duplicated_windows`: only
+    documents with a marked window pay the sentence explode /
+    anti-join / reassembly.
     """
     from prql_spark.operators.text import ngram_expr
 
@@ -995,8 +998,31 @@ def remove_duplicated_sentences(
         )
         .distinct()
     )
+    # clean-doc pruning (same shape as remove_duplicated_windows):
+    # only documents with a marked window pay the explode/anti-join/
+    # reassembly; clean docs take a narrow projection whose output
+    # is byte-identical (non-empty sentences joined by one space)
+    affected = covered.select(id_col).distinct()
+    staged = df.select(F.col(id_col), F.expr(sents).alias("__sa"))
+    clean = (
+        staged.join(affected, id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.expr(
+                "filter(__sa, x -> trim(x) != '')"
+            ).alias("__keep"),
+        )
+        .where(F.expr("size(__keep) > 0"))
+        .select(
+            F.col(id_col),
+            F.expr("concat_ws(' ', __keep)").alias("text_cleaned"),
+            F.expr("CAST(size(__keep) AS BIGINT)").alias("n_sentences"),
+            F.lit(0).cast("long").alias("n_removed_sentences"),
+            F.lit(0.0).alias("removed_fraction"),
+        )
+    )
     sentences = (
-        df.select(F.col(id_col), F.expr(sents).alias("__sa"))
+        staged.join(affected, id_col)
         .select(
             F.col(id_col),
             # count REAL sentences (a trailing boundary leaves an
@@ -1009,7 +1035,7 @@ def remove_duplicated_sentences(
         .where(F.expr("trim(__s) != ''"))
     )
     kept = sentences.join(covered, [id_col, "__si"], "left_anti")
-    return (
+    dirty = (
         kept.groupBy(id_col)
         .agg(
             F.expr(
@@ -1027,6 +1053,7 @@ def remove_duplicated_sentences(
             ).alias("removed_fraction"),
         )
     )
+    return dirty.unionByName(clean)
 
 
 def remove_duplicated_windows(

@@ -277,3 +277,44 @@ def split_leakage(
         )
         .where(F.col("n_splits") >= 2)
     )
+
+
+def near_split_leakage(
+    df: DataFrame,
+    split_col: str = "split",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    star_cap: int = 64,
+) -> DataFrame:
+    """NEAR-duplicate cross-split leakage — :func:`split_leakage`'s
+    paraphrase-aware sibling: minhash near-dup pairs whose two sides
+    sit in DIFFERENT splits (an eval doc lightly rewritten into
+    training data passes the exact audit but lands here). One row
+    per leaked pair: ids, their splits, and the estimated jaccard
+    (``est_jaccard``).
+    Cost is the minhash signature pass + the banded bucket-combine —
+    the same budget as corpus near-dup detection, reusing its
+    exact machinery and scale posture."""
+    from prql_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(df, text_col, id_col)
+    pairs = minhash_lsh_pairs(
+        sigs, id_col, threshold=threshold, star_cap=star_cap
+    )
+    sp = df.select(F.col(id_col), F.col(split_col).cast("string"))
+    a = sp.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+        split_col, "split_a"
+    )
+    b = sp.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+        split_col, "split_b"
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "est_jaccard")
+    )

@@ -291,3 +291,12 @@ def test_split_leakage_exact_and_near(spark):
     )
     got = {(r.id_a, r.id_b) for r in near.collect()}
     assert (1, 5) in got  # the paraphrase leak the exact audit missed
+    # the composition is also a named API (near_split_leakage):
+    # same pair, splits attached, estimated jaccard carried
+    from prql_spark.operators.splits import near_split_leakage
+
+    api = {(r.id_a, r.id_b): (r.split_a, r.split_b, r.est_jaccard)
+           for r in near_split_leakage(df).collect()}
+    assert (1, 5) in api
+    sa, sb, j = api[(1, 5)]
+    assert {sa, sb} == {"train", "test"} and j >= 0.5

@@ -455,12 +455,12 @@ def test_window_removal_plan_shape(catalog):
     )
 
     docs = catalog.load("documents")
-    # windows op: +2 static exchanges for the clean-doc pruning
+    # both ops carry +2 static exchanges for the clean-doc pruning
     # split (affected-id distinct + the affected inner join, which
     # AQE turns into a broadcast at runtime on real corpora)
     for fn, max_ex in (
         (remove_duplicated_windows, 8),
-        (remove_duplicated_sentences, 6),
+        (remove_duplicated_sentences, 8),
     ):
         plan = plan_of(fn(docs))
         assert "CartesianProduct" not in plan
