@@ -2140,3 +2140,66 @@ def test_audio_fingerprint_and_near_dups(spark):
         == [(1, 2, 0)]
     fk = mm.audio_fingerprint(media).collect()
     assert all(r.ok for r in fk)
+
+
+def test_dedup_spans_randomized(spark):
+    """Randomized model cross-check for the paragraph/line span
+    dedup family (planted + oracle cases exist; this sweeps the
+    winner-selection space): first occurrence by (doc_id, index)
+    wins corpus-wide, losers vanish, short spans under min_chars are
+    exempt, whitespace/case variants share a winner, and fully-
+    deduped docs drop."""
+    import random
+    import re
+
+    from pyspark.sql import Row
+
+    from prql_spark.operators.dedup import dedup_lines
+
+    def model(texts, min_chars):
+        spans = []  # (key, doc, idx, raw)
+        for i, t in sorted(texts.items()):
+            for idx, raw in enumerate(re.split(r"\n+", t)):
+                if raw.strip():
+                    spans.append((i, idx, raw))
+        winners = {}
+        for i, idx, raw in spans:
+            k = re.sub(r"\s+", " ", raw).strip().lower()
+            if len(k) >= min_chars and k not in winners:
+                winners[k] = (i, idx)
+        out = {}
+        for i, t in texts.items():
+            kept = []
+            for idx, raw in enumerate(re.split(r"\n+", t)):
+                if not raw.strip():
+                    continue
+                k = re.sub(r"\s+", " ", raw).strip().lower()
+                if len(k) < min_chars or winners.get(k) == (i, idx):
+                    kept.append(raw)
+            if kept:
+                out[i] = ("\n".join(kept), len(kept))
+        return out
+
+    rng = random.Random(83)
+    lines = [
+        "cookie notice applies", "MAIN story content here",
+        "nav", "main  story content HERE", "footer links block",
+    ]
+    for trial in range(6):
+        mc = rng.choice([0, 5, 12])
+        texts = {
+            i: "\n".join(
+                rng.choice(lines)
+                for _ in range(rng.randint(1, 6))
+            )
+            for i in range(rng.randint(2, 6))
+        }
+        want = model(texts, mc)
+        rows = [Row(doc_id=i, text=t) for i, t in texts.items()]
+        got = {
+            r.doc_id: (r.text_deduped, r.n_lines_kept)
+            for r in dedup_lines(
+                spark.createDataFrame(rows), min_chars=mc
+            ).collect()
+        }
+        assert got == want, (trial, mc, texts)
