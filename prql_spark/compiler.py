@@ -69,7 +69,7 @@ TRANSFORMS = {
 def _extended_transforms() -> dict:
     """df→df operators exposed as PRQL pipeline steps (lazy import to
     keep parser-only use light)."""
-    from prql_spark.operators import dedup, splits, text
+    from prql_spark.operators import dedup, multimodal, splits, text
     from prql_spark.streaming import sessionize
 
     return {
@@ -100,6 +100,12 @@ def _extended_transforms() -> dict:
         "remove_duplicated_windows": dedup.remove_duplicated_windows,
         "remove_duplicated_sentences": dedup.remove_duplicated_sentences,
         "split_leakage": splits.split_leakage,
+        # multimodal chain: documents → media rows → perceptual
+        # hashes/fingerprints, PRQL-composable end to end
+        "synthesize_media": multimodal.synthesize_media,
+        "image_ahash": multimodal.image_ahash,
+        "audio_fingerprint": multimodal.audio_fingerprint,
+        "video_frame_hashes": multimodal.video_frame_hashes,
     }
 
 

@@ -2203,3 +2203,24 @@ def test_dedup_spans_randomized(spark):
             ).collect()
         }
         assert got == want, (trial, mc, texts)
+
+
+def test_multimodal_prql_chain(spark, catalog):
+    """The multimodal path is PRQL-composable end to end: documents
+    → media rows → perceptual hash, with the hash column usable by
+    downstream PRQL transforms (filter/sort/take)."""
+    from prql_spark import compile_prql
+
+    df = compile_prql(
+        "from documents\ntake 10\nsynthesize_media\n"
+        "image_ahash\nfilter ok == true\nsort [media_id]\ntake 5",
+        catalog,
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r.ahash is not None for r in rows)
+    fp = compile_prql(
+        "from documents\ntake 10\nsynthesize_media\naudio_fingerprint",
+        catalog,
+    )
+    assert set(fp.columns) == {"media_id", "media_type", "afp", "ok"}
