@@ -160,9 +160,25 @@ def _quote(v: str) -> str:
         return f'"{v}"'
     if "'" not in v and "\n" not in v:
         return f"'{v}'"
-    if '"""' not in v:
+    # Triple forms: the lexer (parser._lex_quoted) terminates at the
+    # FIRST occurrence of the closing run, so the value must not
+    # contain the closer anywhere AND must not END with the quote
+    # char (a trailing quote fuses with the closer into an earlier
+    # terminator: '"""a\'b"' + '"""' lexes back as 'a\'b' plus a
+    # stray quote). A value that ends with one quote char is always
+    # representable in the OTHER triple form.
+    if '"""' not in v and not v.endswith('"'):
         return f'"""{v}"""'
-    return f"'''{v}'''"
+    if "'''" not in v and not v.endswith("'"):
+        return f"'''{v}'''"
+    # Unreachable for any string produced by the lexer itself (lexed
+    # content can never contain its closing run nor end with its
+    # quote char — the closer would have matched earlier), so
+    # format(parse(src)) never lands here; only hand-built ASTs can.
+    raise ValueError(
+        "string literal not representable in PRQL (no escape "
+        f"syntax): {v!r}"
+    )
 
 
 def _lit(node: Lit) -> str:

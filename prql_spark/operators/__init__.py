@@ -352,12 +352,17 @@ def _sql_simhash_pairs() -> str:
     """Full value oracle for dedup_simhash_pairs: the engine's 64-bit
     token hash is two crc32 calls (dedup.py:_TOKEN_HASH64), which
     DuckDB reproduces with the zlib-exact table fold — so every
-    signature bit replays: per-token ±1 bit sums, 4×16-bit banding by
-    bit-slice equality, star_cap guard, Hamming verification as a
+    signature bit replays: per-token ±1 bit sums, pigeonhole banding
+    (max_hamming + 1 = 9 bit-slice bands, bounds generated from the
+    SAME simhash_band_bounds the engine unrolls) by bit-slice
+    equality, star_cap guard, Hamming verification as a
     differing-bit count over the bit lists."""
     crct = "[" + ", ".join(f"{x}::UBIGINT" for x in _crc32_table()) + "]"
     crc_hi = _CRC32_DD.format(s="tk")
     crc_lo = _CRC32_DD.format(s="(tk || '#')")
+    bounds = dedup.simhash_band_bounds(9)
+    lo = "[" + ", ".join(str(off + 1) for off, _ in bounds) + "]"
+    hi = "[" + ", ".join(str(off + w) for off, w in bounds) + "]"
     return f"""
 WITH crct AS (SELECT {crct} AS t),
 d AS (SELECT doc_id, {NORM} AS t FROM documents),
@@ -376,8 +381,8 @@ bits AS (SELECT doc_id, list(bit ORDER BY b) AS bits
          FROM bit_sums GROUP BY doc_id),
 banded AS (
   SELECT doc_id, bits, b,
-         list_slice(bits, b * 16 + 1, b * 16 + 16) AS bkey
-  FROM (SELECT doc_id, bits, unnest(generate_series(0, 3)) AS b
+         list_slice(bits, ({lo})[b + 1], ({hi})[b + 1]) AS bkey
+  FROM (SELECT doc_id, bits, unnest(generate_series(0, 8)) AS b
         FROM bits)),
 bk AS (
   SELECT b, bkey, count(*) AS cnt, min(doc_id) AS mn

@@ -8,7 +8,8 @@ Scale design (100 TB posture):
   no self-join, no candidate re-join, no corpus-sized broadcast.
   Bucket keys include the band id, so hot buckets spread across 16×
   more reducers.
-- simhash: 64-bit signature, banded into 4×16-bit blocks — standard
+- simhash: 64-bit signature, banded into ``max_hamming + 1``
+  bit-slice blocks (pigeonhole-complete recall at any distance) —
   Hamming-distance blocking (Charikar 2002; Manku et al. 2007).
 
 All signature math is Spark SQL higher-order functions over arrays —
@@ -552,15 +553,40 @@ def simhash_signatures(
     )
 
 
+def simhash_band_bounds(bands: int) -> list[tuple[int, int]]:
+    """Even-ish split of the 64 signature bits into ``bands``
+    contiguous ``(offset, width)`` slices (first ``64 % bands``
+    bands one bit wider). Shared with the DuckDB oracle generator so
+    engine and oracle block on identical bit slices."""
+    base, extra = divmod(64, bands)
+    out: list[tuple[int, int]] = []
+    off = 0
+    for b in range(bands):
+        w = base + (1 if b < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_near_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
     star_cap: int = 64,
+    bands: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by simhash: block on 4×16-bit bands (a pair
-    within Hamming distance 3 must agree on ≥1 band), verify with
-    bit_count(xor).
+    """Near-dup pairs by simhash: block on bit-slice bands, verify
+    with bit_count(xor).
+
+    ``bands`` defaults to ``max_hamming + 1`` — the pigeonhole
+    guarantee: a pair within Hamming distance d differs in at most d
+    bands, so with d+1 bands at least one band matches exactly and
+    the pair is guaranteed to share a bucket. (The pre-round-7 fixed
+    4×16 banding only guaranteed recall for d ≤ 3; pairs at d = 4..6
+    whose differing bits spread across all four bands were silently
+    dropped.) More bands = smaller keys = more collisions from
+    unrelated docs, so callers wanting the old cheaper blocking can
+    pass ``bands=4`` explicitly and accept the recall gap.
 
     Bucket-combine shape (mirrors minhash): ONE group-by exchange on
     (band, key); pairs are generated inside each collected bucket, so
@@ -574,15 +600,24 @@ def simhash_near_pairs(
     semantics are equivalent whenever the bucket is
     signature-homogeneous, which is how buckets get huge in practice.
     """
+    n_bands = bands if bands is not None else min(max_hamming + 1, 64)
+    # unrolled at compile time (band count is a plan constant) — the
+    # interpreted transform-lambda alternative allocates per-band
+    # structs per row. shiftright(), not infix >>: Spark 4's SQL
+    # parser rejects `>>` inside an array(...) argument list.
+    def _key(off: int, w: int) -> str:
+        if w >= 64:  # single-band degenerate case: the whole hash
+            return "simhash"  # (the 2^64-1 mask overflows LongType)
+        return f"shiftright(simhash, {off}) & {(1 << w) - 1}"
+
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'key', {_key(off, w)})"
+        for b, (off, w) in enumerate(simhash_band_bounds(n_bands))
+    )
     banded = sigs.select(
         id_col,
         "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), b -> named_struct("
-                "'band', b, 'key', (simhash >> (b * 16)) & 65535))"
-            )
-        ).alias("bk"),
+        F.explode(F.expr(f"array({band_structs})")).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.key")
     grouped = (
         banded.groupBy("band", "key")

@@ -816,9 +816,11 @@ def image_near_dups(
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs: :func:`image_ahash` feeds the
     same banded bucket-combine machinery simhash text dedup uses
-    (4×16-bit bands, bit_count verify, star-capped mega-buckets) —
-    one hash pass over the media, then the pairing never touches
-    payloads again. Returns (media_id_a, media_id_b, hamming)."""
+    (``max_hamming + 1`` pigeonhole bands — every pair within the
+    advertised distance is guaranteed a shared bucket — bit_count
+    verify, star-capped mega-buckets). One hash pass over the media,
+    then the pairing never touches payloads again. Returns
+    (media_id_a, media_id_b, hamming)."""
     from prql_spark.operators.dedup import simhash_near_pairs
 
     sigs = (
@@ -930,6 +932,7 @@ def video_near_dups(
     codec: MediaCodec | None = None,
     every_n: int = 1,
     bucket_cap: int = 64,
+    exclude_degenerate: bool = True,
 ) -> DataFrame:
     """Near-duplicate VIDEO pairs by shared perceptual frame hashes
     — re-encodes, trims, and content mirrors share most of their
@@ -946,10 +949,25 @@ def video_near_dups(
     a TRIMMED copy whose cut is not a stride multiple samples
     disjoint frames and can be missed — sample every frame
     (``every_n=1``, the default) when trim-robustness matters, or
-    hash at a keyframe-aligned stride upstream."""
+    hash at a keyframe-aligned stride upstream.
+
+    Capping caveat (unlike keep/drop text dedup, where star-linking
+    is semantics-preserving): an over-``bucket_cap`` fhash bucket
+    star-links members to the bucket-min video only, so
+    ``shared_frames`` is a LOWER BOUND for pairs not involving that
+    min — a popular frame can push a true near-dup pair below
+    ``min_shared_frames``. The dominant source of such mega-buckets
+    is DEGENERATE frames — flat/black frames legitimately
+    average-hash to 0 (every bit compares against the mean of a
+    constant grid) or all-ones — which carry no perceptual evidence
+    of shared footage; ``exclude_degenerate`` (default True) drops
+    those two hash values before pairing, so capping only engages on
+    genuinely popular structured frames."""
     from prql_spark.operators.dedup import pairs_from_buckets
 
     fh = video_frame_hashes(media, codec, every_n)
+    if exclude_degenerate:
+        fh = fh.where("fhash != 0 AND fhash != -1")
     grouped = (
         fh.groupBy("fhash")
         .agg(
@@ -1071,7 +1089,8 @@ def audio_near_dups(
     star_cap: int = 64,
 ) -> DataFrame:
     """Near-duplicate AUDIO pairs: :func:`audio_fingerprint` feeds
-    the banded simhash bucket-combine, mirroring
+    the banded simhash bucket-combine (``max_hamming + 1`` pigeonhole
+    bands — recall guaranteed at the advertised distance), mirroring
     :func:`image_near_dups`. Returns (media_id_a, media_id_b,
     hamming)."""
     from prql_spark.operators.dedup import simhash_near_pairs

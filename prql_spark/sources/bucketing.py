@@ -68,12 +68,39 @@ def drop_bucketed(spark: SparkSession, table: str) -> None:
     PREVIOUS session leaves its directory behind while the fresh
     catalog has never heard of the table — `DROP TABLE` alone is a
     no-op then, and the next `saveAsTable` fails on the existing
-    location. Removing the path covers both cases."""
+    location. Removing the path covers both cases.
+
+    The name is validated (``tbl`` or ``db.tbl``, word chars only)
+    BEFORE anything touches the filesystem — a pathological name
+    containing ``/`` or ``..`` must never reach rmtree. If the table
+    is still in the catalog, its actual location wins; otherwise the
+    fallback path mirrors Spark's managed-table layout — the name
+    LOWERCASED (the session catalog is case-insensitive and stores
+    lowercase directories) under ``<warehouse>/<db>.db/`` for a
+    db-qualified name."""
     import os
+    import re
     import shutil
 
+    if not re.fullmatch(r"[A-Za-z0-9_]+(\.[A-Za-z0-9_]+)?", table):
+        raise ValueError(f"unsafe table name: {table!r}")
+    location = None
+    try:
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        for row in desc:
+            if row["col_name"] == "Location":
+                location = row["data_type"].removeprefix("file:")
+    except Exception:
+        pass  # not in this session's catalog — use the layout rule
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+    if location is None:
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        lowered = table.lower()
+        if "." in lowered:
+            db, tbl = lowered.split(".", 1)
+            location = os.path.join(wh, f"{db}.db", tbl)
+        else:
+            location = os.path.join(wh, lowered)
+    shutil.rmtree(location, ignore_errors=True)

@@ -9,6 +9,8 @@ to the SAME SQL as the source it came from."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import example, given, settings
+from hypothesis import strategies as st
 
 import __spark_entry__ as entry_mod
 from prql_spark.ast_io import (
@@ -96,6 +98,50 @@ def test_format_drops_only_nonsemantic_trivia():
     out = format_prql(src)
     assert "#" not in out and "<" not in out
     assert parse(out) == parse(src)
+
+
+@settings(max_examples=200, deadline=None)
+@given(v=st.text(alphabet="\"'\nab ", max_size=10))
+@example(v="a'b\"")  # r6 ADVICE shape: both quote kinds, ends with "
+@example(v='a"b\'')
+@example(v="'\"")
+@example(v='a""')
+def test_quote_lexes_back_exactly(v):
+    """_quote output must lex back to the exact value (the lexer has
+    no escapes and terminates at the FIRST closing run, so trailing
+    quote chars are the hazard shape)."""
+    from prql_spark.ast_io import _quote
+    from prql_spark.parser import _lex_quoted
+
+    try:
+        q = _quote(v)
+    except ValueError:
+        # only genuinely unrepresentable shapes may raise: BOTH
+        # triple forms blocked (and such values can never come from
+        # a parse — the lexer cannot produce them)
+        assert '"""' in v or v.endswith('"')
+        assert "'''" in v or v.endswith("'")
+        return
+    inner, nxt = _lex_quoted(q, 0)
+    assert inner == v, (v, q)
+    assert nxt == len(q), (v, q)
+
+
+@settings(max_examples=60, deadline=None)
+@given(v=st.text(alphabet="\"'ab ", min_size=1, max_size=8))
+@example(v="a'b\"")
+def test_string_literal_format_roundtrip(v):
+    """End-to-end: a pipeline holding a nasty string literal survives
+    parse → format → parse unchanged."""
+    from prql_spark.ast_io import _quote
+
+    try:
+        lit = _quote(v)
+    except ValueError:
+        return
+    src = f"from t\nfilter s == {lit}\ntake 1"
+    q0 = parse(src)
+    assert parse(format_prql(src)) == q0, format_prql(src)
 
 
 def test_reference_integration_query_roundtrips():

@@ -240,3 +240,29 @@ def test_bucketed_join_elides_exchanges(spark):
         )
         for t in tables:
             drop_bucketed(spark, t)
+
+
+def test_drop_bucketed_rejects_unsafe_names(spark):
+    """A table name must never steer rmtree outside the warehouse
+    dir — path-bearing names are rejected BEFORE any FS action
+    (r6 VERDICT #8 / ADVICE), and valid names resolve through the
+    managed-table layout (lowercased; db-qualified → <db>.db/)."""
+    import os
+
+    import pytest
+
+    from prql_spark.sources.bucketing import drop_bucketed
+
+    for bad in ("../evil", "a/b", "x..y", "", "a.b.c", "t;drop"):
+        with pytest.raises(ValueError, match="unsafe table name"):
+            drop_bucketed(spark, bad)
+    # db-qualified + mixed case: the fallback path targets the
+    # lowercased <db>.db/<tbl> layout, so the orphan is removed even
+    # when the catalog has never heard of the table
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    orphan = os.path.join(wh, "mydb.db", "mytbl")
+    os.makedirs(orphan, exist_ok=True)
+    drop_bucketed(spark, "MyDb.MyTbl")
+    assert not os.path.exists(orphan)

@@ -121,6 +121,37 @@ def test_simhash_hamming_small_for_near_dups(planted_docs):
     assert (0, 100) in found and (0, 102) in found
 
 
+def test_simhash_pigeonhole_recall_exact(planted_docs):
+    """r6 ADVICE: with bands = max_hamming + 1 (pigeonhole), banded
+    blocking must find EVERY pair within the advertised distance —
+    the pre-round-7 fixed 4×16 banding silently dropped d=4..6 pairs
+    whose differing bits spread across all four bands. Brute force
+    is the oracle (star_cap lifted: capping is a separate, documented
+    recall trade)."""
+    import itertools
+
+    sigs = dedup.simhash_signatures(planted_docs)
+    rows = sorted(sigs.collect(), key=lambda r: r.doc_id)
+    for d in (3, 6):
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_near_pairs(
+                sigs, max_hamming=d, star_cap=10**6
+            ).collect()
+        }
+        truth = {
+            (a.doc_id, b.doc_id, h)
+            for a, b in itertools.combinations(rows, 2)
+            if (
+                h := bin(
+                    (a.simhash ^ b.simhash) & 0xFFFFFFFFFFFFFFFF
+                ).count("1")
+            )
+            <= d
+        }
+        assert got == truth, (d, truth - got, got - truth)
+
+
 def test_ngram_jaccard_exact_pair_score(planted_docs):
     pairs = dedup.ngram_jaccard_pairs(
         planted_docs, n=3, threshold=0.5, block_exprs=["'all'"]
