@@ -1050,9 +1050,10 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
 # evidence older than one round. Cost: with ~105 entries, 50 window
 # slots and 10 pinned, non-core entries rotate through the remaining
 # 40 slots, so their worst-case driver-evidence age rises from 1 to
-# ~2 rounds (the session mimic still re-verifies all 105 every
-# round). This round the core is drawn entirely from the r4-stale
-# block, so pinning costs zero extra slots.
+# ~2 rounds (the session mimic still re-verifies every entry every
+# round). Round 7: the core carries r6 evidence, so pinning costs 10
+# slots that would otherwise refresh r5-evidence entries — the
+# documented price of never letting a flagship plan go stale.
 _DRIVER_WINDOW = 50
 
 _CORE = [
@@ -1068,84 +1069,26 @@ _CORE = [
     "sources_warc_read",
 ]
 
-# never driver-checked: the four late round-5 additions that sat
-# behind round 5's full window (mimic-green since), plus entries new
-# in round 6
+# never driver-checked: the five round-7 additions (true-BPE
+# tokenizer; the three media near-dup PAIR entries that were
+# pytest-only in r6; the near-leakage audit)
 _NEW_THIS_ROUND = [
-    "dedup_lines",
-    "text_url_features",
-    "q20_excess_suppliers",
-    "dedup_window_fraction",
-    # new in round 6
-    "dedup_remove_windows",
-    "dedup_remove_sentences",
-    "sources_bucketed_join",
-    "splits_leakage_audit",
-    "multimodal_image_ahash",
-    "multimodal_video_framehash",
-    "multimodal_audio_fingerprint",
+    "text_token_count_bpe",
+    "multimodal_image_neardups",
+    "multimodal_audio_neardups",
+    "multimodal_video_neardups",
+    "splits_near_leakage",
 ]
 
 # reserved for new entries that outgrow the window (empty this round)
 _NEW_BEHIND: list[str] = []
 
-# most recent driver row is from ROUND 4 (round 5's behind-window
-# block). 39 of the 50 fit alongside the 11 never-checked entries;
-# the spill below holds the 11 that don't.
+# Oldest driver evidence first: the 11 r4-evidence entries round 6
+# spilled (they were test-asserted to open THIS window — honored
+# here), then the pinned _CORE (r6 evidence, always in-window by
+# policy), then the 24 oldest r5-evidence entries that fit.
 _STALE_PREV = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q8_market_share",
-    "top_customers_left_join",
-    "group_topk",
-    "dedup_exact",
-    "text_token_count",
-    "multimodal_netpbm_decode",
-    "dedup_against_near",
-    "text_tfidf_top_terms",
-    "profile_rollup",
-    "sources_warc_read",
-    "splits_rebalance_mix",
-    "multimodal_wav_decode",
-    "multimodal_y4m_decode",
-    "text_chunk_documents",
-    "text_script_profile",
-    "user_func_cte",
-    "q6_forecast_revenue",
-    "window_interval_range",
-    "text_fingerprint",
-    "text_ngram_counts",
-    "events_hourly_rollup",
-    "q4_order_priority",
-    "q12_shipmode_priority",
-    "q14_promo_revenue",
-    "q10_returned_items",
-    "q18_large_orders",
-    "q7_volume_shipping",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_filter",
-    "q22_inactive_balance",
-    "window_dense_rank_first_last",
-    "window_lag_row_number",
-    "multimodal_frame_sample",
-    "asof_forward_tolerance",
-]
-
-# r4-checked entries the round-6 window cannot fit — the 11 LOWEST-
-# RISK thin-slice shapes (each a slim variant of an in-window
-# sibling's path: the window/limit/distinct family next to the core
-# TPC-H set; events_daily_rollup is the day-grain twin of the
-# in-window events_hourly_rollup; agg_stddev_minmax a slice of core
-# q1's aggregate path; text_doc_frequency the explode+count slice
-# under the in-window tfidf/ngram family; multimodal_metadata the
-# plumbing slice under the in-window decode/resize/framehash
-# family; text_quantile_buckets the ntile slice of the spilled
-# window family). Oldest driver evidence in the repo from here on:
-# these MUST open round 7's window.
-_STALE_SPILL = [
+    # --- the r6 _STALE_SPILL 11 (driver evidence age: round 4) ---
     "window_running_total",
     "window_moving_average",
     "take_range",
@@ -1157,10 +1100,18 @@ _STALE_SPILL = [
     "text_doc_frequency",
     "multimodal_metadata",
     "text_quantile_buckets",
-]
-
-# checked in round 5 (fresh driver evidence) — behind the window
-_FRESH_PREV = [
+    # --- _CORE: pinned every round (see policy above) ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "top_customers_left_join",
+    "group_topk",
+    "dedup_exact",
+    "dedup_against_near",
+    "text_token_count",
+    "sources_warc_read",
+    # --- 24 of the 50 r5-evidence entries (the rest spill) ---
     "text_html_to_text",
     "ann_assign_hier",
     "dedup_paragraphs",
@@ -1185,6 +1136,14 @@ _FRESH_PREV = [
     "sketch_value_median",
     "profile_orders",
     "sources_upsert_merge",
+]
+
+# r5-evidence entries the round-7 window cannot fit (26 — the window
+# refreshes 45 non-new slots but the r5 block is 50 wide and the r4
+# spill + core take 21). All mimic-green every session; oldest
+# driver evidence in the repo from here on: these MUST open round
+# 8's window.
+_STALE_SPILL = [
     "sources_zorder_roundtrip",
     "kafka_json_roundtrip",
     "text_bm25_rank",
@@ -1211,6 +1170,51 @@ _FRESH_PREV = [
     "text_collocations",
     "skew_salted_join",
     "sources_diff_snapshots",
+]
+
+# checked in round 6 (freshest driver evidence; _CORE members sit in
+# the window instead) — behind the spill
+_FRESH_PREV = [
+    "dedup_lines",
+    "text_url_features",
+    "q20_excess_suppliers",
+    "dedup_window_fraction",
+    "dedup_remove_windows",
+    "dedup_remove_sentences",
+    "sources_bucketed_join",
+    "splits_leakage_audit",
+    "multimodal_image_ahash",
+    "multimodal_video_framehash",
+    "multimodal_audio_fingerprint",
+    "q8_market_share",
+    "multimodal_netpbm_decode",
+    "text_tfidf_top_terms",
+    "profile_rollup",
+    "splits_rebalance_mix",
+    "multimodal_wav_decode",
+    "multimodal_y4m_decode",
+    "text_chunk_documents",
+    "text_script_profile",
+    "user_func_cte",
+    "window_interval_range",
+    "text_fingerprint",
+    "text_ngram_counts",
+    "events_hourly_rollup",
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "q14_promo_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q7_volume_shipping",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_filter",
+    "q22_inactive_balance",
+    "window_dense_rank_first_last",
+    "window_lag_row_number",
+    "multimodal_frame_sample",
+    "asof_forward_tolerance",
 ]
 
 _DRIVER_ORDER = (

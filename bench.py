@@ -75,6 +75,15 @@ HEADLINE = {
     "dedup_remove_windows": "count",
     "dedup_remove_sentences": "count",
     "text_html_to_text": "count",
+    # round-7 additions: the media-dedup hash pass (the engine's only
+    # Python hot loop — mapInPandas over binary payloads) and the
+    # true-BPE merge-loop UDF; regressions in either must be
+    # driver-visible
+    "multimodal_image_ahash": "collect",
+    "multimodal_image_neardups": "collect",
+    "multimodal_video_framehash": "collect",
+    "multimodal_audio_fingerprint": "collect",
+    "text_token_count_bpe": "count",
 }
 
 
@@ -182,25 +191,32 @@ def main():
                 inversions.append(name)
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "cold_total": round(sum(cold.values()), 3),
-                "cold_queries": cold,
-                "sanity": {
-                    "contended_host": contended,
-                    "reran_inverted": reran,
-                    "still_inverted": inversions,
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "cold_total": round(sum(cold.values()), 3),
+            "cold_queries": cold,
+            "sanity": {
+                "contended_host": contended,
+                "reran_inverted": reran,
+                "still_inverted": inversions,
+            },
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # Print the JSON BEFORE and AFTER spark.stop(), each preceded by
+    # a newline: BENCH_r06's driver capture lost the file head to
+    # stage-progress \r fragments glued onto the first line (progress
+    # is now off in build_spark, belt) — emitting the line twice with
+    # a clean leading newline means BOTH a head-parse and a
+    # tail-parse of the captured stdout see one complete JSON line
+    # (suspenders).
+    print("\n" + line, flush=True)
     spark.stop()
+    print("\n" + line, flush=True)
 
 
 if __name__ == "__main__":

@@ -2968,6 +2968,263 @@ FROM sc WHERE rk = 1 ORDER BY vec_id
 """
 
 
+# ---- round-7 additions: true BPE, near-dup pair emitters ----------
+
+
+def q_bpe_stats(spark, sf_dir):
+    """True-BPE token statistics on the planted merges table: the
+    greedy merge loop (lowest rank first, left-to-right
+    non-overlapping within an iteration) runs in an Arrow-batched
+    pandas UDF; DuckDB replays the SAME loop with a recursive CTE
+    over DISTINCT pre-tokens — counts AND longest-merged-token both
+    value-checked."""
+    from prql_spark.operators import bpe as bpe_mod
+
+    return (
+        bpe_mod.bpe_token_stats(_docs(spark, sf_dir))
+        .select(
+            "doc_id", "n_pretokens", "bpe_n_tokens", "bpe_max_token_len"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_bpe_stats() -> str:
+    """DuckDB replay of the greedy BPE merge loop: recursion over
+    DISTINCT pre-tokens (the same Zipf-dedup trick the UDF's memo
+    exploits); per step, the lowest-ranked adjacent pair is merged at
+    every left-to-right non-overlapping occurrence (run-parity over
+    consecutive match positions), to a fixpoint."""
+    from prql_spark.operators import bpe as bpe_mod
+
+    merges = "[" + ", ".join(
+        "{'l': '%s', 'r': '%s', 'rk': %d}" % (left, right, i)
+        for i, (left, right) in enumerate(bpe_mod.PLANTED_MERGES)
+    ) + "]"
+    # lowest applicable merge rank over adjacent symbol pairs (NULL =
+    # fixpoint); merges are unique per pair so the inner filter has
+    # at most one element
+    brk = (
+        "list_min(list_transform("
+        "list_filter(generate_series(1, len(syms)-1), "
+        f"i -> len(list_filter({merges}, "
+        "mm -> mm.l = syms[i] AND mm.r = syms[i+1])) > 0), "
+        f"i -> list_filter({merges}, "
+        "mm -> mm.l = syms[i] AND mm.r = syms[i+1])[1].rk))"
+    )
+    return f"""
+WITH RECURSIVE
+pts AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{text.BPE_ISH}')) AS pt
+  FROM documents),
+ptc AS (SELECT doc_id, pt, count(*) AS n FROM pts GROUP BY doc_id, pt),
+enc AS (
+  SELECT pt, string_split(pt, '') AS syms
+  FROM (SELECT DISTINCT pt FROM pts)
+  UNION ALL
+  SELECT pt,
+    flatten(list_transform(generate_series(1, len(syms)), j ->
+      CASE WHEN list_contains(mg, j) THEN [syms[j] || syms[j+1]]
+           WHEN list_contains(mg, j - 1) THEN []
+           ELSE [syms[j]] END)) AS syms
+  FROM (
+    SELECT pt, syms,
+      list_filter(mt, i -> (i - list_max(list_filter(mt,
+        q2 -> q2 <= i AND NOT list_contains(mt, q2 - 1)))) % 2 = 0
+      ) AS mg
+    FROM (
+      SELECT pt, syms,
+        list_filter(generate_series(1, len(syms)-1),
+          i -> syms[i] = bp.l AND syms[i+1] = bp.r) AS mt
+      FROM (
+        SELECT pt, syms,
+          list_filter({merges}, mm -> mm.rk = brk)[1] AS bp
+        FROM (SELECT pt, syms, {brk} AS brk FROM enc)
+        WHERE brk IS NOT NULL)))),
+fixed AS (
+  SELECT pt, syms FROM (SELECT pt, syms, {brk} AS brk FROM enc)
+  WHERE brk IS NULL),
+agg AS (
+  SELECT ptc.doc_id,
+    CAST(sum(ptc.n * len(f.syms)) AS BIGINT) AS bpe_n_tokens,
+    CAST(max(list_max(list_transform(f.syms, s -> length(s))))
+         AS BIGINT) AS bpe_max_token_len
+  FROM ptc JOIN fixed f USING (pt) GROUP BY ptc.doc_id)
+SELECT d.doc_id,
+  CAST(len(regexp_extract_all(d.text, '{text.BPE_ISH}')) AS BIGINT)
+    AS n_pretokens,
+  coalesce(a.bpe_n_tokens, 0) AS bpe_n_tokens,
+  coalesce(a.bpe_max_token_len, 0) AS bpe_max_token_len
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _simhash_pairs_from_values_sql(
+    values: str, max_hamming: int
+) -> str:
+    """Banded near-pair replay from pinned signature VALUES: the
+    SAME simhash_band_bounds(max_hamming + 1) slices the engine
+    unrolls, star-cap guard, bit_count(xor) verify."""
+    bounds = dedup.simhash_band_bounds(max_hamming + 1)
+    keys = ", ".join(
+        f"(h >> {off}) & {(1 << w) - 1}" if w < 64 else "h"
+        for off, w in bounds
+    )
+    return f"""
+WITH sigs(doc_id, h) AS (VALUES {values}),
+banded AS (
+  SELECT doc_id, h, b, ([{keys}])[b + 1] AS key
+  FROM sigs, (SELECT unnest(generate_series(0, {len(bounds) - 1})) AS b)),
+bk AS (
+  SELECT b, key, count(*) AS cnt, min(doc_id) AS mn
+  FROM banded GROUP BY b, key HAVING count(*) >= 2),
+pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+    bit_count(xor(l.h, r.h)) AS hamming
+  FROM banded l
+  JOIN banded r ON l.b = r.b AND l.key = r.key
+               AND l.doc_id < r.doc_id
+  JOIN bk ON bk.b = l.b AND bk.key = l.key
+  WHERE bk.cnt <= 64 OR l.doc_id = bk.mn)
+SELECT DISTINCT id_a AS media_id_a, id_b AS media_id_b,
+  CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+ORDER BY media_id_a, media_id_b
+"""
+
+
+def q_image_neardups(spark, sf_dir):
+    """End-to-end image near-dup PAIRING (r6 verdict item #5): the
+    planted netpbm payloads (gradient + its 2-pixel nudge at Hamming
+    1, plus unrelated and undecodable images) through image_ahash →
+    pigeonhole-banded pairing. The oracle replays banding + verify
+    from the SAME pinned hashes SQL_IMAGE_AHASH carries."""
+    return multimodal.image_near_dups(
+        _ahash_planted_media(spark),
+        max_hamming=6,
+        codec=multimodal.NetpbmCodec(),
+    ).orderBy("media_id_a", "media_id_b")
+
+
+SQL_IMAGE_NEARDUPS = _simhash_pairs_from_values_sql(
+    "(1, -506390040455094048), (2, -17179869184), "
+    "(3, -16557367361536), (6, -218159664303382304)",
+    max_hamming=6,
+)
+
+
+def q_audio_neardups(spark, sf_dir):
+    """End-to-end audio near-dup PAIRING: the planted WAVs (a signal
+    and its half-volume copy — fingerprints bit-identical by the
+    volume-invariance contract — plus a ~30-bit-away signal and
+    garbage) through audio_fingerprint → banded pairing."""
+    rows = [
+        (i, bytearray(p), t)
+        for i, p, t in multimodal.wav_fingerprint_planted_payloads()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media binary, media_type string"
+    )
+    return multimodal.audio_near_dups(
+        media, max_hamming=6, codec=multimodal.WavCodec()
+    ).orderBy("media_id_a", "media_id_b")
+
+
+SQL_AUDIO_NEARDUPS = _simhash_pairs_from_values_sql(
+    "(1, 559000778369465375), (2, 559000778369465375), "
+    "(3, 3717948417956963891)",
+    max_hamming=6,
+)
+
+
+def q_video_neardups(spark, sf_dir):
+    """End-to-end video near-dup PAIRING: planted y4m videos (a
+    6-frame banded clip and its first-frame-TRIMMED copy sharing 5
+    frame hashes, unrelated footage, an undecodable payload) through
+    per-frame hashing → shared-frame counting. Oracle replays the
+    distinct-video bucket pairing from the pinned frame hashes."""
+    rows = [
+        (i, bytearray(p), t)
+        for i, p, t in multimodal.y4m_ahash_planted_payloads()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media binary, media_type string"
+    )
+    return multimodal.video_near_dups(
+        media, min_shared_frames=2, codec=multimodal.Y4mCodec()
+    ).orderBy("media_id_a", "media_id_b")
+
+
+SQL_VIDEO_NEARDUPS = """
+WITH fh(media_id, frame_index, fhash) AS (VALUES
+  (1, 0, -4294967296), (1, 1, 72057594021150720),
+  (1, 2, 281474976645120), (1, 3, 1099511627520),
+  (1, 4, 4294967295), (1, 5, -72057594021150721),
+  (2, 0, 72057594021150720), (2, 1, 281474976645120),
+  (2, 2, 1099511627520), (2, 3, 4294967295),
+  (2, 4, -72057594021150721),
+  (3, 0, -3689348814741910324), (3, 1, -5425512962855750476),
+  (3, 2, -6148914691236517206), (3, 3, 6510615555426900570)),
+f2 AS (
+  SELECT DISTINCT media_id, fhash FROM fh
+  WHERE fhash NOT IN (0, -1))
+SELECT l.media_id AS media_id_a, r.media_id AS media_id_b,
+  CAST(count(DISTINCT l.fhash) AS BIGINT) AS shared_frames
+FROM f2 l JOIN f2 r ON l.fhash = r.fhash AND l.media_id < r.media_id
+GROUP BY l.media_id, r.media_id
+HAVING count(DISTINCT l.fhash) >= 2
+ORDER BY media_id_a, media_id_b
+"""
+
+
+def q_near_split_leakage(spark, sf_dir):
+    """NEAR-duplicate cross-split leakage audit (r6 verdict #5): a
+    deterministic 50/50 md5 split over documents, then minhash
+    near-pairs whose sides landed in different splits — the
+    paraphrase leak the exact audit misses. Fully value-oracled: the
+    split rule and the whole minhash pipeline replay in DuckDB."""
+    docs = splits.split_by_hash(
+        _docs(spark, sf_dir), "doc_id", train=0.5, val=0.0
+    )
+    return splits.near_split_leakage(docs, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _sql_near_split_leakage() -> str:
+    from prql_spark.operators.splits import _cut
+
+    c1 = _cut(0.5)
+    split = (
+        "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) "
+        f"< '{c1}' THEN 'train' ELSE 'test' END"
+    )
+    return f"""
+WITH {_minhash_band_ctes()},
+bk AS (
+  SELECT b, bslice, count(*) AS cnt, min(doc_id) AS mn
+  FROM bands GROUP BY b, bslice HAVING count(*) >= 2),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+    len(list_filter(generate_series(1, 64),
+        i -> l.sig[i] = r.sig[i])) / 64.0 AS est_jaccard
+  FROM bands l
+  JOIN bands r ON l.b = r.b AND l.bslice = r.bslice
+              AND l.doc_id < r.doc_id
+  JOIN bk ON bk.b = l.b AND bk.bslice = l.bslice
+  WHERE bk.cnt <= 64 OR l.doc_id = bk.mn),
+sp AS (SELECT doc_id, {split} AS split FROM documents)
+SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b,
+  p.est_jaccard
+FROM pairs p
+JOIN sp sa ON sa.doc_id = p.id_a
+JOIN sp sb ON sb.doc_id = p.id_b
+WHERE sa.split != sb.split AND p.est_jaccard >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -3045,6 +3302,11 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_window_fraction": q_dup_window_fraction,
         "dedup_remove_windows": q_remove_dup_windows,
         "dedup_remove_sentences": q_remove_dup_sentences,
+        "text_token_count_bpe": q_bpe_stats,
+        "multimodal_image_neardups": q_image_neardups,
+        "multimodal_audio_neardups": q_audio_neardups,
+        "multimodal_video_neardups": q_video_neardups,
+        "splits_near_leakage": q_near_split_leakage,
     }
 
 
@@ -3133,4 +3395,12 @@ def entry_oracles() -> dict[str, str]:
         "text_collocations": SQL_COLLOCATIONS,
         "skew_salted_join": SQL_SALTED_JOIN,
         "sources_diff_snapshots": SQL_DIFF_SNAPSHOTS,
+        # round-7: BPE merge loop replayed via recursive CTE; media
+        # near-dup pairing replayed from the pinned decode hashes;
+        # near-leakage replays split rule + full minhash pipeline
+        "text_token_count_bpe": _sql_bpe_stats(),
+        "multimodal_image_neardups": SQL_IMAGE_NEARDUPS,
+        "multimodal_audio_neardups": SQL_AUDIO_NEARDUPS,
+        "multimodal_video_neardups": SQL_VIDEO_NEARDUPS,
+        "splits_near_leakage": _sql_near_split_leakage(),
     }

@@ -598,6 +598,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     n_shards: int = 64,
     partition_by: list[str] | None = None,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: assign documents to fixed-token-budget
     training chunks (the standard pretraining "packing" step).
@@ -622,10 +623,20 @@ def pack_sequences(
     Output: one row per doc with (shard, chunk_id, n_tokens); chunk
     membership is ``(*partition_by, shard, chunk_id)``. Downstream
     concat/tokenize groups by that key.
+
+    ``n_tokens_col``: budget by an EXISTING per-row token count
+    (e.g. ``bpe_n_tokens`` from
+    :func:`prql_spark.operators.bpe.bpe_token_stats` — packing
+    against the real tokenizer's counts instead of the whitespace
+    proxy) rather than computing the whitespace count here.
     """
     toks = (
-        f"CASE WHEN trim({text_col}) = '' THEN 0 "
-        f"ELSE size(split(trim({text_col}), '\\\\s+')) END"
+        f"CAST({n_tokens_col} AS BIGINT)"
+        if n_tokens_col is not None
+        else (
+            f"CASE WHEN trim({text_col}) = '' THEN 0 "
+            f"ELSE size(split(trim({text_col}), '\\\\s+')) END"
+        )
     )
     shard = (
         f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 4), 16, 10) "

@@ -56,6 +56,7 @@ def prepare_training_corpus(
     chunk_long_docs: bool = True,
     chunk_overlap: int = 0,
     html_input: bool = False,
+    bpe_merges: list[tuple[str, str]] | None = None,
     span_dedup: str | None = None,
     span_dedup_min_chars: int = 30,
     remove_dup_windows: int | None = None,
@@ -123,6 +124,12 @@ def prepare_training_corpus(
     never affect dedup decisions and sibling chunks stay in one
     split. ``chunk_overlap`` words repeat across sibling chunks
     (0: a partition, no token duplicated).
+
+    ``bpe_merges``: when given, packing budgets by TRUE BPE token
+    counts (:func:`prql_spark.operators.bpe.bpe_token_stats` over
+    the final cleaned text) instead of the whitespace proxy — the
+    merges table rides the UDF closure, so the only added cost is
+    one narrow Arrow-batched pass.
     """
     stats = CorpusStats()
     if html_input:
@@ -249,9 +256,21 @@ def prepare_training_corpus(
     # its output IS the result (re-joining it against `out` would
     # recompute the whole upstream chain a second time on the build
     # side of the join)
+    n_tokens_col = None
+    if bpe_merges is not None:
+        # budget packing by the REAL tokenizer: one Arrow-batched
+        # merge-loop pass over the final cleaned text (the counts
+        # column is 8 bytes/row; the packing window is unchanged)
+        from prql_spark.operators import bpe as bpe_mod
+
+        out = bpe_mod.bpe_token_stats(
+            out, merges=bpe_merges, text_col="text_clean"
+        )
+        n_tokens_col = "bpe_n_tokens"
     result = text.pack_sequences(
         out, target_tokens=pack_target_tokens, text_col="text_clean",
         id_col=pack_id, partition_by=["split"],
+        n_tokens_col=n_tokens_col,
     )
     return result.drop("__pack_id"), stats
 

@@ -61,5 +61,9 @@ def build_spark(app: str = "prql_spark", cpus: int | None = None) -> SparkSessio
             os.environ.get("SPARK_DRIVER_MEM", _default_heap()),
         )
         .config("spark.ui.enabled", "false")
+        # stage-progress \r spam glues onto captured stdout lines
+        # (BENCH_r06's tail lost the headline value and six TPC-H
+        # rows to it) — nothing in this repo reads the progress bar
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )

@@ -2255,3 +2255,140 @@ def test_multimodal_prql_chain(spark, catalog):
         catalog,
     )
     assert set(fp.columns) == {"media_id", "media_type", "afp", "ok"}
+
+
+# ---- true BPE tokenizer (round 7) ----------------------------------
+
+
+def test_bpe_word_semantics():
+    """The pure merge loop: rank priority, multi-level chains, and
+    the left-to-right non-overlap rule (GPT-2 encoder semantics)."""
+    from prql_spark.operators.bpe import PLANTED_MERGES, bpe_word
+
+    ranks = {m: i for i, m in enumerate(PLANTED_MERGES)}
+    assert bpe_word("table", ranks) == ["table"]  # 4-level chain
+    assert bpe_word("scan", ranks) == ["scan"]
+    # rank priority: w+i (rank 15) fires before i+n (16) in "window";
+    # in "join" only i+n applies
+    assert bpe_word("window", ranks) == ["wi", "n", "d", "ow"]
+    assert bpe_word("join", ranks) == ["j", "o", "in"]
+    # left-to-right non-overlapping within an iteration
+    assert bpe_word("ggg", ranks) == ["gg", "g"]
+    assert bpe_word("gggg", ranks) == ["gg", "gg"]
+    assert bpe_word("", ranks) == []
+    assert bpe_word("x", ranks) == ["x"]
+
+
+def test_bpe_token_stats_matches_pure_python(planted_docs):
+    """Engine (JVM pretokenize + Arrow UDF merge loop) vs a pure
+    Python model over the same regex — counts and max-token-length
+    both, including rows with no pre-tokens."""
+    import re
+
+    from pyspark.sql import Row
+
+    from prql_spark.operators import text as t
+    from prql_spark.operators.bpe import (
+        PLANTED_MERGES,
+        bpe_token_stats,
+        bpe_word,
+    )
+
+    spark = planted_docs.sparkSession
+    docs = planted_docs.union(
+        spark.createDataFrame([Row(doc_id=500, text="   ")])
+    )
+    ranks = {m: i for i, m in enumerate(PLANTED_MERGES)}
+    pre = re.compile(t.BPE_ISH)
+    got = {
+        r.doc_id: (r.n_pretokens, r.bpe_n_tokens, r.bpe_max_token_len)
+        for r in bpe_token_stats(docs).collect()
+    }
+    for row in docs.collect():
+        pts = pre.findall(row.text)
+        toks = [tok for pt in pts for tok in bpe_word(pt, ranks)]
+        want = (
+            len(pts),
+            len(toks),
+            max((len(tk) for tk in toks), default=0),
+        )
+        assert got[row.doc_id] == want, row.doc_id
+
+
+def test_bpe_encode_arrays(spark):
+    from pyspark.sql import Row
+
+    from prql_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="table scan, fast row!")]
+    )
+    [r] = bpe_encode(docs).collect()
+    assert r.bpe_tokens == ["table", "scan", ",", "fast", "row", "!"]
+
+
+def test_pack_sequences_bpe_budget(spark):
+    """n_tokens_col: packing budgets by the provided BPE counts, not
+    the whitespace proxy — 'table table' is 2 ws tokens but 2 BPE
+    tokens of 5 chars; a merge-free doc costs per-char."""
+    from pyspark.sql import Row
+
+    from prql_spark.operators import text as t
+    from prql_spark.operators.bpe import bpe_token_stats
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="table xyz") for i in range(8)]
+    )
+    with_counts = bpe_token_stats(docs)
+    out = t.pack_sequences(
+        with_counts,
+        target_tokens=8,
+        n_shards=1,
+        n_tokens_col="bpe_n_tokens",
+    ).collect()
+    # each doc = 1 (table) + 3 (x y z) = 4 BPE tokens -> 2 docs/chunk
+    assert all(r.n_tokens == 4 for r in out)
+    from collections import Counter
+
+    sizes = Counter(r.chunk_id for r in out)
+    assert all(v == 2 for v in sizes.values())
+
+
+def test_pipeline_bpe_flag(spark):
+    """prepare_training_corpus(bpe_merges=...) packs by true BPE
+    counts: n_tokens equals the merge-loop count of each surviving
+    doc's cleaned text."""
+    import re
+
+    from pyspark.sql import Row
+
+    from prql_spark.operators import text as t
+    from prql_spark.operators.bpe import PLANTED_MERGES, bpe_word
+    from prql_spark.pipelines import prepare_training_corpus
+
+    base = (  # >= 50 words (the Gopher word-count floor)
+        "the quick brown fox jumps over the lazy dog near the wide "
+        "river bank while morning light settles over the quiet "
+        "village and birds call across the open field beyond where "
+        "tall grass bends under soft wind and distant hills hold "
+        "late shadows through the slow turning hours of early "
+        "autumn days"
+    )
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"{base} variant {i}") for i in range(30)]
+    )
+    result, _ = prepare_training_corpus(
+        docs,
+        min_quality=0.0,
+        langs=("en",),
+        bpe_merges=list(PLANTED_MERGES),
+    )
+    rows = result.collect()
+    assert rows, "pipeline dropped everything"
+    ranks = {m: i for i, m in enumerate(PLANTED_MERGES)}
+    pre = re.compile(t.BPE_ISH)
+    for r in rows:
+        want = sum(
+            len(bpe_word(pt, ranks)) for pt in pre.findall(r.text_clean)
+        )
+        assert r.n_tokens == want
