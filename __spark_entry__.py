@@ -1069,15 +1069,18 @@ _CORE = [
     "sources_warc_read",
 ]
 
-# never driver-checked: the five round-7 additions (true-BPE
+# never driver-checked: the seven round-7 additions (true-BPE
 # tokenizer; the three media near-dup PAIR entries that were
-# pytest-only in r6; the near-leakage audit)
+# pytest-only in r6; the near-leakage audit; crawl-text
+# normalization; large-blocklist URL filtering)
 _NEW_THIS_ROUND = [
     "text_token_count_bpe",
     "multimodal_image_neardups",
     "multimodal_audio_neardups",
     "multimodal_video_neardups",
     "splits_near_leakage",
+    "text_normalize",
+    "text_url_blocklist",
 ]
 
 # reserved for new entries that outgrow the window (empty this round)
@@ -1111,7 +1114,7 @@ _STALE_PREV = [
     "dedup_against_near",
     "text_token_count",
     "sources_warc_read",
-    # --- 24 of the 50 r5-evidence entries (the rest spill) ---
+    # --- 22 of the 50 r5-evidence entries (the rest spill) ---
     "text_html_to_text",
     "ann_assign_hier",
     "dedup_paragraphs",
@@ -1134,16 +1137,17 @@ _STALE_PREV = [
     "docs_clean_pipeline",
     "sketch_distinct_users",
     "sketch_value_median",
-    "profile_orders",
-    "sources_upsert_merge",
 ]
 
-# r5-evidence entries the round-7 window cannot fit (26 — the window
-# refreshes 45 non-new slots but the r5 block is 50 wide and the r4
-# spill + core take 21). All mimic-green every session; oldest
-# driver evidence in the repo from here on: these MUST open round
-# 8's window.
+# r5-evidence entries the round-7 window cannot fit (28 — the window
+# refreshes 43 non-new slots but the r5 block is 50 wide and the r4
+# spill + core take 21; the two late-round-7 entries displaced
+# profile_orders and sources_upsert_merge here). All mimic-green
+# every session; oldest driver evidence in the repo from here on:
+# these MUST open round 8's window.
 _STALE_SPILL = [
+    "profile_orders",
+    "sources_upsert_merge",
     "sources_zorder_roundtrip",
     "kafka_json_roundtrip",
     "text_bm25_rank",

@@ -26,6 +26,7 @@ from prql_spark.operators import (
     skew,
     splits,
     text,
+    textnorm,
 )
 from prql_spark.sources.catalog import Catalog
 
@@ -2587,6 +2588,85 @@ FROM x ORDER BY doc_id
 """
 
 
+# deterministic dirty wrapper for the normalization entry: mojibake
+# apostrophe/quotes/ellipsis + CRLF + zero-width + NBSP + tab runs
+# around every doc's text. chr() only for ASCII codepoints (Spark's
+# chr is ASCII-only: chr(n) == chr(n % 256)); unicode chars are
+# embedded literally — both engines parse them identically inside
+# string literals.
+_DIRTY_WRAP = (
+    "concat('Itâ€™s', chr(13), chr(10), '“quoted”', '​', "
+    "' ', text, '  â€¦', chr(9), chr(9), ' Ã©')"
+)
+
+# planted blocklist: a 2-label suffix every %7 host falls under, a
+# MORE specific 3-label entry for one source (most-specific-match
+# coverage), and one exact-host entry on the clean branch
+_BL_TABLE = ("ads.invalid", "src3.ads.invalid", "src5.example.org")
+
+
+def q_text_normalize(spark, sf_dir):
+    """Crawl-text normalization value-oracled: mojibake repair,
+    typography folding, zero-width/control strip and whitespace
+    tidy over deterministically dirtied docs; the DuckDB oracle
+    replays the chain from the SAME emitter (textnorm._normalize_expr),
+    so every rule is value-verified."""
+    docs = _docs(spark, sf_dir).withColumn("text", F.expr(_DIRTY_WRAP))
+    out = textnorm.normalize_text(docs)
+    return out.select("doc_id", "text", "text_was_dirty").orderBy("doc_id")
+
+
+def _sql_text_normalize() -> str:
+    from prql_spark.operators.textnorm import _normalize_expr
+
+    e = _normalize_expr("text", "duckdb")
+    return f"""
+WITH w AS (SELECT doc_id, {_DIRTY_WRAP} AS text FROM documents)
+SELECT doc_id, {e} AS text, ({e} != text) AS text_was_dirty
+FROM w ORDER BY doc_id
+"""
+
+
+def q_url_blocklist(spark, sf_dir):
+    """Large-blocklist URL filtering value-oracled: the K
+    broadcast-hash-join suffix-chain match (corpus never shuffles)
+    against a planted 3-entry table, most-specific match asserted;
+    DuckDB replays it as a correlated most-labels-first lookup."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "url", F.expr(_URL_WRAP.format(cast="STRING"))
+    )
+    bl = spark.createDataFrame(
+        [(d,) for d in _BL_TABLE], "domain string"
+    )
+    out = textnorm.url_blocklist(docs, bl)
+    return out.select(
+        "doc_id", "url_host", "blocked_domain", "url_blocked"
+    ).orderBy("doc_id")
+
+
+def _sql_url_blocklist() -> str:
+    from prql_spark.operators.text import URL_HOST_RE
+
+    wrap = _URL_WRAP.format(cast="VARCHAR")
+    vals = ", ".join(f"('{d}')" for d in _BL_TABLE)
+    return f"""
+WITH w AS (SELECT doc_id, {wrap} AS url FROM documents),
+h AS (SELECT doc_id,
+        lower(regexp_extract(url, '{URL_HOST_RE}', 2)) AS url_host
+      FROM w),
+bl(domain) AS (VALUES {vals})
+SELECT doc_id, url_host,
+  (SELECT domain FROM bl
+   WHERE url_host = domain OR ends_with(url_host, '.' || domain)
+   ORDER BY len(string_split(domain, '.')) DESC, domain LIMIT 1
+  ) AS blocked_domain,
+  EXISTS (SELECT 1 FROM bl
+          WHERE url_host = domain
+             OR ends_with(url_host, '.' || domain)) AS url_blocked
+FROM h ORDER BY doc_id
+"""
+
+
 # a 12-word suffix appended to EVERY doc: its 5 interior 8-gram
 # windows are shared corpus-wide (windows straddling the doc/suffix
 # boundary stay unique), so each doc has a known duplicated-window
@@ -3307,6 +3387,8 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_neardups": q_audio_neardups,
         "multimodal_video_neardups": q_video_neardups,
         "splits_near_leakage": q_near_split_leakage,
+        "text_normalize": q_text_normalize,
+        "text_url_blocklist": q_url_blocklist,
     }
 
 
@@ -3353,6 +3435,8 @@ def entry_oracles() -> dict[str, str]:
         "dedup_paragraphs": SQL_DEDUP_PARAGRAPHS,
         "dedup_lines": SQL_DEDUP_LINES,
         "text_url_features": _sql_url_features(),
+        "text_normalize": _sql_text_normalize(),
+        "text_url_blocklist": _sql_url_blocklist(),
         "dedup_window_fraction": SQL_DUP_WINDOW_FRACTION,
         "dedup_remove_windows": SQL_REMOVE_DUP_WINDOWS,
         "dedup_remove_sentences": _sql_remove_dup_sentences(),

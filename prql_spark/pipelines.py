@@ -56,6 +56,7 @@ def prepare_training_corpus(
     chunk_long_docs: bool = True,
     chunk_overlap: int = 0,
     html_input: bool = False,
+    normalize: bool = False,
     bpe_merges: list[tuple[str, str]] | None = None,
     span_dedup: str | None = None,
     span_dedup_min_chars: int = 30,
@@ -130,11 +131,25 @@ def prepare_training_corpus(
     the final cleaned text) instead of the whitespace proxy — the
     merges table rides the UDF closure, so the only added cost is
     one narrow Arrow-batched pass.
+
+    ``normalize=True`` inserts crawl-text normalization
+    (:func:`~prql_spark.operators.textnorm.normalize_text`: mojibake
+    repair, typography folding, zero-width/control strip, whitespace
+    tidy) as the FIRST text stage — before any hashing or scoring,
+    so `â€™` and the real apostrophe dedup together and control
+    debris never reaches the tokenizers. A free narrow map fused
+    into the scan stage.
     """
     stats = CorpusStats()
     if html_input:
         docs = text.html_to_text(docs, text_col, out_col="__html_text")
         text_col = "__html_text"
+    if normalize:
+        from prql_spark.operators import textnorm
+
+        docs = textnorm.normalize_text(docs, text_col).drop(
+            "text_was_dirty"
+        )
     if collect_stats:
         stats.input_rows = docs.count()
 

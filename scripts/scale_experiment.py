@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from prql_spark import Catalog, build_spark
-from prql_spark.operators import dedup
+from prql_spark.operators import bpe, dedup, splits
+from prql_spark.sources import bucketing
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".scratch")
@@ -189,31 +190,132 @@ def fresh_op(op: str, n_copies: int):
         "remove_dup_windows": lambda: dedup.remove_duplicated_windows(
             docs()
         ),
+        "remove_dup_sentences": lambda: dedup.remove_duplicated_sentences(
+            docs()
+        ),
+        # leakage audit over the final split frame: split assignment
+        # is the cheap md5 map; the audit's one exchange groups by
+        # the 16-byte normalized-text key
+        "split_leakage": lambda: splits.split_leakage(
+            splits.split_by_hash(docs(), "doc_id")
+        ),
+        # the BPE pandas UDF is the engine's only Python text hot
+        # loop — drain through an aggregate so the UDF column cannot
+        # be pruned by count()
+        "token_count_bpe": lambda: bpe.bpe_token_stats(docs()).agg(
+            F.sum("bpe_n_tokens").alias("total_tokens")
+        ),
     }
     if op not in ops:
         raise SystemExit(
             f"unknown op {op!r}; one of {sorted(ops)}"
         )
+    reps = 2
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
     secs, rows = [], 0
-    for _ in range(2):
+    for _ in range(reps):
         spark._jvm.System.gc()
         t = time.time()
         rows = ops[op]().count()
         secs.append(round(time.time() - t, 2))
+    steady = sorted(secs[1:])[len(secs[1:]) // 2] if len(secs) > 1 else secs[0]
     print(json.dumps(
-        {"op": op, "sec": secs[1], "cold_sec": secs[0], "rows": rows,
-         "n_copies": n_copies, "fresh_jvm": True,
+        {"op": op, "sec": steady, "cold_sec": secs[0], "reps": secs,
+         "rows": rows, "n_copies": n_copies, "fresh_jvm": True,
          "corpus": "lowdup" if suffix else "dup_heavy"}
     ))
     spark.stop()
 
 
+def bucketed_ab(n_copies: int):
+    """A/B the bucketed-layout join (sources/bucketing.py) against
+    the identical plain-parquet join at 500k docs: docs joined to a
+    per-doc stats table on doc_id, aggregated. Co-bucketed tables
+    plan with ZERO Exchange (asserted on the plan text before
+    timing); the parquet pair shuffles both sides. The delta IS the
+    two fact-table shuffles the layout removes at 100 TB."""
+    _assert_no_concurrent_jvms()
+    spark = build_spark("scale-exp-bucketed")
+    spark.sparkContext.setLogLevel("ERROR")
+    dpath = os.path.join(SCRATCH, f"docs_x{n_copies}")
+    if not os.path.exists(dpath):
+        synthesize(spark, n_copies)
+    docs = spark.read.parquet(dpath)
+    stats = docs.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        (F.size(F.split("text", " "))).alias("n_words"),
+    )
+    for t in ("ab_docs_b", "ab_stats_b"):
+        bucketing.drop_bucketed(spark, t)
+    t0 = time.time()
+    bucketing.write_bucketed(docs, "ab_docs_b", "doc_id", 32, "doc_id")
+    bucketing.write_bucketed(stats, "ab_stats_b", "doc_id", 32, "doc_id")
+    write_s = round(time.time() - t0, 2)
+    ppath = os.path.join(SCRATCH, "ab_stats_plain")
+    stats.write.mode("overwrite").parquet(ppath)
+
+    def joined(left, right):
+        return (
+            left.join(right.select("doc_id", "n_words"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.sum("n_words").alias("total_words"),
+                F.count("*").alias("n_docs"),
+            )
+        )
+
+    b = joined(
+        bucketing.read_bucketed(spark, "ab_docs_b"),
+        bucketing.read_bucketed(spark, "ab_stats_b"),
+    )
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    # the join itself must be exchange-free; the only allowed
+    # exchange is the groupBy("source") above it
+    join_part = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_part, join_part[:500]
+    p = joined(spark.read.parquet(dpath), spark.read.parquet(ppath))
+
+    def run(df):
+        secs = []
+        for _ in range(3):
+            spark._jvm.System.gc()
+            t = time.time()
+            df.collect()
+            secs.append(round(time.time() - t, 2))
+        return secs
+
+    # interleave A/B reps so host drift hits both arms equally
+    bs, ps = [], []
+    for _ in range(3):
+        bs.extend(run(b)[-1:])
+        ps.extend(run(p)[-1:])
+    print(json.dumps(
+        {"mode": "bucketed_ab", "n_copies": n_copies,
+         "bucketed_sec": sorted(bs)[1], "plain_sec": sorted(ps)[1],
+         "bucketed_reps": bs, "plain_reps": ps,
+         "bucketed_write_sec": write_s,
+         "join_exchange_free": True}
+    ))
+    spark.stop()
+
+
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    raw = sys.argv[1:]
+    skip = {
+        raw[i + 1]
+        for i, a in enumerate(raw)
+        if a in ("--fresh", "--reps") and i + 1 < len(raw)
+    }
+    args = [a for a in raw if not a.startswith("--") and a not in skip]
     n_copies = int(args[0]) if args else 100
     if "--fresh" in sys.argv:
         op = sys.argv[sys.argv.index("--fresh") + 1]
         fresh_op(op, n_copies)
+        return
+    if "--bucketed-ab" in sys.argv:
+        bucketed_ab(n_copies)
         return
     _assert_no_concurrent_jvms()
     spark = build_spark("scale-exp")

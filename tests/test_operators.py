@@ -2392,3 +2392,136 @@ def test_pipeline_bpe_flag(spark):
             len(bpe_word(pt, ranks)) for pt in pre.findall(r.text_clean)
         )
         assert r.n_tokens == want
+
+
+# ------------------------------------------------------------------
+# textnorm: normalization + large-blocklist URL filtering (SURVEY
+# #117/#118). Values are driver-oracled; these pin edge behavior and
+# the no-shuffle plan contract.
+# ------------------------------------------------------------------
+
+
+class TestNormalizeText:
+    def test_mojibake_and_typography(self, spark):
+        from prql_spark.operators import textnorm
+
+        dirty = (
+            "Itâ€™s  a “test”​ of "
+            "Ã© stuff\r\n\n\n\nâ€¦ end\x07"
+        )
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text=dirty), Row(doc_id=2, text="clean")]
+        )
+        out = {
+            r.doc_id: r
+            for r in textnorm.normalize_text(df).collect()
+        }
+        assert out[1].text == 'it\'s a "test" of é stuff\n\n... end'.replace(
+            "it", "It", 1
+        )
+        assert out[1].text_was_dirty
+        assert out[2].text == "clean" and not out[2].text_was_dirty
+
+    def test_longest_mojibake_rule_wins(self, spark):
+        # "â€œ" must repair as ONE left double quote, not fall
+        # through to a shorter â€-prefixed rule + stray byte
+        from prql_spark.operators import textnorm
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="x â€œqâ€\x9d y")]
+        )
+        (r,) = textnorm.normalize_text(df).collect()
+        assert r.text == 'x "q" y'
+
+    def test_c1_debris_stripped_null_preserved(self, spark):
+        from prql_spark.operators import textnorm
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="a\x92b"), Row(doc_id=2, text=None)],
+            "doc_id int, text string",
+        )
+        out = {r.doc_id: r for r in textnorm.normalize_text(df).collect()}
+        assert out[1].text == "ab"
+        assert out[2].text is None
+
+    def test_narrow_plan_no_shuffle_no_python(self, spark):
+        from prql_spark.operators import textnorm
+
+        df = spark.createDataFrame([Row(doc_id=1, text="x")])
+        plan = (
+            textnorm.normalize_text(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+class TestUrlBlocklist:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        urls = spark.createDataFrame(
+            [
+                Row(doc_id=1, url="https://ads.tracker.example.com/x/y"),
+                Row(doc_id=2, url="http://example.com/"),
+                Row(doc_id=3, url="https://shop.good.org/a"),
+                Row(doc_id=4, url="https://sub.bad.co.uk/q?x=1"),
+                Row(doc_id=5, url="not a url"),
+            ]
+        )
+        bl = spark.createDataFrame(
+            [
+                Row(domain="example.com"),
+                Row(domain="tracker.example.com"),
+                Row(domain="BAD.co.uk"),  # case-folds
+                Row(domain="bad.co.uk"),  # duplicate after folding
+            ]
+        )
+        return urls, bl
+
+    def test_most_specific_match_and_values(self, spark, frames):
+        from prql_spark.operators import textnorm
+
+        urls, bl = frames
+        got = {
+            r.doc_id: r
+            for r in textnorm.url_blocklist(urls, bl).collect()
+        }
+        assert got[1].blocked_domain == "tracker.example.com"
+        assert got[2].blocked_domain == "example.com"
+        assert got[3].blocked_domain is None and not got[3].url_blocked
+        assert got[4].blocked_domain == "bad.co.uk"
+        assert got[5].blocked_domain is None  # unparseable host
+        # duplicated blocklist entries must NOT duplicate corpus rows
+        assert len(got) == 5
+
+    def test_corpus_side_never_shuffles(self, spark, frames):
+        from prql_spark.operators import textnorm
+
+        urls, bl = frames
+        plan = (
+            textnorm.url_blocklist(urls, bl, validate=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # broadcast joins only — any hashpartitioning exchange must
+        # sit on the (tiny) blocklist-distinct side, i.e. beneath a
+        # BroadcastExchange, never on the probe side
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") == 5
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "domain#" in ln  # blocklist column, not corpus
+
+    def test_validate_rejects_out_of_range_entries(self, spark):
+        from prql_spark.operators import textnorm
+
+        urls = spark.createDataFrame([Row(doc_id=1, url="https://a.b/")])
+        bad = spark.createDataFrame(
+            [Row(domain="tld"), Row(domain="a.b.c.d.e.f.g")]
+        )
+        with pytest.raises(ValueError, match="2 or > 6"):
+            textnorm.url_blocklist(urls, bad)

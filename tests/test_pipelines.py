@@ -248,3 +248,34 @@ def test_prepare_training_corpus_html_plus_span_dedup(spark):
     assert "subscribe to the newsletter" in got[1].text_clean
     assert "subscribe to the newsletter" not in got[2].text_clean
     assert p2 in got[2].text_clean
+
+
+def test_prepare_training_corpus_normalize(spark):
+    """normalize=True: two docs whose texts differ ONLY by mojibake/
+    typography must exact-dedup into one survivor (the point of
+    normalizing BEFORE hashing)."""
+    from pyspark.sql import Row
+
+    base = (
+        "language models learn from large curated corpora of text "
+        "that must be cleaned and deduplicated before training can "
+        "begin so that quality remains high across every domain "
+        "and careful evaluation keeps the resulting systems honest "
+        "while researchers measure progress against shared public "
+        "benchmarks that cover reasoning translation and summary "
+        "tasks drawn from many different languages and registers "
+        "collected over several years of open web publication"
+    )
+    rows = [
+        Row(doc_id=1, text=base.replace("models", "modelâ€™s")),
+        Row(doc_id=2, text=base.replace("models", "model's")),
+        Row(doc_id=3, text=base.replace("large", "big")),
+    ]
+    docs = spark.createDataFrame(rows)
+    result, _ = prepare_training_corpus(
+        docs, min_quality=0.0, langs=("en",), normalize=True,
+        minhash_threshold=0.99,
+    )
+    ids = {r.doc_id for r in result.collect()}
+    # doc 2's normalized text equals doc 1's -> exact dedup keeps 1
+    assert 2 not in ids and 1 in ids and 3 in ids
