@@ -84,6 +84,12 @@ HEADLINE = {
     "multimodal_video_framehash": "collect",
     "multimodal_audio_fingerprint": "collect",
     "text_token_count_bpe": "count",
+    # late round-7: normalization (scan-speed narrow map) and the
+    # K-broadcast-join blocklist — both corpus-shaped, both cheap;
+    # a regression in either means a narrow-map/broadcast contract
+    # broke
+    "text_normalize": "count",
+    "text_url_blocklist": "count",
 }
 
 

@@ -158,9 +158,11 @@ def fresh_op(op: str, n_copies: int):
     spark.sparkContext.setLogLevel("ERROR")
     suffix = "_lowdup" if "--lowdup" in sys.argv else ""
     dpath = os.path.join(SCRATCH, f"docs_x{n_copies}{suffix}")
-    if suffix and not os.path.exists(dpath):
-        synthesize_lowdup(spark, n_copies)
+    if not os.path.exists(dpath):
+        (synthesize_lowdup if suffix else synthesize)(spark, n_copies)
     vpath = os.path.join(SCRATCH, f"embs_x{n_copies}")
+    if op == "embedding_near_dups" and not os.path.exists(vpath):
+        synthesize_vectors(spark, n_copies)
 
     from prql_spark.operators import similarity
 
@@ -200,10 +202,13 @@ def fresh_op(op: str, n_copies: int):
             splits.split_by_hash(docs(), "doc_id")
         ),
         # the BPE pandas UDF is the engine's only Python text hot
-        # loop — drain through an aggregate so the UDF column cannot
-        # be pruned by count()
-        "token_count_bpe": lambda: bpe.bpe_token_stats(docs()).agg(
-            F.sum("bpe_n_tokens").alias("total_tokens")
+        # loop — drain through a FILTER on the UDF column: count()
+        # over a bare global aggregate lets Catalyst answer "1 row"
+        # without ever running the UDF (measured 0.57 s for 500k
+        # docs — impossible), while a row-level predicate forces the
+        # UDF for every row
+        "token_count_bpe": lambda: bpe.bpe_token_stats(docs()).where(
+            "bpe_n_tokens >= 0"
         ),
     }
     if op not in ops:
@@ -238,6 +243,13 @@ def bucketed_ab(n_copies: int):
     _assert_no_concurrent_jvms()
     spark = build_spark("scale-exp-bucketed")
     spark.sparkContext.setLogLevel("ERROR")
+    # the A/B models two FACT tables (at 100 TB neither side
+    # broadcasts); without BOTH thresholds the 500k-row stats side
+    # slips under a broadcast limit (AQE re-plans through its OWN
+    # threshold even when the static one is -1) and both arms
+    # measure the same broadcast plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     dpath = os.path.join(SCRATCH, f"docs_x{n_copies}")
     if not os.path.exists(dpath):
         synthesize(spark, n_copies)
@@ -257,46 +269,67 @@ def bucketed_ab(n_copies: int):
     stats.write.mode("overwrite").parquet(ppath)
 
     def joined(left, right):
+        # the aggregate input must mix BOTH sides (substr(text, ..,
+        # n_words)) or Catalyst pre-projects it below the join —
+        # sum(length(text)) alone computes before the exchange and
+        # both arms would move only slim rows, hiding the very
+        # shuffle the bucketed layout removes
         return (
             left.join(right.select("doc_id", "n_words"), "doc_id")
             .groupBy("source")
             .agg(
                 F.sum("n_words").alias("total_words"),
+                F.sum(
+                    F.length(
+                        F.expr("substr(text, 1, greatest(n_words, 1))")
+                    )
+                ).alias("total_chars"),
                 F.count("*").alias("n_docs"),
             )
         )
 
-    b = joined(
-        bucketing.read_bucketed(spark, "ab_docs_b"),
-        bucketing.read_bucketed(spark, "ab_stats_b"),
-    )
-    plan = b._jdf.queryExecution().executedPlan().toString()
+    def b():
+        return joined(
+            bucketing.read_bucketed(spark, "ab_docs_b"),
+            bucketing.read_bucketed(spark, "ab_stats_b"),
+        )
+
+    def p():
+        return joined(
+            spark.read.parquet(dpath), spark.read.parquet(ppath)
+        )
+
+    plan = b()._jdf.queryExecution().executedPlan().toString()
     # the join itself must be exchange-free; the only allowed
     # exchange is the groupBy("source") above it
     join_part = plan[plan.index("SortMergeJoin"):]
     assert "Exchange" not in join_part, join_part[:500]
-    p = joined(spark.read.parquet(dpath), spark.read.parquet(ppath))
+    pplan = p()._jdf.queryExecution().executedPlan().toString()
+    n_plain_exchanges = pplan.count("Exchange hashpartitioning")
+    assert n_plain_exchanges >= 2, pplan[:500]  # both fact sides shuffle
 
-    def run(df):
-        secs = []
-        for _ in range(3):
-            spark._jvm.System.gc()
-            t = time.time()
-            df.collect()
-            secs.append(round(time.time() - t, 2))
-        return secs
+    def run(mk):
+        # a FRESH DataFrame per rep: repeated actions on one
+        # DataFrame object reuse the prior job's shuffle files
+        # (stage reuse), so rep 2+ of the plain arm would skip the
+        # very exchanges under measurement
+        spark._jvm.System.gc()
+        t = time.time()
+        mk().collect()
+        return round(time.time() - t, 2)
 
     # interleave A/B reps so host drift hits both arms equally
     bs, ps = [], []
     for _ in range(3):
-        bs.extend(run(b)[-1:])
-        ps.extend(run(p)[-1:])
+        bs.append(run(b))
+        ps.append(run(p))
     print(json.dumps(
         {"mode": "bucketed_ab", "n_copies": n_copies,
          "bucketed_sec": sorted(bs)[1], "plain_sec": sorted(ps)[1],
          "bucketed_reps": bs, "plain_reps": ps,
          "bucketed_write_sec": write_s,
-         "join_exchange_free": True}
+         "join_exchange_free": True,
+         "plain_exchanges": n_plain_exchanges}
     ))
     spark.stop()
 
