@@ -2622,7 +2622,8 @@ def _sql_text_normalize() -> str:
     e = _normalize_expr("text", "duckdb")
     return f"""
 WITH w AS (SELECT doc_id, {_DIRTY_WRAP} AS text FROM documents)
-SELECT doc_id, {e} AS text, ({e} != text) AS text_was_dirty
+SELECT doc_id, {e} AS text,
+       coalesce(({e} != text), FALSE) AS text_was_dirty
 FROM w ORDER BY doc_id
 """
 

@@ -132,7 +132,12 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("__clean", F.expr(clean)).select(
         *[c for c in df.columns if c != text_col],
         F.col("__clean").alias(text_col),
-        (F.col("__clean") != F.col(text_col)).alias("text_was_dirty"),
+        # coalesce: NULL input text must flag False, not NULL — a
+        # downstream boolean filter on the flag would silently drop
+        # NULL-text rows otherwise
+        F.coalesce(
+            F.col("__clean") != F.col(text_col), F.lit(False)
+        ).alias("text_was_dirty"),
     )
 
 

@@ -14,32 +14,64 @@ s3:// / hdfs:// / file: all work), the rewrite is a plain
 executors when shrinking the file count (``repartition`` would
 shuffle the whole dataset to achieve the same file count) — and
 partitioned datasets compact ONLY the partitions whose file layout
-is actually bad, through the same dynamic-overwrite pattern
-upsert_parquet uses (untouched partitions are never read or
-rewritten).
+is actually bad (pruned scan, per-partition directory swap:
+untouched partitions are never read or rewritten).
+
+Durability contract: the rewrite lands in a TEMP SIBLING directory
+first and is swapped into place with renames, so a complete copy of
+the data exists on durable storage at every instant — a failed job
+leaves either the original or (transiently) an orphan
+``__compact_tmp__`` / ``__compact_bak__`` directory to clean up,
+never a dataset whose only copy was executor memory.
 """
 
 from __future__ import annotations
 
 import math
+from urllib.parse import unquote
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import SparkSession, functions as F
 
 from prql_spark.sources.upsert import _dataset_exists
 
+# Spark/Hive's directory name for a NULL partition value
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
 
 def _leaf_files(fs, jvm, p) -> list:
-    """All data-file statuses under ``p`` (recursive; skips _ and .
-    metadata entries the way Spark's own listing does)."""
+    """All data-file statuses under ``p``, skipping hidden entries
+    the way Spark's InMemoryFileIndex does: ANY path component below
+    ``p`` starting with ``_`` or ``.`` hides the file — so an
+    in-flight writer's ``_temporary/.../part-*.parquet`` never
+    inflates layout stats or triggers a compaction."""
+    root = p.toUri().getPath().rstrip("/")
     out = []
     it = fs.listFiles(p, True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
+        rel = st.getPath().toUri().getPath()[len(root):].lstrip("/")
+        if any(c.startswith(("_", ".")) for c in rel.split("/")):
             continue
         out.append(st)
     return out
+
+
+def _swap_dirs(fs, jvm, src: str, dst: str) -> None:
+    """Replace directory ``dst`` with ``src`` via renames. The old
+    data is renamed to a ``__compact_bak__`` sibling BEFORE the new
+    data moves in and deleted only after, so a durable copy exists
+    throughout; a rename failure rolls the original back."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    src_p, dst_p = Path(src), Path(dst)
+    bak_p = Path(dst.rstrip("/") + "__compact_bak__")
+    if fs.exists(bak_p):
+        fs.delete(bak_p, True)
+    if not fs.rename(dst_p, bak_p):
+        raise IOError(f"compact: could not move {dst} aside")
+    if not fs.rename(src_p, dst_p):
+        fs.rename(bak_p, dst_p)  # roll back — original restored
+        raise IOError(f"compact: could not move {src} into place")
+    fs.delete(bak_p, True)
 
 
 def dataset_layout(spark: SparkSession, path: str) -> dict:
@@ -77,22 +109,29 @@ def compact_parquet(
 
     With ``partition_col`` the dataset must be hive-partitioned by
     it; each partition directory is assessed independently and ONLY
-    partitions with too many files are rewritten (pruned scan +
-    dynamic partition overwrite — the same isolation contract as
-    ``upsert_parquet``). At 100 TB this is the only viable shape:
-    yesterday's streaming partitions compact while the other 10k
-    partitions are untouched.
+    partitions with too many files are rewritten (pruned scan, then
+    a per-partition directory swap — untouched partitions are never
+    read, written, or renamed). Directory names are URI-unescaped
+    before matching rows (Spark escapes e.g. ``:`` and control
+    chars when writing) and ``__HIVE_DEFAULT_PARTITION__`` matches
+    via IS NULL, so every partition a writer can produce is
+    reachable. At 100 TB this is the only viable shape: yesterday's
+    streaming partitions compact while the other 10k partitions are
+    untouched.
 
-    The rewrite itself is ``coalesce`` (narrow — no shuffle: tasks
-    concatenate input splits instead of re-hashing rows) through an
-    eager localCheckpoint that breaks lineage from ``path`` before
-    the overwrite, so the job never reads a file it is deleting.
+    The rewrite is ``coalesce`` (narrow — no shuffle when flat) into
+    a ``__compact_tmp__`` sibling, then a rename swap (original
+    parked at ``__compact_bak__`` until the new files are in place).
+    The job never deletes data that is not already durably rewritten
+    on storage.
     """
     if not _dataset_exists(spark, path):
         raise ValueError(f"compact_parquet: no dataset at {path!r}")
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     target = target_mb * 1024 * 1024
+    base = path.rstrip("/")
+    tmp = base + "__compact_tmp__"
 
     def n_out(total_bytes: int) -> int:
         return max(1, math.ceil(total_bytes / target))
@@ -102,9 +141,12 @@ def compact_parquet(
         want = n_out(stats["total_bytes"])
         if stats["n_files"] < min_files or stats["n_files"] <= want:
             return {"compacted": False, **stats}
-        df = spark.read.parquet(path).coalesce(want)
-        df = df.localCheckpoint(eager=True)
-        df.write.mode("overwrite").parquet(path)
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(hconf)
+        spark.read.parquet(path).coalesce(want).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        _swap_dirs(fs, jvm, tmp, base)
         return {
             "compacted": True,
             "n_files_before": stats["n_files"],
@@ -112,10 +154,11 @@ def compact_parquet(
             "total_bytes": stats["total_bytes"],
         }
 
-    # partitioned: assess each partition directory independently
+    # partitioned: assess each partition directory independently.
+    # (dirname, unescaped value or None for the hive NULL dir, want)
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(hconf)
-    todo: list[tuple[str, int]] = []  # (partition value, n files)
+    todo: list[tuple[str, str | None, int]] = []
     before = 0
     prefix = f"{partition_col}="
     for st in fs.listStatus(p):
@@ -125,11 +168,13 @@ def compact_parquet(
         files = _leaf_files(fs, jvm, st.getPath())
         want = n_out(sum(f.getLen() for f in files))
         if len(files) >= min_files and len(files) > want:
-            todo.append((name[len(prefix):], want))
+            raw = name[len(prefix):]
+            val = None if raw == _HIVE_NULL else unquote(raw)
+            todo.append((name, val, want))
             before += len(files)
     if not todo:
         return {"compacted": False, "partitions": 0}
-    vals = [v for v, _ in todo]
+
     # one pruned scan of the bad partitions. A bare coalesce(N)
     # would let EVERY partition value appear in every task (up to N
     # files per partition — potentially no improvement), so rows
@@ -139,35 +184,45 @@ def compact_parquet(
     # shuffle only moves the bad partitions' rows — the cost model
     # a 10k-partition lake needs. The when-chain keeps partition
     # values out of SQL text (directory names are user data).
-    total_want = sum(w for _, w in todo)
+    pc = F.col(partition_col)
+    strs = [v for _, v, _ in todo if v is not None]
+    cond = pc.cast("string").isin(strs) if strs else F.lit(False)
+    if any(v is None for _, v, _ in todo):
+        cond = cond | pc.isNull()
+    total_want = sum(w for _, _, w in todo)
     want_col = F.lit(1)
-    for v, w in todo:
-        want_col = F.when(
-            F.col(partition_col).cast("string") == v, F.lit(w)
-        ).otherwise(want_col)
-    df = (
+    for _, v, w in todo:
+        m = pc.isNull() if v is None else (pc.cast("string") == v)
+        want_col = F.when(m, F.lit(w)).otherwise(want_col)
+    (
         spark.read.parquet(path)
-        .where(F.col(partition_col).cast("string").isin(vals))
+        .where(cond)
         .withColumn(
             "__salt",
             F.pmod(F.hash(F.monotonically_increasing_id()), want_col),
         )
-        .repartition(total_want, F.col(partition_col), F.col("__salt"))
+        .repartition(total_want, pc, F.col("__salt"))
         .drop("__salt")
-        .localCheckpoint(eager=True)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(tmp)
     )
-    prev = spark.conf.get(
-        "spark.sql.sources.partitionOverwriteMode", "static"
-    )
-    try:
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(
-            path
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Spark escapes partition values identically on the rewrite, so
+    # the tmp dataset's directory names line up with the originals.
+    # Verify EVERY swap source exists before touching anything — a
+    # missing one (e.g. a partition whose files hold zero rows)
+    # aborts with the original dataset fully intact.
+    Path = jvm.org.apache.hadoop.fs.Path
+    for name, _, _ in todo:
+        if not fs.exists(Path(f"{tmp}/{name}")):
+            fs.delete(Path(tmp), True)
+            raise IOError(
+                f"compact: rewrite produced no directory for {name!r};"
+                " original dataset left untouched"
+            )
+    for name, _, _ in todo:
+        _swap_dirs(fs, jvm, f"{tmp}/{name}", f"{base}/{name}")
+    fs.delete(Path(tmp), True)
     return {
         "compacted": True,
         "partitions": len(todo),

@@ -84,3 +84,52 @@ def test_compact_missing_dataset_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no dataset"):
         compact_parquet(spark, str(tmp_path / "nope"))
+
+
+def test_layout_ignores_hidden_directories(spark, tmp_path):
+    # files under _temporary/.hidden dirs must not count (Spark's
+    # InMemoryFileIndex hidden-path rule) — an in-flight writer
+    # would otherwise inflate stats / trigger compaction
+    path = str(tmp_path / "hid")
+    spark.range(100).coalesce(1).write.parquet(path)
+    staging = os.path.join(path, "_temporary", "0")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-inflight.parquet"), "wb") as f:
+        f.write(b"x" * 1024)
+    stats = dataset_layout(spark, path)
+    assert stats["n_files"] == 1
+    res = compact_parquet(spark, path, target_mb=256)
+    assert not res["compacted"]  # healthy: 1 visible file
+
+
+def test_compact_partitioned_escaped_and_null_values(spark, tmp_path):
+    # partition values Spark URI-escapes in directory names (':')
+    # and the NULL partition must both be matched and rewritten
+    path = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(i, "a:b" if i % 2 == 0 else None) for i in range(2000)],
+        "id long, part string",
+    )
+    df.repartition(8).write.partitionBy("part").parquet(path)
+    names = sorted(n for n in os.listdir(path) if n.startswith("part="))
+    assert any("%3A" in n for n in names), names  # ':' escaped
+    assert any("__HIVE_DEFAULT_PARTITION__" in n for n in names)
+    before = spark.read.parquet(path).orderBy("id").collect()
+
+    res = compact_parquet(spark, path, target_mb=256, partition_col="part")
+    assert res["compacted"] and res["partitions"] == 2
+    for n in names:
+        assert _n_files(os.path.join(path, n)) == 1, n
+    assert spark.read.parquet(path).orderBy("id").collect() == before
+
+
+def test_compact_leaves_no_tmp_or_bak(spark, tmp_path):
+    # durability plumbing must clean up after itself on success
+    path = str(tmp_path / "clean")
+    spark.range(5000).repartition(16).write.parquet(path)
+    compact_parquet(spark, path, target_mb=256)
+    leftovers = [
+        n for n in os.listdir(tmp_path)
+        if "__compact_tmp__" in n or "__compact_bak__" in n
+    ]
+    assert leftovers == []

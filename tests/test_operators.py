@@ -2443,6 +2443,9 @@ class TestNormalizeText:
         out = {r.doc_id: r for r in textnorm.normalize_text(df).collect()}
         assert out[1].text == "ab"
         assert out[2].text is None
+        # NULL text flags False, not NULL — a boolean filter on the
+        # flag must not silently drop NULL-text rows
+        assert out[2].text_was_dirty is False
 
     def test_narrow_plan_no_shuffle_no_python(self, spark):
         from prql_spark.operators import textnorm
