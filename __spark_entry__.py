@@ -1051,8 +1051,8 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
 # slots and 10 pinned, non-core entries rotate through the remaining
 # 40 slots, so their worst-case driver-evidence age rises from 1 to
 # ~2 rounds (the session mimic still re-verifies every entry every
-# round). Round 7: the core carries r6 evidence, so pinning costs 10
-# slots that would otherwise refresh r5-evidence entries — the
+# round). Round 8: the core carries r7 evidence, so pinning costs 10
+# slots that would otherwise refresh r6-evidence entries — the
 # documented price of never letting a flagship plan go stale.
 _DRIVER_WINDOW = 50
 
@@ -1069,83 +1069,18 @@ _CORE = [
     "sources_warc_read",
 ]
 
-# never driver-checked: the seven round-7 additions (true-BPE
-# tokenizer; the three media near-dup PAIR entries that were
-# pytest-only in r6; the near-leakage audit; crawl-text
-# normalization; large-blocklist URL filtering)
-_NEW_THIS_ROUND = [
-    "text_token_count_bpe",
-    "multimodal_image_neardups",
-    "multimodal_audio_neardups",
-    "multimodal_video_neardups",
-    "splits_near_leakage",
-    "text_normalize",
-    "text_url_blocklist",
-]
+# never driver-checked: the round-8 additions (filled as they land)
+_NEW_THIS_ROUND: list[str] = []
 
 # reserved for new entries that outgrow the window (empty this round)
 _NEW_BEHIND: list[str] = []
 
-# Oldest driver evidence first: the 11 r4-evidence entries round 6
-# spilled (they were test-asserted to open THIS window — honored
-# here), then the pinned _CORE (r6 evidence, always in-window by
-# policy), then the 24 oldest r5-evidence entries that fit.
+# Oldest driver evidence first: the 28 r5-evidence entries round 7
+# spilled (test-asserted to open THIS window — honored here), then
+# the pinned _CORE (r7 evidence, always in-window by policy), then
+# the oldest r6-evidence entries that fit.
 _STALE_PREV = [
-    # --- the r6 _STALE_SPILL 11 (driver evidence age: round 4) ---
-    "window_running_total",
-    "window_moving_average",
-    "take_range",
-    "null_handling",
-    "fstring_cast",
-    "distinct_idiom",
-    "events_daily_rollup",
-    "agg_stddev_minmax",
-    "text_doc_frequency",
-    "multimodal_metadata",
-    "text_quantile_buckets",
-    # --- _CORE: pinned every round (see policy above) ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "top_customers_left_join",
-    "group_topk",
-    "dedup_exact",
-    "dedup_against_near",
-    "text_token_count",
-    "sources_warc_read",
-    # --- 22 of the 50 r5-evidence entries (the rest spill) ---
-    "text_html_to_text",
-    "ann_assign_hier",
-    "dedup_paragraphs",
-    "q21_waiting_supplier",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_share",
-    "q16_supplier_counts",
-    "text_quality_score",
-    "text_lang_id",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_near_dups",
-    "multimodal_decode",
-    "asof_join_attribution",
-    "docs_clean_pipeline",
-    "sketch_distinct_users",
-    "sketch_value_median",
-]
-
-# r5-evidence entries the round-7 window cannot fit (28 — the window
-# refreshes 43 non-new slots but the r5 block is 50 wide and the r4
-# spill + core take 21; the two late-round-7 entries displaced
-# profile_orders and sources_upsert_merge here). All mimic-green
-# every session; oldest driver evidence in the repo from here on:
-# these MUST open round 8's window.
-_STALE_SPILL = [
+    # --- the r7 _STALE_SPILL 28 (driver evidence age: round 5) ---
     "profile_orders",
     "sources_upsert_merge",
     "sources_zorder_roundtrip",
@@ -1174,11 +1109,18 @@ _STALE_SPILL = [
     "text_collocations",
     "skew_salted_join",
     "sources_diff_snapshots",
-]
-
-# checked in round 6 (freshest driver evidence; _CORE members sit in
-# the window instead) — behind the spill
-_FRESH_PREV = [
+    # --- _CORE: pinned every round (see policy above) ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "top_customers_left_join",
+    "group_topk",
+    "dedup_exact",
+    "dedup_against_near",
+    "text_token_count",
+    "sources_warc_read",
+    # --- 12 of the 40 r6-evidence entries (the rest spill) ---
     "dedup_lines",
     "text_url_features",
     "q20_excess_suppliers",
@@ -1191,6 +1133,13 @@ _FRESH_PREV = [
     "multimodal_video_framehash",
     "multimodal_audio_fingerprint",
     "q8_market_share",
+]
+
+# r6-evidence entries the round-8 window cannot fit (28 — the r6
+# block is 40 wide and the r5 spill + core take 38 of the 50
+# slots). All mimic-green every session; oldest driver evidence in
+# the repo from here on: these MUST open round 9's window.
+_STALE_SPILL = [
     "multimodal_netpbm_decode",
     "text_tfidf_top_terms",
     "profile_rollup",
@@ -1219,6 +1168,51 @@ _FRESH_PREV = [
     "window_lag_row_number",
     "multimodal_frame_sample",
     "asof_forward_tolerance",
+]
+
+# checked in round 7 (freshest driver evidence; _CORE members sit in
+# the window instead) — behind the spill
+_FRESH_PREV = [
+    "text_token_count_bpe",
+    "multimodal_image_neardups",
+    "multimodal_audio_neardups",
+    "multimodal_video_neardups",
+    "splits_near_leakage",
+    "text_normalize",
+    "text_url_blocklist",
+    "window_running_total",
+    "window_moving_average",
+    "take_range",
+    "null_handling",
+    "fstring_cast",
+    "distinct_idiom",
+    "events_daily_rollup",
+    "agg_stddev_minmax",
+    "text_doc_frequency",
+    "multimodal_metadata",
+    "text_quantile_buckets",
+    "text_html_to_text",
+    "ann_assign_hier",
+    "dedup_paragraphs",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_share",
+    "q16_supplier_counts",
+    "text_quality_score",
+    "text_lang_id",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dups",
+    "multimodal_decode",
+    "asof_join_attribution",
+    "docs_clean_pipeline",
+    "sketch_distinct_users",
+    "sketch_value_median",
 ]
 
 _DRIVER_ORDER = (

@@ -17,6 +17,20 @@ honest and visible.
 
 Large results are drained with count() (keeps the measurement about
 the plan, not driver row transfer); small results are collected.
+Narrow-map and window results are drained with "hash" — a
+sum(xxhash64(all columns)) aggregate — because count() lets Catalyst
+PRUNE the projection entirely (verified: under count() the physical
+plan for text_normalize lost its regexp/translate chain, token
+_count_bpe lost its ArrowEval UDF, the window entries lost the
+Window node — those rows timed a bare parquet scan). The hash drain
+consumes every output column so the full chain must evaluate; its
+own cost is one hash per row, noise next to the work it protects.
+
+Output contract: the driver keeps only a ~2 KB tail of stdout, so
+the FINAL line printed is a compact JSON (steady queries only,
+2-decimal) guaranteed to fit; the full detail (cold runs, sanity,
+3-decimal) goes to BENCH_DETAIL.json in the repo root and is also
+printed earlier in the stream.
 """
 
 from __future__ import annotations
@@ -42,15 +56,15 @@ HEADLINE = {
     "q8_market_share": "collect",
     "q13_order_distribution": "collect",
     "top_customers_left_join": "collect",
-    "window_running_total": "count",
+    "window_running_total": "hash",
     "group_topk": "collect",
     "events_hourly_rollup": "count",
     "dedup_exact": "count",
     "dedup_minhash_lsh": "count",
-    "text_quality_score": "count",
+    "text_quality_score": "hash",
     "ann_bruteforce_topk": "collect",
     "docs_clean_pipeline": "count",
-    "asof_join_attribution": "count",
+    "asof_join_attribution": "hash",
     "sketch_distinct_users": "collect",
     # round-3 additions
     "text_repetition_flags": "count",
@@ -74,7 +88,7 @@ HEADLINE = {
     "dedup_window_fraction": "count",
     "dedup_remove_windows": "count",
     "dedup_remove_sentences": "count",
-    "text_html_to_text": "count",
+    "text_html_to_text": "hash",
     # round-7 additions: the media-dedup hash pass (the engine's only
     # Python hot loop — mapInPandas over binary payloads) and the
     # true-BPE merge-loop UDF; regressions in either must be
@@ -83,12 +97,12 @@ HEADLINE = {
     "multimodal_image_neardups": "collect",
     "multimodal_video_framehash": "collect",
     "multimodal_audio_fingerprint": "collect",
-    "text_token_count_bpe": "count",
+    "text_token_count_bpe": "hash",
     # late round-7: normalization (scan-speed narrow map) and the
     # K-broadcast-join blocklist — both corpus-shaped, both cheap;
     # a regression in either means a narrow-map/broadcast contract
     # broke
-    "text_normalize": "count",
+    "text_normalize": "hash",
     "text_url_blocklist": "count",
 }
 
@@ -158,6 +172,14 @@ def main():
         df = fn(spark, SF_DIR)
         if mode == "count":
             df.count()
+        elif mode == "hash":
+            # consume EVERY output column so Catalyst cannot prune
+            # the projection (count() would) — see module docstring.
+            # bit_xor, not sum: summing 64-bit hashes overflows
+            # under ANSI mode
+            df.select(
+                F.xxhash64(*[F.col(c) for c in df.columns]).alias("h")
+            ).selectExpr("bit_xor(h)").collect()
         else:
             df.collect()
         return round(time.time() - t0, 3)
@@ -197,7 +219,8 @@ def main():
                 inversions.append(name)
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    line = json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = json.dumps(
         {
             "metric": "headline_total_runtime",
             "value": total,
@@ -210,19 +233,41 @@ def main():
                 "reran_inverted": reran,
                 "still_inverted": inversions,
             },
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sf": sf_val,
         }
     )
-    # Print the JSON BEFORE and AFTER spark.stop(), each preceded by
-    # a newline: BENCH_r06's driver capture lost the file head to
-    # stage-progress \r fragments glued onto the first line (progress
-    # is now off in build_spark, belt) — emitting the line twice with
-    # a clean leading newline means BOTH a head-parse and a
-    # tail-parse of the captured stdout see one complete JSON line
-    # (suspenders).
-    print("\n" + line, flush=True)
+    # Full detail (cold runs, sanity, 3-decimal) to a repo file and
+    # early in the stream; the driver keeps only a ~2 KB stdout TAIL
+    # (BENCH_r07's `parsed: null` — the 42-query detail line outgrew
+    # the window), so the LAST line printed is a compact variant
+    # (steady queries only, 2-decimal) that must stay under ~1.8 KB.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as f:
+            f.write(detail + "\n")
+    except OSError:
+        pass
+    compact = json.dumps(
+        {
+            "metric": "headline_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in times.items()},
+            "cold_total": round(sum(cold.values()), 2),
+            "contended": contended,
+            "inverted": len(inversions),
+            "sf": sf_val,
+        },
+        separators=(",", ":"),
+    )
+    if len(compact) > 1800:  # headline list grew past the tail window
+        print(f"WARN: compact bench line {len(compact)}B > 1800B",
+              file=sys.stderr)
+    print("\n" + detail, flush=True)
     spark.stop()
-    print("\n" + line, flush=True)
+    print("\n" + compact, flush=True)
 
 
 if __name__ == "__main__":
