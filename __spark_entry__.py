@@ -1069,8 +1069,14 @@ _CORE = [
     "sources_warc_read",
 ]
 
-# never driver-checked: the round-8 additions (filled as they land)
-_NEW_THIS_ROUND: list[str] = []
+# never driver-checked: the round-8 additions (manifest-committed
+# versioned datasets with time travel; frequent-items sketch;
+# deterministic keyed-hash training shuffle)
+_NEW_THIS_ROUND = [
+    "sources_snapshot_timetravel",
+    "sketch_top_items",
+    "splits_shuffle_deterministic",
+]
 
 # reserved for new entries that outgrow the window (empty this round)
 _NEW_BEHIND: list[str] = []
@@ -1120,7 +1126,7 @@ _STALE_PREV = [
     "dedup_against_near",
     "text_token_count",
     "sources_warc_read",
-    # --- 12 of the 40 r6-evidence entries (the rest spill) ---
+    # --- 9 of the 40 r6-evidence entries (the rest spill) ---
     "dedup_lines",
     "text_url_features",
     "q20_excess_suppliers",
@@ -1130,16 +1136,16 @@ _STALE_PREV = [
     "sources_bucketed_join",
     "splits_leakage_audit",
     "multimodal_image_ahash",
+]
+
+# r6-evidence entries the round-8 window cannot fit (31 — the r6
+# block is 40 wide and the 3 new entries + r5 spill + core take 41
+# of the 50 slots). All mimic-green every session; oldest driver evidence in
+# the repo from here on: these MUST open round 9's window.
+_STALE_SPILL = [
     "multimodal_video_framehash",
     "multimodal_audio_fingerprint",
     "q8_market_share",
-]
-
-# r6-evidence entries the round-8 window cannot fit (28 — the r6
-# block is 40 wide and the r5 spill + core take 38 of the 50
-# slots). All mimic-green every session; oldest driver evidence in
-# the repo from here on: these MUST open round 9's window.
-_STALE_SPILL = [
     "multimodal_netpbm_decode",
     "text_tfidf_top_terms",
     "profile_rollup",

@@ -3306,6 +3306,116 @@ ORDER BY id_a, id_b
 """
 
 
+def q_snapshot_timetravel(spark, sf_dir):
+    """Manifest-committed versioned dataset (sources/manifest.py):
+    v1 = overwrite with a third of orders, v2 = append another
+    third (parent files referenced, not rewritten), v3 = compaction
+    commit (same rows, fewer files, old version still readable).
+    Reading each version and aggregating value-checks the whole
+    commit protocol — atomicity, append semantics, and row
+    preservation through compaction — against a DuckDB oracle that
+    recomputes each version's content relationally."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from prql_spark.sources.manifest import (
+        compact_snapshot,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "prql_spark_snap_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    orders = Catalog(spark, sf_dir).load("orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    snapshot_write(orders.where("o_orderkey % 3 = 0").repartition(8), d)
+    snapshot_write(orders.where("o_orderkey % 3 = 1"), d, mode="append")
+    compact_snapshot(spark, d, target_mb=1024)
+    parts = [
+        snapshot_read(spark, d, v)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("round(sum(o_totalprice), 2)").alias("total"),
+            F.expr("max(o_orderkey)").alias("max_key"),
+        )
+        .withColumn("version", F.lit(v).cast("int"))
+        .select("version", "n", "total", "max_key")
+        for v in (1, 2, 3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("version")
+
+
+SQL_SNAPSHOT_TIMETRAVEL = """
+WITH v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+     v2 AS (SELECT * FROM orders WHERE o_orderkey % 3 IN (0, 1))
+SELECT 1 AS version, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       max(o_orderkey) AS max_key FROM v1
+UNION ALL
+SELECT 2, count(*), round(sum(o_totalprice), 2), max(o_orderkey) FROM v2
+UNION ALL
+SELECT 3, count(*), round(sum(o_totalprice), 2), max(o_orderkey) FROM v2
+ORDER BY version
+"""
+
+
+def q_top_items(spark, sf_dir):
+    """Frequent-items sketch (sketches.top_items): approx_top_k over
+    a 15-value composite of orders — k exceeds the distinct count,
+    so every count is exact (nothing evicted from the sketch) and
+    the DuckDB oracle is the plain exact GROUP BY. The sketch's
+    scale contract (bounded memory, map-side partials) is what the
+    operator exists for; its exactness in the no-eviction regime is
+    what the oracle can verify."""
+    orders = Catalog(spark, sf_dir).load("orders").withColumn(
+        "bucket", F.expr("concat(o_orderstatus, '-', o_orderpriority)")
+    )
+    return sketches.top_items(orders, "bucket", k=32)
+
+
+SQL_TOP_ITEMS = """
+SELECT concat(o_orderstatus, '-', o_orderpriority) AS item,
+       count(*) AS cnt
+FROM orders GROUP BY 1 ORDER BY cnt DESC, item
+"""
+
+
+def q_shuffle_deterministic(spark, sf_dir):
+    """Deterministic training shuffle (splits.shuffle_for_training):
+    the corpus ordered by md5(seed || doc_id) through a range
+    exchange + within-partition sort (total order, no single-node
+    step). The DuckDB oracle recomputes the same keyed hash and
+    order, value-checking that the shuffle is reproducible
+    cross-engine — the property a training run pins its data order
+    on."""
+    docs = Catalog(spark, sf_dir).load("documents").select("doc_id")
+    out = splits.shuffle_for_training(
+        docs, seed=42, key_cols=["doc_id"], partitions=8, keep_key=True
+    )
+    return (
+        out.orderBy("__shuffle_key")
+        .limit(200)
+        .select("doc_id", F.col("__shuffle_key").alias("shuffle_key"))
+    )
+
+
+SQL_SHUFFLE_DETERMINISTIC = """
+SELECT doc_id,
+       md5(concat_ws(chr(31), '42', CAST(doc_id AS VARCHAR)))
+         AS shuffle_key
+FROM documents ORDER BY shuffle_key LIMIT 200
+"""
+
+
 def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_dedup_exact,
@@ -3390,6 +3500,9 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "splits_near_leakage": q_near_split_leakage,
         "text_normalize": q_text_normalize,
         "text_url_blocklist": q_url_blocklist,
+        "sources_snapshot_timetravel": q_snapshot_timetravel,
+        "sketch_top_items": q_top_items,
+        "splits_shuffle_deterministic": q_shuffle_deterministic,
     }
 
 
@@ -3488,4 +3601,10 @@ def entry_oracles() -> dict[str, str]:
         "multimodal_audio_neardups": SQL_AUDIO_NEARDUPS,
         "multimodal_video_neardups": SQL_VIDEO_NEARDUPS,
         "splits_near_leakage": _sql_near_split_leakage(),
+        # round-8: manifest commit protocol replayed relationally;
+        # frequent-items in the exact (no-eviction) regime; keyed-
+        # hash shuffle order recomputed cross-engine
+        "sources_snapshot_timetravel": SQL_SNAPSHOT_TIMETRAVEL,
+        "sketch_top_items": SQL_TOP_ITEMS,
+        "splits_shuffle_deterministic": SQL_SHUFFLE_DETERMINISTIC,
     }

@@ -128,3 +128,40 @@ def quantile_rank_check(
             f"<= {prob} + {rank_eps}"
         ).alias("within_rank_eps"),
     ).orderBy(group_by)
+
+
+def top_items(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    max_tracked: int = 100_000,
+) -> DataFrame:
+    """Approximate heavy hitters (frequent items): the top ``k``
+    values of ``col`` with estimated counts, via Spark 4's
+    ``approx_top_k`` aggregate — a bounded-memory sketch that
+    partial-aggregates map-side (each partition keeps at most
+    ``max_tracked`` counters) and merges JVM-side, so a 100 TB
+    frequency profile never shuffles raw values: one sketch per
+    partition moves, not the column.
+
+    Accuracy contract: counts are EXACT whenever the column's
+    distinct count is <= ``max_tracked`` (nothing is evicted); above
+    that, items with frequency > n/max_tracked are still surfaced
+    with near-exact counts (space-saving guarantee). Rows are
+    returned sorted (count desc, item asc) so equal-count ties are
+    deterministic.
+
+    Output: ``item`` (string), ``cnt``.
+    """
+    return (
+        df.select(F.col(col).cast("string").alias("__it"))
+        .select(
+            F.expr(f"approx_top_k(__it, {k}, {max_tracked})").alias("tk")
+        )
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").alias("cnt"),
+        )
+        .orderBy(F.desc("cnt"), "item")
+    )

@@ -318,3 +318,46 @@ def near_split_leakage(
         .where(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "split_a", "split_b", "est_jaccard")
     )
+
+
+def shuffle_for_training(
+    df: DataFrame,
+    seed: int = 0,
+    key_cols: list[str] | None = None,
+    partitions: int | None = None,
+    keep_key: bool = False,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data writes.
+
+    Training runs need the corpus in a random-but-REPRODUCIBLE order
+    (same seed -> same order, different seed -> independent order),
+    decided without any single-node step. The shuffle key is
+    ``md5(seed || key_cols)`` — a keyed hash, so the order is stable
+    across runs, cluster sizes, and input file layouts; changing
+    ``seed`` re-deals the whole corpus.
+
+    Spark-first scale shape: ``repartitionByRange`` on the hash
+    (range exchange driven by a sampled boundary sketch — each
+    output partition gets a contiguous hash range) followed by
+    ``sortWithinPartitions`` gives a TOTAL global order across
+    output files without ever sorting on one node; writing the
+    result preserves per-file order, so downstream sequential
+    readers see the shuffled order exactly. One exchange, same cost
+    class as any repartition — not a ``orderBy`` (which would plan
+    the same range exchange but is commonly mis-written as
+    ``coalesce(1)`` + sort in naive pipelines).
+
+    ``key_cols`` defaults to all columns (content-keyed); pass the
+    stable id column(s) for speed. ``keep_key=True`` retains
+    ``__shuffle_key`` for order audits.
+    """
+    cols = key_cols or df.columns
+    key = F.concat_ws(
+        "\x1f", F.lit(str(seed)), *[F.col(c).cast("string") for c in cols]
+    )
+    out = df.withColumn("__shuffle_key", F.md5(key))
+    n = partitions or out.sparkSession.sparkContext.defaultParallelism
+    out = out.repartitionByRange(n, "__shuffle_key").sortWithinPartitions(
+        "__shuffle_key"
+    )
+    return out if keep_key else out.drop("__shuffle_key")

@@ -1,0 +1,325 @@
+"""Manifest-committed versioned parquet datasets (mini table format).
+
+The missing layer between "a directory of parquet files" and a real
+lakehouse table, built with nothing but parquet + a JSON manifest per
+commit — the same core idea as Iceberg/Delta (public designs), sized
+to this engine:
+
+* **Atomic commits.** A writer stages parquet files into a fresh
+  ``data/<commit>/`` directory, then publishes ONE manifest file via
+  an atomic rename. Readers either see the whole commit or none of
+  it; a writer that dies mid-job leaves only unreferenced files.
+* **Time travel.** Every version's manifest is retained; reading
+  version N plans from its file list — reproducible training runs
+  pin the exact bytes they trained on.
+* **O(1) read planning.** ``snapshot_read`` never lists the data
+  tree: the manifest IS the file index. At 100 TB / 400k files an
+  S3 recursive listing is minutes of driver time per query; a
+  manifest read is one small GET.
+* **Zero-deletion-window compaction.** ``compact_snapshot`` writes
+  the repacked files and commits a manifest pointing at them; the
+  old version stays fully readable. Space is reclaimed later by an
+  explicit ``vacuum_snapshot`` — data files are deleted ONLY when no
+  retained manifest references them. (Contrast with in-place
+  ``compact_parquet``, which must swap directories under readers.)
+* **Optimistic concurrency.** The version number is claimed by the
+  manifest rename; a loser's rename fails (file exists) and retries
+  on top of the winner's commit.
+
+Layout::
+
+    <path>/data/<commit-id>/part-*.parquet   immutable once published
+    <path>/_manifests/v{N:010d}.json         one per version
+    <path>/_manifests/.v{N}.json.tmp         stage, renamed into place
+
+All filesystem access goes through Hadoop's FileSystem API, so
+file:// , hdfs:// and s3a:// behave identically. Manifests carry
+RELATIVE file paths — a dataset can be cloned or mounted elsewhere.
+
+Single-manifest simplification (documented trade-off vs Iceberg's
+manifest lists): each commit's manifest holds the FULL file list.
+At 400k files × ~60 bytes that is a ~25 MB driver-side JSON per
+commit — acceptable; beyond that, shard the manifest the way
+Iceberg does.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _write_text_atomic(fs, jvm, dir_path: str, name: str, text: str) -> bool:
+    """Stage ``text`` under a dotted tmp name, then rename to
+    ``name``. Returns False when ``name`` already exists (another
+    writer won the version) — the rename is the commit point."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    tmp = Path(f"{dir_path}/.{name}.{uuid.uuid4().hex[:8]}.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    dst = Path(f"{dir_path}/{name}")
+    if fs.exists(dst) or not fs.rename(tmp, dst):
+        fs.delete(tmp, False)
+        return False
+    return True
+
+
+def _read_text(fs, jvm, path: str) -> str:
+    stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _versions(fs, jvm, base: str) -> list[int]:
+    Path = jvm.org.apache.hadoop.fs.Path
+    mdir = Path(f"{base}/{_MANIFEST_DIR}")
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        # tmp stages are dot-prefixed; published manifests only
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _load_manifest(fs, jvm, base: str, version: int) -> dict:
+    return json.loads(
+        _read_text(fs, jvm, f"{base}/{_MANIFEST_DIR}/v{version:010d}.json")
+    )
+
+
+def snapshot_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    max_commit_attempts: int = 20,
+) -> dict:
+    """Commit ``df`` as a new version of the dataset at ``path``.
+
+    ``mode="overwrite"`` makes the new version's content exactly
+    ``df``; ``mode="append"`` adds ``df``'s files to the parent
+    version's list (the parent's files are REFERENCED, never
+    rewritten — an append of 1 GB to a 100 TB table moves 1 GB).
+    Returns ``{"version", "n_files", "operation"}``.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"snapshot_write: unknown mode {mode!r}")
+    spark = df.sparkSession
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    commit_id = uuid.uuid4().hex[:16]
+    data_dir = f"{base}/{_DATA_DIR}/{commit_id}"
+    df.write.mode("errorifexists").parquet(data_dir)
+
+    # relative paths of the freshly staged files
+    Path = jvm.org.apache.hadoop.fs.Path
+    staged = []
+    it = fs.listFiles(Path(data_dir), True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        staged.append(
+            {
+                "path": f"{_DATA_DIR}/{commit_id}/{name}",
+                "bytes": st.getLen(),
+            }
+        )
+
+    fs.mkdirs(Path(f"{base}/{_MANIFEST_DIR}"))
+    for _ in range(max_commit_attempts):
+        seen = _versions(fs, jvm, base)
+        parent = seen[-1] if seen else None
+        version = (parent or 0) + 1
+        files = list(staged)
+        if mode == "append" and parent is not None:
+            files = _load_manifest(fs, jvm, base, parent)["files"] + files
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "operation": mode,
+            "commit": commit_id,
+            "files": files,
+        }
+        if _write_text_atomic(
+            fs, jvm, f"{base}/{_MANIFEST_DIR}",
+            f"v{version:010d}.json", json.dumps(manifest),
+        ):
+            return {
+                "version": version,
+                "n_files": len(files),
+                "operation": mode,
+            }
+        # another writer claimed this version — rebase and retry
+    raise RuntimeError(
+        f"snapshot_write: lost {max_commit_attempts} commit races at "
+        f"{path!r}"
+    )
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the dataset at ``path`` as of ``version`` (default: the
+    latest). Plans from the manifest's file list — the data tree is
+    never listed."""
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    seen = _versions(fs, jvm, base)
+    if not seen:
+        raise ValueError(f"snapshot_read: no versions at {path!r}")
+    if version is None:
+        version = seen[-1]
+    if version not in seen:
+        raise ValueError(
+            f"snapshot_read: version {version} not in {seen} at {path!r}"
+        )
+    manifest = _load_manifest(fs, jvm, base, version)
+    files = [f"{base}/{f['path']}" for f in manifest["files"]]
+    if not files:
+        raise ValueError(
+            f"snapshot_read: version {version} is empty at {path!r}"
+        )
+    return spark.read.parquet(*files)
+
+
+def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
+    """One row per committed version: version, parent, operation,
+    n_files, total_bytes."""
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    rows = []
+    for v in _versions(fs, jvm, base):
+        m = _load_manifest(fs, jvm, base, v)
+        rows.append(
+            (
+                m["version"],
+                m["parent"],
+                m["operation"],
+                len(m["files"]),
+                sum(f["bytes"] for f in m["files"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version INT, parent INT, operation STRING, n_files INT,"
+        " total_bytes LONG",
+    )
+
+
+def compact_snapshot(
+    spark: SparkSession, path: str, target_mb: int = 256
+) -> dict:
+    """Commit a compacted version: the latest version's rows repacked
+    into ``ceil(total_bytes / target_mb)`` files. Rows are untouched;
+    the previous version remains readable (time travel) — there is NO
+    deletion window at all. No-op when already at the target count.
+    The repack is a narrow ``coalesce`` of a manifest-planned scan.
+    """
+    import math
+
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    seen = _versions(fs, jvm, base)
+    if not seen:
+        raise ValueError(f"compact_snapshot: no versions at {path!r}")
+    m = _load_manifest(fs, jvm, base, seen[-1])
+    total = sum(f["bytes"] for f in m["files"])
+    want = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    if len(m["files"]) <= want:
+        return {"compacted": False, "n_files": len(m["files"])}
+    df = snapshot_read(spark, path).coalesce(want)
+    res = snapshot_write(df, path, mode="overwrite")
+    return {
+        "compacted": True,
+        "version": res["version"],
+        "n_files_before": len(m["files"]),
+        "n_files_after": res["n_files"],
+    }
+
+
+def vacuum_snapshot(
+    spark: SparkSession, path: str, keep_versions: int = 2
+) -> dict:
+    """Reclaim space: drop all but the newest ``keep_versions``
+    manifests, then delete every data file no retained manifest
+    references. The only operation that ever deletes data, and it
+    provably deletes only unreferenced files (the referenced set is
+    computed from the manifests that remain)."""
+    if keep_versions < 1:
+        raise ValueError("vacuum_snapshot: keep_versions must be >= 1")
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    Path = jvm.org.apache.hadoop.fs.Path
+    seen = _versions(fs, jvm, base)
+    keep = seen[-keep_versions:]
+    referenced: set[str] = set()
+    for v in keep:
+        m = _load_manifest(fs, jvm, base, v)
+        referenced.update(f["path"] for f in m["files"])
+    dropped_files = 0
+    data_root = Path(f"{base}/{_DATA_DIR}")
+    if fs.exists(data_root):
+        it = fs.listFiles(data_root, True)
+        doomed = []
+        while it.hasNext():
+            st = it.next()
+            full = st.getPath().toUri().getPath()
+            rel = full[len(
+                Path(base).toUri().getPath()
+            ):].lstrip("/")
+            # hidden entries (_SUCCESS, .crc) are writer metadata,
+            # not data — leave them to their commit directory
+            if any(c.startswith(("_", ".")) for c in rel.split("/")):
+                continue
+            if rel not in referenced:
+                doomed.append(st.getPath())
+        for p in doomed:
+            fs.delete(p, False)
+            dropped_files += 1
+        # sweep commit directories holding no data files anymore
+        # (only writer metadata like _SUCCESS/.crc remains)
+        for st in fs.listStatus(data_root):
+            if not st.isDirectory():
+                continue
+            remaining = [
+                s.getPath().getName() for s in fs.listStatus(st.getPath())
+            ]
+            if all(n.startswith(("_", ".")) for n in remaining):
+                fs.delete(st.getPath(), True)
+    dropped_manifests = 0
+    for v in seen:
+        if v not in keep:
+            fs.delete(
+                Path(f"{base}/{_MANIFEST_DIR}/v{v:010d}.json"), False
+            )
+            dropped_manifests += 1
+    return {
+        "dropped_files": dropped_files,
+        "dropped_manifests": dropped_manifests,
+        "kept_versions": keep,
+    }

@@ -1,0 +1,138 @@
+"""Manifest-committed versioned datasets (sources/manifest.py):
+atomic commits, time travel, append semantics, zero-deletion-window
+compaction, vacuum safety, commit races."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from prql_spark.sources.manifest import (
+    compact_snapshot,
+    snapshot_history,
+    snapshot_read,
+    snapshot_write,
+    vacuum_snapshot,
+)
+
+
+def _ids(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+def test_overwrite_append_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    r1 = snapshot_write(spark.range(0, 100), path)
+    assert r1 == {"version": 1, "n_files": r1["n_files"], "operation": "overwrite"}
+    r2 = snapshot_write(spark.range(100, 150), path, mode="append")
+    assert r2["version"] == 2
+    r3 = snapshot_write(spark.range(1000, 1010), path)  # overwrite
+    assert r3["version"] == 3
+
+    assert _ids(snapshot_read(spark, path, 1)) == list(range(100))
+    assert _ids(snapshot_read(spark, path, 2)) == list(range(150))
+    assert _ids(snapshot_read(spark, path)) == list(range(1000, 1010))
+
+    hist = {r.version: r for r in snapshot_history(spark, path).collect()}
+    assert hist[2].parent == 1 and hist[2].operation == "append"
+    assert hist[3].operation == "overwrite"
+
+
+def test_append_references_parent_files_without_rewrite(spark, tmp_path):
+    path = str(tmp_path / "ref")
+    snapshot_write(spark.range(100).coalesce(1), path)
+    m1 = json.load(open(os.path.join(
+        path, "_manifests", f"v{1:010d}.json")))
+    snapshot_write(spark.range(100, 200).coalesce(1), path, mode="append")
+    m2 = json.load(open(os.path.join(
+        path, "_manifests", f"v{2:010d}.json")))
+    # parent's physical files are referenced verbatim in the child
+    assert set(f["path"] for f in m1["files"]) <= set(
+        f["path"] for f in m2["files"]
+    )
+
+
+def test_compact_keeps_old_version_readable(spark, tmp_path):
+    path = str(tmp_path / "cmp")
+    snapshot_write(spark.range(5000).repartition(16), path)
+    res = compact_snapshot(spark, path, target_mb=256)
+    assert res["compacted"]
+    assert res["n_files_before"] == 16 and res["n_files_after"] == 1
+    # both versions readable, identical content — no deletion window
+    assert _ids(snapshot_read(spark, path, 1)) == list(range(5000))
+    assert _ids(snapshot_read(spark, path, 2)) == list(range(5000))
+    # idempotent
+    assert not compact_snapshot(spark, path, target_mb=256)["compacted"]
+
+
+def test_vacuum_deletes_only_unreferenced(spark, tmp_path):
+    path = str(tmp_path / "vac")
+    snapshot_write(spark.range(1000).repartition(8), path)
+    compact_snapshot(spark, path, target_mb=256)  # v2: 1 file
+    snapshot_write(spark.range(50), path, mode="append")  # v3
+    res = vacuum_snapshot(spark, path, keep_versions=2)
+    assert res["kept_versions"] == [2, 3]
+    assert res["dropped_files"] == 8  # v1's fragments only
+    # retained versions still read perfectly
+    assert _ids(snapshot_read(spark, path, 2)) == list(range(1000))
+    assert _ids(snapshot_read(spark, path, 3)) == sorted(
+        list(range(1000)) + list(range(50))
+    )
+    with pytest.raises(ValueError, match="not in"):
+        snapshot_read(spark, path, 1)
+
+
+def test_reader_ignores_staged_tmp_manifests(spark, tmp_path):
+    path = str(tmp_path / "tmpm")
+    snapshot_write(spark.range(10), path)
+    # a dying writer's staged (never-renamed) manifest must be invisible
+    stage = os.path.join(path, "_manifests", ".v0000000002.json.zz.tmp")
+    with open(stage, "w") as f:
+        f.write('{"version": 2, "files": []}')
+    assert _ids(snapshot_read(spark, path)) == list(range(10))
+    assert snapshot_history(spark, path).count() == 1
+
+
+def test_commit_race_retries_onto_next_version(spark, tmp_path):
+    path = str(tmp_path / "race")
+    snapshot_write(spark.range(10), path)
+    # simulate a concurrent winner claiming v2 between list and rename:
+    # pre-place v2 so the writer's first attempt loses the rename
+    with open(
+        os.path.join(path, "_manifests", f"v{2:010d}.json"), "w"
+    ) as f:
+        json.dump(
+            {"version": 2, "parent": 1, "operation": "overwrite",
+             "commit": "x", "files": []},
+            f,
+        )
+    res = snapshot_write(spark.range(20, 30), path, mode="overwrite")
+    assert res["version"] == 3
+    assert _ids(snapshot_read(spark, path, 3)) == list(range(20, 30))
+
+
+def test_failed_write_leaves_no_new_version(spark, tmp_path):
+    path = str(tmp_path / "fail")
+    snapshot_write(spark.range(10), path)
+    df = spark.range(5).withColumn(
+        "boom", F.expr("assert_true(id < 3)")
+    )
+    with pytest.raises(Exception):
+        snapshot_write(df, path, mode="append")
+    # the dead writer's staged files are unreferenced; the table is
+    # exactly as before
+    assert snapshot_history(spark, path).count() == 1
+    assert _ids(snapshot_read(spark, path)) == list(range(10))
+
+
+def test_read_plans_from_manifest_not_directory_listing(spark, tmp_path):
+    # a stray parquet file inside data/ that no manifest references
+    # must NOT appear in any read — the manifest is the file index
+    path = str(tmp_path / "stray")
+    snapshot_write(spark.range(10).coalesce(1), path)
+    stray_dir = os.path.join(path, "data", "orphaned")
+    spark.range(500, 510).coalesce(1).write.parquet(stray_dir)
+    assert _ids(snapshot_read(spark, path)) == list(range(10))
