@@ -69,7 +69,14 @@ TRANSFORMS = {
 def _extended_transforms() -> dict:
     """df→df operators exposed as PRQL pipeline steps (lazy import to
     keep parser-only use light)."""
-    from prql_spark.operators import dedup, multimodal, splits, text
+    from prql_spark.operators import (
+        dedup,
+        multimodal,
+        sketches,
+        splits,
+        text,
+    )
+    from prql_spark.operators import textnorm
     from prql_spark.streaming import sessionize
 
     return {
@@ -106,6 +113,10 @@ def _extended_transforms() -> dict:
         "image_ahash": multimodal.image_ahash,
         "audio_fingerprint": multimodal.audio_fingerprint,
         "video_frame_hashes": multimodal.video_frame_hashes,
+        # round-8: normalization, frequent items, training shuffle
+        "normalize_text": textnorm.normalize_text,
+        "top_items": sketches.top_items,
+        "shuffle_for_training": splits.shuffle_for_training,
     }
 
 

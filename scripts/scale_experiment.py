@@ -334,6 +334,107 @@ def bucketed_ab(n_copies: int):
     spark.stop()
 
 
+def shuffle_ab(n_copies: int):
+    """A/B the deterministic training shuffle (splits.
+    shuffle_for_training) against a plain same-layout write at 500k
+    docs: both arms write the full corpus to scratch parquet; the
+    delta is the md5 range exchange + within-partition sort the
+    shuffle adds. Writing is the honest drain — a count() would let
+    the sort (and under AQE possibly the exchange) be elided, and
+    writing IS what a training-data job does with the result."""
+    _assert_no_concurrent_jvms()
+    spark = build_spark("scale-exp-shuffle")
+    spark.sparkContext.setLogLevel("ERROR")
+    dpath = os.path.join(SCRATCH, f"docs_x{n_copies}")
+    if not os.path.exists(dpath):
+        synthesize(spark, n_copies)
+    out_a = os.path.join(SCRATCH, "shuffle_ab_plain")
+    out_b = os.path.join(SCRATCH, "shuffle_ab_shuffled")
+
+    def plain():
+        spark.read.parquet(dpath).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(out_a)
+
+    def shuffled():
+        splits.shuffle_for_training(
+            spark.read.parquet(dpath), seed=1, key_cols=["doc_id"],
+            partitions=32,
+        ).write.mode("overwrite").parquet(out_b)
+
+    def run(fn):
+        spark._jvm.System.gc()
+        t = time.time()
+        fn()
+        return round(time.time() - t, 2)
+
+    ps, ss = [], []
+    for _ in range(3):  # interleaved so host drift hits both arms
+        ps.append(run(plain))
+        ss.append(run(shuffled))
+    n = spark.read.parquet(out_b).count()
+    print(json.dumps(
+        {"mode": "shuffle_ab", "n_copies": n_copies, "n_docs": n,
+         "plain_write_sec": sorted(ps)[1],
+         "shuffled_write_sec": sorted(ss)[1],
+         "plain_reps": ps, "shuffled_reps": ss}
+    ))
+    spark.stop()
+
+
+def snapshot_scale(n_copies: int):
+    """Manifest-table overhead at 500k docs: snapshot_write vs plain
+    parquet write (commit protocol cost ≈ one JSON PUT), then
+    first-action read planning on a deliberately fragmented version
+    (512 files) — manifest-planned read vs directory-listing read of
+    the same files."""
+    _assert_no_concurrent_jvms()
+    from prql_spark.sources import manifest as mf
+
+    spark = build_spark("scale-exp-snapshot")
+    spark.sparkContext.setLogLevel("ERROR")
+    dpath = os.path.join(SCRATCH, f"docs_x{n_copies}")
+    if not os.path.exists(dpath):
+        synthesize(spark, n_copies)
+    docs = spark.read.parquet(dpath)
+    plain_out = os.path.join(SCRATCH, "snap_plain")
+    snap_out = os.path.join(SCRATCH, "snap_tbl")
+    shutil.rmtree(snap_out, ignore_errors=True)
+
+    spark._jvm.System.gc()
+    t = time.time()
+    docs.repartition(512).write.mode("overwrite").parquet(plain_out)
+    plain_write = round(time.time() - t, 2)
+    spark._jvm.System.gc()
+    t = time.time()
+    mf.snapshot_write(docs.repartition(512), snap_out)
+    snap_write = round(time.time() - t, 2)
+
+    def timed_count(mk):
+        spark._jvm.System.gc()
+        t = time.time()
+        n = mk().count()
+        return round(time.time() - t, 2), n
+
+    plain_read, n1 = timed_count(lambda: spark.read.parquet(plain_out))
+    snap_read, n2 = timed_count(lambda: mf.snapshot_read(spark, snap_out))
+    assert n1 == n2
+    t = time.time()
+    mf.compact_snapshot(spark, snap_out, target_mb=256)
+    compact_sec = round(time.time() - t, 2)
+    snap_read2, n3 = timed_count(lambda: mf.snapshot_read(spark, snap_out))
+    assert n3 == n2
+    print(json.dumps(
+        {"mode": "snapshot_scale", "n_copies": n_copies, "n_docs": n1,
+         "plain_write_sec": plain_write, "snapshot_write_sec": snap_write,
+         "plain_read_512f_sec": plain_read,
+         "snapshot_read_512f_sec": snap_read,
+         "compact_commit_sec": compact_sec,
+         "snapshot_read_compacted_sec": snap_read2}
+    ))
+    spark.stop()
+
+
 def main():
     raw = sys.argv[1:]
     skip = {
@@ -349,6 +450,12 @@ def main():
         return
     if "--bucketed-ab" in sys.argv:
         bucketed_ab(n_copies)
+        return
+    if "--shuffle-ab" in sys.argv:
+        shuffle_ab(n_copies)
+        return
+    if "--snapshot-scale" in sys.argv:
+        snapshot_scale(n_copies)
         return
     _assert_no_concurrent_jvms()
     spark = build_spark("scale-exp")

@@ -2631,3 +2631,30 @@ class TestShuffleForTraining:
         )
         assert plan.count("Exchange") == 1
         assert "rangepartitioning" in plan.lower()
+
+
+def test_round8_transforms_prql_callable(spark, catalog):
+    """normalize_text / top_items / shuffle_for_training compose as
+    PRQL pipeline steps (named-arg mechanism, compiler.py)."""
+    from prql_spark import compile_prql
+
+    out = compile_prql(
+        "from documents\ntake 20\nnormalize_text\n"
+        "select [doc_id, text, text_was_dirty]",
+        catalog,
+    )
+    assert out.columns == ["doc_id", "text", "text_was_dirty"]
+    assert out.count() == 20
+
+    out = compile_prql("from documents\ntop_items col:lang k:10", catalog)
+    assert out.columns == ["item", "cnt"]
+    rows = out.collect()
+    assert rows == sorted(rows, key=lambda r: (-r.cnt, r.item))
+
+    out = compile_prql(
+        "from documents\nshuffle_for_training seed:3 "
+        "key_cols:[doc_id] partitions:4",
+        catalog,
+    )
+    assert out.rdd.getNumPartitions() == 4
+    assert "__shuffle_key" not in out.columns
