@@ -25,6 +25,46 @@ def _maybe_lint(df, args) -> None:
         print(f"lint: {msg}", file=sys.stderr)
 
 
+def _table_mode(args) -> int:
+    """Dataset-maintenance dispatch: one Spark session, one JSON
+    line per action (script-friendly, like bench.py)."""
+    import json
+
+    from prql_spark import build_spark
+
+    spark = build_spark("prql_spark-maint")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.layout:
+            from prql_spark.sources.compact import dataset_layout
+
+            print(json.dumps(dataset_layout(spark, args.layout)))
+        if args.compact:
+            from prql_spark.sources.compact import compact_parquet
+
+            print(json.dumps(compact_parquet(
+                spark, args.compact, target_mb=args.target_mb,
+                partition_col=args.partition_col,
+            )))
+        if args.history:
+            from prql_spark.sources.manifest import snapshot_history
+
+            for r in snapshot_history(spark, args.history).collect():
+                print(json.dumps(r.asDict()))
+        if args.vacuum:
+            from prql_spark.sources.manifest import vacuum_snapshot
+
+            print(json.dumps(vacuum_snapshot(
+                spark, args.vacuum, keep_versions=args.keep_versions
+            )))
+    except (ValueError, IOError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="prql_spark",
@@ -102,7 +142,41 @@ def main(argv: list[str] | None = None) -> int:
         help="run physical-plan lints (e.g. broadcast-miss) and print "
         "findings to stderr (combines with --explain/--run/--schema)",
     )
+    # dataset-maintenance modes (no query): file-layout stats,
+    # small-file compaction, snapshot history / vacuum
+    tbl = ap.add_argument_group("dataset maintenance (no query)")
+    tbl.add_argument(
+        "--layout", metavar="PATH",
+        help="print file-layout stats for the parquet dataset",
+    )
+    tbl.add_argument(
+        "--compact", metavar="PATH",
+        help="compact the parquet dataset in place (rename-swapped)",
+    )
+    tbl.add_argument(
+        "--history", metavar="PATH",
+        help="print version history of a manifest-committed dataset",
+    )
+    tbl.add_argument(
+        "--vacuum", metavar="PATH",
+        help="drop unreferenced files of a manifest-committed dataset",
+    )
+    tbl.add_argument(
+        "--target-mb", type=int, default=256,
+        help="target file size for --compact (default 256)",
+    )
+    tbl.add_argument(
+        "--partition-col", default=None,
+        help="hive partition column for --compact",
+    )
+    tbl.add_argument(
+        "--keep-versions", type=int, default=2,
+        help="versions to retain with --vacuum (default 2)",
+    )
     args = ap.parse_args(argv)
+
+    if args.layout or args.compact or args.history or args.vacuum:
+        return _table_mode(args)
 
     text = args.query if args.query else sys.stdin.read()
     if not text.strip():

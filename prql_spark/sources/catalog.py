@@ -56,19 +56,31 @@ class Catalog:
         if broadcast:
             self.broadcast_names.add(name)
 
-    def load(self, name: str) -> DataFrame:
+    def load(self, name: str, version: int | None = None) -> DataFrame:
         if name in self._registered:
             return self._registered[name]
         if self.data_dir is None:
             raise KeyError(f"table {name!r} not registered and no data_dir set")
         path = os.path.join(self.data_dir, f"{name}.{self.fmt}")
         if not os.path.exists(path):
-            # allow directory-style datasets (partitioned writes)
+            # allow directory-style datasets (partitioned writes) and
+            # manifest-committed versioned tables (PRQL `from tbl`
+            # reads the latest committed version; Python callers pass
+            # version= for time travel)
             alt = os.path.join(self.data_dir, name)
+            if os.path.isdir(os.path.join(alt, "_manifests")):
+                from prql_spark.sources.manifest import snapshot_read
+
+                return snapshot_read(self.spark, alt, version)
             if os.path.exists(alt):
                 path = alt
             else:
                 raise KeyError(f"table {name!r}: no file at {path}")
+        if version is not None:
+            raise ValueError(
+                f"table {name!r}: version= only applies to "
+                "manifest-committed tables"
+            )
         df = self.spark.read.format(self.fmt).options(**self.options).load(path)
         if self.fmt == "parquet":
             df = self._fix_nanos(df, path)

@@ -116,13 +116,18 @@ def snapshot_write(
     path: str,
     mode: str = "overwrite",
     max_commit_attempts: int = 20,
+    extra: dict | None = None,
 ) -> dict:
     """Commit ``df`` as a new version of the dataset at ``path``.
 
     ``mode="overwrite"`` makes the new version's content exactly
     ``df``; ``mode="append"`` adds ``df``'s files to the parent
     version's list (the parent's files are REFERENCED, never
-    rewritten — an append of 1 GB to a 100 TB table moves 1 GB).
+    rewritten — an append of 1 GB to a 100 TB table moves 1 GB) and
+    raises on a schema mismatch vs the parent (a mixed-schema
+    version would fail or silently null-fill at read). ``extra``
+    merges caller metadata into the manifest (e.g. the streaming
+    sink's ``stream_id``/``epoch`` idempotence keys).
     Returns ``{"version", "n_files", "operation"}``.
     """
     if mode not in ("overwrite", "append"):
@@ -130,6 +135,10 @@ def snapshot_write(
     spark = df.sparkSession
     fs, jvm = _fs(spark, path)
     base = path.rstrip("/")
+    # (name, type) pairs — nullability differences are benign
+    schema_sig = sorted(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )
     commit_id = uuid.uuid4().hex[:16]
     data_dir = f"{base}/{_DATA_DIR}/{commit_id}"
     df.write.mode("errorifexists").parquet(data_dir)
@@ -157,13 +166,23 @@ def snapshot_write(
         version = (parent or 0) + 1
         files = list(staged)
         if mode == "append" and parent is not None:
-            files = _load_manifest(fs, jvm, base, parent)["files"] + files
+            pm = _load_manifest(fs, jvm, base, parent)
+            psig = [tuple(p) for p in pm.get("schema", [])]
+            if psig and psig != schema_sig:
+                raise ValueError(
+                    "snapshot_write: append schema mismatch vs version "
+                    f"{parent}: {psig} != {schema_sig} — a mixed-schema "
+                    "version would fail (or silently null-fill) at read"
+                )
+            files = pm["files"] + files
         manifest = {
             "version": version,
             "parent": parent,
             "operation": mode,
             "commit": commit_id,
+            "schema": schema_sig,
             "files": files,
+            **(extra or {}),
         }
         if _write_text_atomic(
             fs, jvm, f"{base}/{_MANIFEST_DIR}",
@@ -323,3 +342,21 @@ def vacuum_snapshot(
         "dropped_manifests": dropped_manifests,
         "kept_versions": keep,
     }
+
+
+def committed_epochs(
+    spark: SparkSession, path: str, stream_id: str
+) -> set:
+    """Epoch ids a streaming sink has already committed to the table
+    at ``path`` under ``stream_id`` — the idempotence ledger
+    :func:`prql_spark.streaming.pipeline.stream_append_snapshot`
+    consults to turn foreachBatch's at-least-once into
+    exactly-once-effect. One small-directory listing."""
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    out = set()
+    for v in _versions(fs, jvm, base):
+        m = _load_manifest(fs, jvm, base, v)
+        if m.get("stream_id") == stream_id and "epoch" in m:
+            out.add(m["epoch"])
+    return out

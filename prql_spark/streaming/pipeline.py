@@ -353,3 +353,80 @@ def stream_warc_to_corpus(
         docs, lake_path, key_cols=["doc_id"],
         checkpoint=checkpoint, timeout_s=timeout_s,
     )
+
+
+def stream_append_snapshot(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str | None = None,
+    stream_id: str | None = None,
+    timeout_s: int = 300,
+):
+    """Exactly-once streaming appends into a manifest-committed
+    table (``sources/manifest.py``): ``foreachBatch`` stages each
+    micro-batch's files and publishes ONE manifest carrying the
+    batch's ``(stream_id, epoch)``.
+
+    foreachBatch alone is at-least-once; the manifest makes the
+    effect exactly-once from BOTH failure sides:
+
+    * batch died BEFORE the manifest rename → its staged files are
+      unreferenced (readers never see them; vacuum reclaims), and
+      the replay commits cleanly;
+    * batch committed but died BEFORE the checkpoint advanced → the
+      replayed epoch is found in the manifest ledger
+      (:func:`committed_epochs`) and skipped — no duplicate rows,
+      ever. The upsert sink gets idempotence from key-overwrite
+      semantics; this one needs none of that, so it works for
+      APPEND-shaped streams (immutable event logs) where upsert
+      semantics would be wrong.
+
+    The ledger is keyed by ``(stream_id, epoch)``, which is exact
+    for same-checkpoint replays (the failure mode that actually
+    occurs). A WIPED checkpoint restarts epoch numbering, so the
+    ledger treats the rerun as already-committed — correct when the
+    source set is unchanged, but a genuinely NEW backfill must use
+    a new ``stream_id`` (epoch ids alone cannot distinguish "replay
+    of batch 0" from "different batch 0").
+
+    Readers time-travel mid-stream: every micro-batch is a queryable
+    version. Runs with trigger(availableNow) and blocks until
+    drained (test / bounded-backfill shape).
+    """
+    from prql_spark.sources.manifest import (
+        committed_epochs,
+        snapshot_write,
+    )
+
+    sid = stream_id or checkpoint or "default"
+
+    def _append(batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
+        if os.path.isdir(os.path.join(path, "_manifests")):
+            if epoch_id in committed_epochs(
+                batch_df.sparkSession, path, sid
+            ):
+                return  # replayed batch: already committed
+        if batch_df.isEmpty():
+            return
+        snapshot_write(
+            batch_df, path, mode="append",
+            extra={"stream_id": sid, "epoch": epoch_id},
+        )
+
+    w = (
+        stream_df.writeStream.foreachBatch(_append)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"stream_append_snapshot: backfill not drained within "
+            f"{timeout_s}s at {path!r}"
+        )
+    return q

@@ -126,3 +126,36 @@ def test_cli_fmt_and_from_json_roundtrip():
     r = _cli("--from-json", "--fmt", stdin=ast)
     assert r.returncode == 0, r.stderr
     assert r.stdout == "from orders\ntake 5\n"
+
+
+def test_cli_maintenance_modes(tmp_path, spark):
+    import json
+
+    from prql_spark.sources.manifest import snapshot_write
+
+    frag = str(tmp_path / "frag")
+    spark.range(2000).repartition(8).write.parquet(frag)
+    snap = str(tmp_path / "snap")
+    snapshot_write(spark.range(100), snap)
+    snapshot_write(spark.range(100, 120), snap, mode="append")
+
+    r = _cli("--layout", frag)
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout)["n_files"] == 8
+
+    r = _cli("--compact", frag, "--target-mb", "256")
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout)["compacted"] is True
+
+    r = _cli("--history", snap)
+    assert r.returncode == 0, r.stderr
+    lines = [json.loads(ln) for ln in r.stdout.splitlines() if ln.strip()]
+    assert [d["version"] for d in lines] == [1, 2]
+    assert lines[1]["operation"] == "append"
+
+    r = _cli("--vacuum", snap, "--keep-versions", "1")
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout)["kept_versions"] == [2]
+
+    r = _cli("--layout", str(tmp_path / "missing"))
+    assert r.returncode == 1 or json.loads(r.stdout)["n_files"] == 0

@@ -136,3 +136,39 @@ def test_read_plans_from_manifest_not_directory_listing(spark, tmp_path):
     stray_dir = os.path.join(path, "data", "orphaned")
     spark.range(500, 510).coalesce(1).write.parquet(stray_dir)
     assert _ids(snapshot_read(spark, path)) == list(range(10))
+
+
+def test_append_schema_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "schem")
+    snapshot_write(spark.range(10).withColumn("v", F.lit("x")), path)
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snapshot_write(
+            spark.range(10).withColumn("v", F.lit(1)), path, mode="append"
+        )
+    # same columns in different order is fine (signature is sorted)
+    snapshot_write(
+        spark.range(5).withColumn("v", F.lit("y")).select("v", "id"),
+        path, mode="append",
+    )
+
+
+def test_catalog_loads_manifest_table(spark, tmp_path):
+    from prql_spark import compile_prql
+    from prql_spark.sources.catalog import Catalog
+
+    snapshot_write(
+        spark.range(30).withColumnRenamed("id", "k"),
+        str(tmp_path / "versions"),
+    )
+    snapshot_write(
+        spark.range(30, 40).withColumnRenamed("id", "k"),
+        str(tmp_path / "versions"), mode="append",
+    )
+    cat = Catalog(spark, str(tmp_path))
+    assert cat.load("versions").count() == 40       # latest
+    assert cat.load("versions", version=1).count() == 30  # time travel
+    # PRQL `from` resolves the manifest table like any other
+    out = compile_prql("from versions\naggregate [n = count]", cat)
+    assert out.collect()[0].n == 40
+    with pytest.raises(ValueError, match="version"):
+        cat.load("versions", version=99)

@@ -507,3 +507,64 @@ def test_stream_warc_to_corpus_converges_to_batch_twin(spark, tmp_path):
     stream_warc_to_corpus(spark, landing, lake, checkpoint=ckpt)
     assert lake_rows() == twin_rows()
     assert ("http://t.test/c", "gamma text") in lake_rows()
+
+
+def test_stream_append_snapshot_exactly_once(spark, tmp_path):
+    """Exactly-once appends into a manifest table: two waves of
+    files land, each micro-batch commits one version; a full replay
+    (checkpoint wiped, same stream_id) re-offers every epoch and the
+    manifest ledger skips them all — zero duplicate rows, zero new
+    versions."""
+    import os
+
+    from prql_spark.sources.manifest import (
+        snapshot_history,
+        snapshot_read,
+    )
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    def land(lo, hi, name):
+        spark.range(lo, hi).coalesce(1).write.parquet(
+            os.path.join(landing, name)
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(landing, "*"))
+        )
+
+    land(0, 100, "w1a")
+    land(100, 200, "w1b")
+    sp.stream_append_snapshot(
+        stream(), table, checkpoint=ckpt, stream_id="s1"
+    )
+    got = sorted(r.id for r in snapshot_read(spark, table).collect())
+    assert got == list(range(200))
+    n_versions_1 = snapshot_history(spark, table).count()
+    assert n_versions_1 >= 1
+
+    # wave 2: only the new file lands (checkpoint tracks progress)
+    land(200, 250, "w2")
+    sp.stream_append_snapshot(
+        stream(), table, checkpoint=ckpt, stream_id="s1"
+    )
+    got = sorted(r.id for r in snapshot_read(spark, table).collect())
+    assert got == list(range(250))
+    n_versions_2 = snapshot_history(spark, table).count()
+
+    # full replay: wipe the checkpoint — every epoch is re-offered
+    # with the same ids; the manifest ledger must skip them ALL
+    shutil.rmtree(ckpt)
+    sp.stream_append_snapshot(
+        stream(), table, checkpoint=str(tmp_path / "ckpt2"),
+        stream_id="s1",
+    )
+    got = sorted(r.id for r in snapshot_read(spark, table).collect())
+    assert got == list(range(250))  # no duplicates
+    assert snapshot_history(spark, table).count() == n_versions_2
