@@ -3368,6 +3368,60 @@ ORDER BY version
 """
 
 
+def q_snapshot_changes(spark, sf_dir):
+    """Incremental reads over a manifest table
+    (manifest.snapshot_changes): three append-only commits of orders
+    thirds; 'changes since v1' must be exactly the later two thirds
+    and 'changes since v2' the last third — DuckDB recomputes both
+    slices relationally, value-checking that added-files == added-
+    rows across the append chain."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from prql_spark.sources.manifest import (
+        snapshot_changes,
+        snapshot_write,
+    )
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "prql_spark_snapc_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    orders = Catalog(spark, sf_dir).load("orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    snapshot_write(orders.where("o_orderkey % 3 = 0"), d)
+    snapshot_write(orders.where("o_orderkey % 3 = 1"), d, mode="append")
+    snapshot_write(orders.where("o_orderkey % 3 = 2"), d, mode="append")
+    parts = [
+        snapshot_changes(spark, d, v)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("round(sum(o_totalprice), 2)").alias("total"),
+            F.expr("max(o_orderkey)").alias("max_key"),
+        )
+        .withColumn("since_version", F.lit(v).cast("int"))
+        .select("since_version", "n", "total", "max_key")
+        for v in (1, 2)
+    ]
+    return parts[0].unionByName(parts[1]).orderBy("since_version")
+
+
+SQL_SNAPSHOT_CHANGES = """
+WITH c1 AS (SELECT * FROM orders WHERE o_orderkey % 3 IN (1, 2)),
+     c2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 2)
+SELECT 1 AS since_version, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       max(o_orderkey) AS max_key FROM c1
+UNION ALL
+SELECT 2, count(*), round(sum(o_totalprice), 2), max(o_orderkey) FROM c2
+ORDER BY since_version
+"""
+
+
 def q_top_items(spark, sf_dir):
     """Frequent-items sketch (sketches.top_items): approx_top_k over
     a 15-value composite of orders — k exceeds the distinct count,
@@ -3501,6 +3555,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "text_url_blocklist": q_url_blocklist,
         "sources_snapshot_timetravel": q_snapshot_timetravel,
+        "sources_snapshot_changes": q_snapshot_changes,
         "sketch_top_items": q_top_items,
         "splits_shuffle_deterministic": q_shuffle_deterministic,
     }
@@ -3605,6 +3660,7 @@ def entry_oracles() -> dict[str, str]:
         # frequent-items in the exact (no-eviction) regime; keyed-
         # hash shuffle order recomputed cross-engine
         "sources_snapshot_timetravel": SQL_SNAPSHOT_TIMETRAVEL,
+        "sources_snapshot_changes": SQL_SNAPSHOT_CHANGES,
         "sketch_top_items": SQL_TOP_ITEMS,
         "splits_shuffle_deterministic": SQL_SHUFFLE_DETERMINISTIC,
     }

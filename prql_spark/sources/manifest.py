@@ -204,8 +204,9 @@ def snapshot_read(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read the dataset at ``path`` as of ``version`` (default: the
-    latest). Plans from the manifest's file list — the data tree is
-    never listed."""
+    latest). Plans from the manifest's file list — one listStatus
+    per referenced commit directory (to validate dir-grouped
+    planning), never a recursive data-tree walk."""
     fs, jvm = _fs(spark, path)
     base = path.rstrip("/")
     seen = _versions(fs, jvm, base)
@@ -218,12 +219,35 @@ def snapshot_read(
             f"snapshot_read: version {version} not in {seen} at {path!r}"
         )
     manifest = _load_manifest(fs, jvm, base, version)
-    files = [f"{base}/{f['path']}" for f in manifest["files"]]
-    if not files:
+    if not manifest["files"]:
         raise ValueError(
             f"snapshot_read: version {version} is empty at {path!r}"
         )
-    return spark.read.parquet(*files)
+    # Plan per COMMIT DIRECTORY, not per file: passing N explicit
+    # paths costs Spark one driver-side stat each (~2 ms/file
+    # locally, a remote call each on object stores). Commit dirs are
+    # immutable, so a dir whose visible data files EQUAL the
+    # referenced set can be passed as one path — verified with one
+    # listStatus per dir, so a hand-planted stray file inside a
+    # commit dir still falls back to exact file paths and is never
+    # read. Planning is O(#commits), not O(#files).
+    Path = jvm.org.apache.hadoop.fs.Path
+    groups: dict[str, set] = {}
+    for f in manifest["files"]:
+        d, name = f["path"].rsplit("/", 1)
+        groups.setdefault(d, set()).add(name)
+    paths = []
+    for d, names in groups.items():
+        visible = {
+            s.getPath().getName()
+            for s in fs.listStatus(Path(f"{base}/{d}"))
+            if not s.getPath().getName().startswith(("_", "."))
+        }
+        if visible == names:
+            paths.append(f"{base}/{d}")
+        else:
+            paths.extend(f"{base}/{d}/{n}" for n in sorted(names))
+    return spark.read.parquet(*paths)
 
 
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
@@ -272,7 +296,12 @@ def compact_snapshot(
     if len(m["files"]) <= want:
         return {"compacted": False, "n_files": len(m["files"])}
     df = snapshot_read(spark, path).coalesce(want)
-    res = snapshot_write(df, path, mode="overwrite")
+    # operation tag "compact" (extra overrides the mode label):
+    # history reads honestly, and snapshot_changes rejects crossing
+    # it just like any other rewrite
+    res = snapshot_write(
+        df, path, mode="overwrite", extra={"operation": "compact"}
+    )
     return {
         "compacted": True,
         "version": res["version"],
@@ -360,3 +389,50 @@ def committed_epochs(
         if m.get("stream_id") == stream_id and "epoch" in m:
             out.add(m["epoch"])
     return out
+
+
+def snapshot_changes(
+    spark: SparkSession, path: str, since_version: int
+) -> DataFrame:
+    """Incremental read: the rows ADDED after ``since_version`` —
+    exactly the files referenced by the latest manifest but not by
+    ``since_version``'s. The training-pipeline primitive for
+    incremental processing: score/dedup/decontaminate ONLY the new
+    slice (e.g. feed ``dedup.dedup_against`` with the reference
+    corpus), never rescanning the 100 TB already processed.
+
+    Only valid across append-only history: if any version after
+    ``since_version`` was an overwrite (or a compaction, which
+    rewrites files), "added files" no longer means "added rows" and
+    this raises instead of silently returning rewritten data.
+    """
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    seen = _versions(fs, jvm, base)
+    if since_version not in seen:
+        raise ValueError(
+            f"snapshot_changes: version {since_version} not in {seen} "
+            f"at {path!r}"
+        )
+    latest = seen[-1]
+    for v in seen:
+        if v > since_version:
+            op = _load_manifest(fs, jvm, base, v).get("operation")
+            if op != "append":
+                raise ValueError(
+                    f"snapshot_changes: version {v} is {op!r}, not "
+                    "append — added files no longer mean added rows; "
+                    "read the full version instead"
+                )
+    old = {
+        f["path"]
+        for f in _load_manifest(fs, jvm, base, since_version)["files"]
+    }
+    new_files = [
+        f"{base}/{f['path']}"
+        for f in _load_manifest(fs, jvm, base, latest)["files"]
+        if f["path"] not in old
+    ]
+    if not new_files:
+        return snapshot_read(spark, path, latest).limit(0)
+    return spark.read.parquet(*new_files)

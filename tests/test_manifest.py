@@ -172,3 +172,41 @@ def test_catalog_loads_manifest_table(spark, tmp_path):
     assert out.collect()[0].n == 40
     with pytest.raises(ValueError, match="version"):
         cat.load("versions", version=99)
+
+
+def test_snapshot_changes_incremental_read(spark, tmp_path):
+    from prql_spark.sources.manifest import snapshot_changes
+
+    path = str(tmp_path / "incr")
+    snapshot_write(spark.range(100), path)
+    snapshot_write(spark.range(100, 180), path, mode="append")
+    snapshot_write(spark.range(180, 200), path, mode="append")
+    assert _ids(snapshot_changes(spark, path, 1)) == list(range(100, 200))
+    assert _ids(snapshot_changes(spark, path, 2)) == list(range(180, 200))
+    assert snapshot_changes(spark, path, 3).count() == 0  # up to date
+    with pytest.raises(ValueError, match="not in"):
+        snapshot_changes(spark, path, 9)
+    # an overwrite breaks added-files == added-rows: must raise
+    snapshot_write(spark.range(5), path)  # v4 overwrite
+    with pytest.raises(ValueError, match="not append"):
+        snapshot_changes(spark, path, 2)
+
+
+def test_stray_file_in_commit_dir_not_read(spark, tmp_path):
+    # dir-grouped planning must fall back to exact file paths when a
+    # commit dir holds a file the manifest does not reference
+    path = str(tmp_path / "straym")
+    snapshot_write(spark.range(10).coalesce(1), path)
+    m = json.load(open(os.path.join(path, "_manifests", f"v{1:010d}.json")))
+    commit_dir = os.path.dirname(
+        os.path.join(path, m["files"][0]["path"])
+    )
+    spark.range(700, 705).coalesce(1).write.parquet(
+        str(tmp_path / "side")
+    )
+    import glob as _g
+    import shutil as _sh
+
+    (side_file,) = _g.glob(str(tmp_path / "side" / "*.parquet"))
+    _sh.copy(side_file, os.path.join(commit_dir, "stray.parquet"))
+    assert _ids(snapshot_read(spark, path)) == list(range(10))
