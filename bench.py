@@ -104,6 +104,12 @@ HEADLINE = {
     # broke
     "text_normalize": "hash",
     "text_url_blocklist": "count",
+    # round-8: the manifest commit protocol (write-shaped — commit +
+    # append + compact + 3 reads), the keyed-hash training shuffle
+    # (range exchange + sort), and the frequent-items sketch
+    "sources_snapshot_timetravel": "collect",
+    "splits_shuffle_deterministic": "collect",
+    "sketch_top_items": "collect",
 }
 
 
