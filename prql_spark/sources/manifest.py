@@ -418,7 +418,8 @@ def snapshot_changes(
     for v in seen:
         if v > since_version:
             op = _load_manifest(fs, jvm, base, v).get("operation")
-            if op != "append":
+            # "stats" commits change no files — safe to cross
+            if op not in ("append", "stats"):
                 raise ValueError(
                     f"snapshot_changes: version {v} is {op!r}, not "
                     "append — added files no longer mean added rows; "
@@ -436,3 +437,160 @@ def snapshot_changes(
     if not new_files:
         return snapshot_read(spark, path, latest).limit(0)
     return spark.read.parquet(*new_files)
+
+
+def _file_stats(local_path: str, cols: tuple) -> dict | None:
+    """Per-column [min, max] from one parquet footer (driver-side,
+    metadata only — no data pages read). JSON-serializable values
+    (timestamps/dates → ISO strings). None when the footer lacks
+    statistics."""
+    import pyarrow.parquet as pq
+
+    try:
+        meta = pq.read_metadata(local_path)
+    except Exception:
+        return None
+    out: dict = {}
+    want = set(cols)
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if name not in want:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                return None  # stats unusable for pruning this file
+            lo, hi = st.min, st.max
+            if name in out:
+                lo = min(lo, out[name][0])
+                hi = max(hi, out[name][1])
+            out[name] = [lo, hi]
+    if set(out) != want:
+        return None
+
+    def enc(v):
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        return v
+
+    return {k: [enc(lo), enc(hi)] for k, (lo, hi) in out.items()}
+
+
+def attach_stats(
+    spark: SparkSession, path: str, cols: tuple, version: int | None = None
+) -> dict:
+    """Collect per-file [min, max] footer stats for ``cols`` on the
+    given version's files and commit them as a new manifest version
+    (operation ``stats`` — the FILE LIST is unchanged, so
+    `snapshot_changes` crosses it safely and time travel still
+    reads identical content).
+
+    Stats power :func:`snapshot_scan`'s driver-side file skipping.
+    Collection is footer-only (no data pages); local-filesystem
+    paths are read directly via pyarrow — on remote stores collect
+    at write time from a local staging copy, or skip (scan falls
+    back to reading every file). Combine with the z-order writer:
+    clustered layout → tight per-file ranges → most files skip.
+    """
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    seen = _versions(fs, jvm, base)
+    if not seen:
+        raise ValueError(f"attach_stats: no versions at {path!r}")
+    v = seen[-1] if version is None else version
+    m = _load_manifest(fs, jvm, base, v)
+    scheme = jvm.org.apache.hadoop.fs.Path(base).toUri().getScheme()
+    if scheme not in (None, "file"):
+        raise ValueError(
+            f"attach_stats: footer reads need a local path, got "
+            f"scheme {scheme!r} — collect stats from a staging copy"
+        )
+    local_base = jvm.org.apache.hadoop.fs.Path(base).toUri().getPath()
+    n_ok = 0
+    files = []
+    for f in m["files"]:
+        st = _file_stats(f"{local_base}/{f['path']}", cols)
+        nf = dict(f)
+        if st is not None:
+            nf["stats"] = {**nf.get("stats", {}), **st}
+            n_ok += 1
+        files.append(nf)
+    manifest = {
+        **m,
+        "files": files,
+        "operation": "stats",
+        "parent": v,
+    }
+    for _ in range(20):
+        seen = _versions(fs, jvm, base)
+        nv = seen[-1] + 1
+        manifest["version"] = nv
+        if _write_text_atomic(
+            fs, jvm, f"{base}/{_MANIFEST_DIR}",
+            f"v{nv:010d}.json", json.dumps(manifest),
+        ):
+            return {"version": nv, "files_with_stats": n_ok,
+                    "n_files": len(files)}
+    raise RuntimeError(f"attach_stats: lost commit races at {path!r}")
+
+
+def snapshot_scan(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Read ``col BETWEEN lo AND hi`` (either bound optional) off a
+    manifest table, SKIPPING every file whose manifest [min, max]
+    range cannot overlap — the driver never opens skipped files'
+    footers, let alone their data. Files without stats are always
+    read (safe), and the real predicate is still applied, so the
+    result is exact regardless of stats coverage.
+
+    This is the scan-side 100 TB lever for snapshot tables: after a
+    z-ordered (or sorted) write + :func:`attach_stats`, a selective
+    range predicate plans in O(#files-matching) instead of scanning
+    the table — the same file-skipping contract Iceberg/Delta get
+    from their manifest stats.
+    """
+    from pyspark.sql import functions as F
+
+    if lo is None and hi is None:
+        raise ValueError("snapshot_scan: need lo and/or hi")
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    seen = _versions(fs, jvm, base)
+    if not seen:
+        raise ValueError(f"snapshot_scan: no versions at {path!r}")
+    v = seen[-1] if version is None else version
+    m = _load_manifest(fs, jvm, base, v)
+
+    def enc(x):
+        return x.isoformat() if hasattr(x, "isoformat") else x
+
+    lo_e, hi_e = enc(lo), enc(hi)
+    keep = []
+    for f in m["files"]:
+        rng = (f.get("stats") or {}).get(col)
+        if rng is not None:
+            fmin, fmax = rng
+            if lo_e is not None and fmax < lo_e:
+                continue
+            if hi_e is not None and fmin > hi_e:
+                continue
+        keep.append(f"{base}/{f['path']}")
+    if not keep:
+        return snapshot_read(spark, path, v).limit(0).where(F.lit(False))
+    df = spark.read.parquet(*keep)
+    c = F.col(col)
+    if lo is not None:
+        df = df.where(c >= F.lit(lo))
+    if hi is not None:
+        df = df.where(c <= F.lit(hi))
+    return df

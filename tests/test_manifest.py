@@ -210,3 +210,52 @@ def test_stray_file_in_commit_dir_not_read(spark, tmp_path):
     (side_file,) = _g.glob(str(tmp_path / "side" / "*.parquet"))
     _sh.copy(side_file, os.path.join(commit_dir, "stray.parquet"))
     assert _ids(snapshot_read(spark, path)) == list(range(10))
+
+
+def test_attach_stats_and_file_skipping_scan(spark, tmp_path):
+    from prql_spark.sources.manifest import (
+        attach_stats,
+        snapshot_changes,
+        snapshot_scan,
+    )
+
+    path = str(tmp_path / "stats")
+    # sorted write -> tight disjoint per-file ranges (16 files)
+    df = spark.range(16000).withColumn("v", F.col("id") * 2)
+    df.repartitionByRange(16, "id").sortWithinPartitions("id").write \
+        .parquet(os.path.join(path, "data", "c0"))
+    # route through snapshot_write for a real commit instead
+    import shutil
+    shutil.rmtree(path)
+    snapshot_write(
+        df.repartitionByRange(16, "id").sortWithinPartitions("id"), path
+    )
+    res = attach_stats(spark, path, ("id",))
+    assert res["files_with_stats"] == res["n_files"] == 16
+
+    out = snapshot_scan(spark, path, "id", lo=4000, hi=4999)
+    got = sorted(r.id for r in out.collect())
+    assert got == list(range(4000, 5000))
+    # the planner touched ~1-2 files, not 16
+    n_input_files = out.select(
+        F.input_file_name().alias("f")
+    ).distinct().count()
+    assert n_input_files <= 3
+
+    # exactness without stats: files lacking stats are always read
+    snapshot_write(
+        spark.createDataFrame([(4500, 9000)], "id long, v long"),
+        path, mode="append",
+    )
+    out2 = snapshot_scan(spark, path, "id", lo=4000, hi=4999)
+    assert out2.count() == 1001  # planted extra row included
+
+    # a stats commit is safe to cross for incremental reads
+    assert sorted(
+        r.id for r in snapshot_changes(spark, path, 1).collect()
+    ) == [4500]
+
+    # bounds with no overlapping file -> empty, correct schema
+    empty = snapshot_scan(spark, path, "id", lo=10**9)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"id", "v"}
