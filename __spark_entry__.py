@@ -1075,6 +1075,7 @@ _CORE = [
 _NEW_THIS_ROUND = [
     "sources_snapshot_timetravel",
     "sources_snapshot_changes",
+    "sources_snapshot_scan",
     "sketch_top_items",
     "splits_shuffle_deterministic",
 ]
@@ -1127,7 +1128,7 @@ _STALE_PREV = [
     "dedup_against_near",
     "text_token_count",
     "sources_warc_read",
-    # --- 8 of the 40 r6-evidence entries (the rest spill) ---
+    # --- 7 of the 40 r6-evidence entries (the rest spill) ---
     "dedup_lines",
     "text_url_features",
     "q20_excess_suppliers",
@@ -1135,14 +1136,14 @@ _STALE_PREV = [
     "dedup_remove_windows",
     "dedup_remove_sentences",
     "sources_bucketed_join",
-    "splits_leakage_audit",
 ]
 
-# r6-evidence entries the round-8 window cannot fit (32 — the r6
-# block is 40 wide and the 4 new entries + r5 spill + core take 42
+# r6-evidence entries the round-8 window cannot fit (33 — the r6
+# block is 40 wide and the 5 new entries + r5 spill + core take 43
 # of the 50 slots). All mimic-green every session; oldest driver evidence in
 # the repo from here on: these MUST open round 9's window.
 _STALE_SPILL = [
+    "splits_leakage_audit",
     "multimodal_image_ahash",
     "multimodal_video_framehash",
     "multimodal_audio_fingerprint",

@@ -3422,6 +3422,58 @@ ORDER BY since_version
 """
 
 
+def q_snapshot_scan(spark, sf_dir):
+    """File-skipping range scan over a manifest table
+    (manifest.attach_stats + snapshot_scan): orders committed
+    range-clustered on o_orderkey (disjoint per-file ranges),
+    footer stats attached, then a narrow key range scanned — files
+    outside the range are skipped at PLANNING time (pytest pins the
+    file count via input_file_name; here DuckDB value-checks that
+    the skipping scan returns exactly the WHERE-filter rows)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from prql_spark.sources.manifest import (
+        attach_stats,
+        snapshot_scan,
+        snapshot_write,
+    )
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "prql_spark_snaps_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    orders = Catalog(spark, sf_dir).load("orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    snapshot_write(
+        orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        d,
+    )
+    attach_stats(spark, d, ("o_orderkey",))
+    return (
+        snapshot_scan(spark, d, "o_orderkey", lo=1000, hi=5000)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("round(sum(o_totalprice), 2)").alias("total"),
+            F.expr("min(o_orderkey)").alias("min_key"),
+            F.expr("max(o_orderkey)").alias("max_key"),
+        )
+    )
+
+
+SQL_SNAPSHOT_SCAN = """
+SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+"""
+
+
 def q_top_items(spark, sf_dir):
     """Frequent-items sketch (sketches.top_items): approx_top_k over
     a 15-value composite of orders — k exceeds the distinct count,
@@ -3556,6 +3608,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_url_blocklist": q_url_blocklist,
         "sources_snapshot_timetravel": q_snapshot_timetravel,
         "sources_snapshot_changes": q_snapshot_changes,
+        "sources_snapshot_scan": q_snapshot_scan,
         "sketch_top_items": q_top_items,
         "splits_shuffle_deterministic": q_shuffle_deterministic,
     }
@@ -3661,6 +3714,7 @@ def entry_oracles() -> dict[str, str]:
         # hash shuffle order recomputed cross-engine
         "sources_snapshot_timetravel": SQL_SNAPSHOT_TIMETRAVEL,
         "sources_snapshot_changes": SQL_SNAPSHOT_CHANGES,
+        "sources_snapshot_scan": SQL_SNAPSHOT_SCAN,
         "sketch_top_items": SQL_TOP_ITEMS,
         "splits_shuffle_deterministic": SQL_SHUFFLE_DETERMINISTIC,
     }
