@@ -188,3 +188,87 @@ def bpe_encode(
         out_col,
         enc(F.expr(f"regexp_extract_all({text_col}, '{pat}', 0)")),
     )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    max_words: int = 100_000,
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn a BPE merges table from the corpus (Sennrich et al.
+    2016 training, the counterpart of :func:`bpe_token_stats`'s
+    encode): repeatedly merge the most frequent adjacent symbol
+    pair over the word-frequency dictionary.
+
+    Spark shape, 100 TB posture: the ONLY data-sized step is one
+    corpus pass — pre-tokenize JVM-side, explode, ONE groupBy over
+    distinct pre-tokens (Zipf: distinct ≪ corpus), truncated to the
+    ``max_words`` most frequent words above ``min_freq``. Training
+    then runs driver-side over that bounded dictionary, exactly how
+    published BPE trainers work (they train on a word-freq dict,
+    usually of a sample) — iterating n_merges Spark jobs over the
+    full corpus would shuffle 100 TB hundreds of times to compute
+    the same counts the dictionary already holds. The truncation is
+    the documented approximation: dropped tail words contribute at
+    most ``min_freq - 1``-weighted pair counts each.
+
+    Deterministic: ties in pair frequency break lexicographically,
+    so the same corpus always yields the same merges. Returns the
+    ranked merges list, ready for :func:`bpe_token_stats` /
+    :func:`bpe_encode`.
+    """
+    from collections import Counter
+
+    pat = BPE_ISH.replace("\\", "\\\\")
+    rows = (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all({text_col}, '{pat}', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .count()
+        .where(F.col("count") >= min_freq)
+        .orderBy(F.desc("count"), "w")
+        .limit(max_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r.w): r["count"] for r in rows if len(r.w) > 0
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] += c
+        if not pairs:
+            break
+        best_n = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == best_n)
+        merges.append(best)
+        first, second = best
+        nv: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            if first not in syms:
+                nv[syms] = nv.get(syms, 0) + c
+                continue
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == first
+                    and syms[i + 1] == second
+                ):
+                    out.append(first + second)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nv[key] = nv.get(key, 0) + c
+        vocab = nv
+    return merges

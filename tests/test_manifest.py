@@ -259,3 +259,85 @@ def test_attach_stats_and_file_skipping_scan(spark, tmp_path):
     empty = snapshot_scan(spark, path, "id", lo=10**9)
     assert empty.count() == 0
     assert set(empty.columns) == {"id", "v"}
+
+
+# ------------------------------------------------------------------
+# property: random op sequences vs a pure-Python model of the table
+# ------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("overwrite"), st.integers(1, 30)),
+        st.tuples(st.just("append"), st.integers(1, 30)),
+        st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_manifest_matches_model_under_random_ops(spark, tmp_path_factory, ops):
+    """Any sequence of overwrite/append/compact/vacuum leaves every
+    RETAINED version's content exactly what a trivial Python model
+    predicts — the whole commit protocol, not one scenario."""
+    from prql_spark.sources.manifest import (
+        compact_snapshot,
+        snapshot_read,
+        vacuum_snapshot,
+    )
+
+    path = str(tmp_path_factory.mktemp("model") / "tbl")
+    model: dict[int, list[int]] = {}  # version -> expected ids
+    next_id = 0
+    latest: list[int] = []
+    retained = set()
+
+    def commit(ids):
+        model[len(model) + 1] = list(ids)
+        retained.add(len(model))
+
+    for op, arg in ops:
+        if op == "overwrite":
+            ids = list(range(next_id, next_id + arg))
+            next_id += arg
+            snapshot_write(
+                spark.createDataFrame([(i,) for i in ids], "id long"),
+                path,
+            )
+            latest = ids
+            commit(latest)
+        elif op == "append":
+            if not model:
+                continue  # append needs a parent to be interesting
+            ids = list(range(next_id, next_id + arg))
+            next_id += arg
+            snapshot_write(
+                spark.createDataFrame([(i,) for i in ids], "id long"),
+                path, mode="append",
+            )
+            latest = latest + ids
+            commit(latest)
+        elif op == "compact":
+            if not model:
+                continue
+            if compact_snapshot(spark, path, target_mb=1024)["compacted"]:
+                commit(latest)
+        else:  # vacuum
+            if not model:
+                continue
+            keep = sorted(retained)[-arg:]
+            vacuum_snapshot(spark, path, keep_versions=arg)
+            retained.intersection_update(keep)
+    for v in sorted(retained):
+        got = sorted(r.id for r in snapshot_read(spark, path, v).collect())
+        assert got == sorted(model[v]), (v, ops)

@@ -2658,3 +2658,79 @@ def test_round8_transforms_prql_callable(spark, catalog):
     )
     assert out.rdd.getNumPartitions() == 4
     assert "__shuffle_key" not in out.columns
+
+
+def test_train_bpe_merges_matches_reference(spark):
+    """Training matches a pure-Python Sennrich reference on the same
+    word-freq dict, and the trained table drives the encoder: the
+    corpus's dominant digraphs merge first, deterministically."""
+    from collections import Counter
+
+    from prql_spark.operators import bpe
+
+    corpus = ["the theme thesis " * 5, "then there the " * 3, "zq"]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    merges = bpe.train_bpe_merges(df, n_merges=4, min_freq=1)
+
+    # pure-Python reference over the same dictionary
+    words = Counter()
+    import re
+
+    for t in corpus:
+        for w in re.findall(r"\S+", t):
+            words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    want = []
+    for _ in range(4):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] += c
+        best_n = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == best_n)
+        want.append(best)
+        f, s = best
+        nv = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == f and syms[i + 1] == s:
+                    out.append(f + s)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    assert merges == want
+    # 'th' and 'he' tie (same words carry both): the deterministic
+    # lexicographic tiebreak picks ('h','e'), then 't'+'he'
+    assert merges[0] == ("h", "e")
+    assert ("t", "he") in merges
+
+    # the trained table plugs straight into the encoder and compresses
+    out = bpe.bpe_token_stats(df, merges=merges).collect()
+    base = bpe.bpe_token_stats(df, merges=[]).collect()
+    assert all(
+        o.bpe_n_tokens < b.bpe_n_tokens
+        for o, b in zip(out, base)
+        if b.n_pretokens > 2
+    )
+
+
+def test_train_bpe_merges_deterministic_and_bounded(spark):
+    from prql_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [(f"alpha beta gamma delta word{i % 7}",) for i in range(200)],
+        "text string",
+    )
+    a = bpe.train_bpe_merges(df, n_merges=10)
+    b = bpe.train_bpe_merges(df, n_merges=10)
+    assert a == b and len(a) == 10
+    # min_freq prunes singletons out of the dictionary entirely
+    tiny = bpe.train_bpe_merges(
+        spark.createDataFrame([("unique words only once",)], "text string"),
+        n_merges=5, min_freq=2,
+    )
+    assert tiny == []
