@@ -165,3 +165,38 @@ def top_items(
         )
         .orderBy(F.desc("cnt"), "item")
     )
+
+
+def top_items_by_group(
+    df: DataFrame,
+    col: str,
+    group_by: str,
+    k: int = 10,
+    max_tracked: int = 100_000,
+) -> DataFrame:
+    """Per-group heavy hitters: ``top_items`` keyed by ``group_by``
+    (e.g. top tokens per language, top domains per source). One
+    sketch per (partition, group) partial-aggregates map-side and
+    merges per group — the shuffle carries sketches, never raw
+    values. Output: ``group_by``, ``item``, ``cnt``, ``rank`` (1 =
+    most frequent; count-desc, item-asc within a group)."""
+    from pyspark.sql import Window
+
+    exploded = (
+        df.select(
+            F.col(group_by),
+            F.col(col).cast("string").alias("__it"),
+        )
+        .groupBy(group_by)
+        .agg(F.expr(f"approx_top_k(__it, {k}, {max_tracked})").alias("tk"))
+        .select(group_by, F.explode("tk").alias("e"))
+        .select(
+            group_by,
+            F.col("e.item").alias("item"),
+            F.col("e.count").alias("cnt"),
+        )
+    )
+    w = Window.partitionBy(group_by).orderBy(F.desc("cnt"), "item")
+    return exploded.withColumn("rank", F.row_number().over(w)).orderBy(
+        group_by, "rank"
+    )

@@ -594,3 +594,41 @@ def snapshot_scan(
     if hi is not None:
         df = df.where(c <= F.lit(hi))
     return df
+
+
+def snapshot_restore(
+    spark: SparkSession, path: str, version: int
+) -> dict:
+    """Roll the table back: commit ``version``'s exact file list as
+    the NEW latest version (operation ``restore``). Nothing is
+    copied or deleted — one manifest write undoes a bad commit, and
+    the bad version stays inspectable until vacuumed. The
+    manifest-table answer to "the 3 am backfill wrote garbage"."""
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    seen = _versions(fs, jvm, base)
+    if version not in seen:
+        raise ValueError(
+            f"snapshot_restore: version {version} not in {seen} at "
+            f"{path!r}"
+        )
+    m = _load_manifest(fs, jvm, base, version)
+    for _ in range(20):
+        latest = _versions(fs, jvm, base)[-1]
+        manifest = {
+            **m,
+            "version": latest + 1,
+            "parent": latest,
+            "operation": "restore",
+            "restored_from": version,
+        }
+        if _write_text_atomic(
+            fs, jvm, f"{base}/{_MANIFEST_DIR}",
+            f"v{latest + 1:010d}.json", json.dumps(manifest),
+        ):
+            return {
+                "version": latest + 1,
+                "restored_from": version,
+                "n_files": len(m["files"]),
+            }
+    raise RuntimeError(f"snapshot_restore: lost commit races at {path!r}")

@@ -341,3 +341,23 @@ def test_manifest_matches_model_under_random_ops(spark, tmp_path_factory, ops):
     for v in sorted(retained):
         got = sorted(r.id for r in snapshot_read(spark, path, v).collect())
         assert got == sorted(model[v]), (v, ops)
+
+
+def test_snapshot_restore_rolls_back(spark, tmp_path):
+    from prql_spark.sources.manifest import (
+        snapshot_history,
+        snapshot_restore,
+    )
+
+    path = str(tmp_path / "rest")
+    snapshot_write(spark.range(100), path)                    # v1 good
+    snapshot_write(spark.range(5), path)                      # v2 garbage
+    res = snapshot_restore(spark, path, 1)
+    assert res == {"version": 3, "restored_from": 1, "n_files": res["n_files"]}
+    assert _ids(snapshot_read(spark, path)) == list(range(100))
+    # the bad version stays inspectable until vacuumed
+    assert _ids(snapshot_read(spark, path, 2)) == list(range(5))
+    hist = {r.version: r for r in snapshot_history(spark, path).collect()}
+    assert hist[3].operation == "restore"
+    with pytest.raises(ValueError, match="not in"):
+        snapshot_restore(spark, path, 77)

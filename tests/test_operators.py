@@ -2734,3 +2734,17 @@ def test_train_bpe_merges_deterministic_and_bounded(spark):
         n_merges=5, min_freq=2,
     )
     assert tiny == []
+
+
+def test_top_items_by_group(spark):
+    from prql_spark.operators import sketches
+
+    rows = [("en", "the")] * 30 + [("en", "cat")] * 10 + \
+           [("de", "der")] * 20 + [("de", "cat")] * 5
+    df = spark.createDataFrame(rows, "lang string, tok string").repartition(6)
+    out = sketches.top_items_by_group(df, "tok", "lang", k=2).collect()
+    got = [(r.lang, r.item, r.cnt, r.rank) for r in out]
+    assert got == [
+        ("de", "der", 20, 1), ("de", "cat", 5, 2),
+        ("en", "the", 30, 1), ("en", "cat", 10, 2),
+    ]
