@@ -101,6 +101,27 @@ def zorder_expr(
     return " + ".join(terms)
 
 
+def zorder_frame(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int = 16,
+    bits_per_col: int | None = None,
+) -> DataFrame:
+    """``df`` clustered by z-order over ``cols`` into ``n_files``
+    partitions — each output partition covers a contiguous z-range
+    (a hyper-cube of the value space), so per-file min-max stats
+    prune on EVERY z column. Feed to any writer: plain parquet
+    (:func:`write_zorder`) or a manifest snapshot commit
+    (``snapshot_write`` + ``attach_stats`` + ``snapshot_scan``)."""
+    z = zorder_expr(df, cols, bits_per_col)
+    return (
+        df.withColumn("__z", F.expr(z))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
 def write_zorder(
     df: DataFrame,
     path: str,
@@ -110,15 +131,10 @@ def write_zorder(
     bits_per_col: int | None = None,
     compression: str = "zstd",
 ) -> None:
-    """Write parquet laid out by z-order over ``cols``: each output
-    file covers a contiguous z-range (a hyper-cube of the value
-    space), so footer min-max stats prune on every z column."""
-    z = zorder_expr(df, cols, bits_per_col)
+    """Write parquet laid out by z-order over ``cols`` (see
+    :func:`zorder_frame`)."""
     (
-        df.withColumn("__z", F.expr(z))
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
+        zorder_frame(df, cols, n_files, bits_per_col)
         .write.mode(mode)
         .option("compression", compression)
         .parquet(path)

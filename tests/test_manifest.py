@@ -361,3 +361,32 @@ def test_snapshot_restore_rolls_back(spark, tmp_path):
     assert hist[3].operation == "restore"
     with pytest.raises(ValueError, match="not in"):
         snapshot_restore(spark, path, 77)
+
+
+def test_zorder_snapshot_prunes_on_both_columns(spark, tmp_path):
+    """The layout levers compose: z-order clustering -> snapshot
+    commit -> footer stats -> file-skipping scans that prune on
+    EITHER z column from the same single layout."""
+    from prql_spark.sources.layout import zorder_frame
+    from prql_spark.sources.manifest import attach_stats, snapshot_scan
+
+    path = str(tmp_path / "ztbl")
+    df = spark.range(40000).selectExpr(
+        "id % 200 AS a", "CAST(id / 200 AS LONG) AS b", "id AS v"
+    )
+    snapshot_write(zorder_frame(df, ["a", "b"], n_files=16), path)
+    attach_stats(spark, path, ("a", "b"))
+
+    def n_files(out):
+        return out.select(
+            F.input_file_name().alias("f")
+        ).distinct().count()
+
+    scan_a = snapshot_scan(spark, path, "a", lo=10, hi=19)
+    assert scan_a.count() == 10 * 200
+    scan_b = snapshot_scan(spark, path, "b", lo=0, hi=19)
+    assert scan_b.count() == 20 * 200
+    # both selective scans touch a proper subset of the 16 files —
+    # the same layout serves range predicates on either column
+    assert n_files(scan_a) < 16
+    assert n_files(scan_b) < 16
