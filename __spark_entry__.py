@@ -1076,6 +1076,7 @@ _NEW_THIS_ROUND = [
     "sources_snapshot_timetravel",
     "sources_snapshot_changes",
     "sources_snapshot_scan",
+    "multimodal_image_phash",
     "sketch_top_items",
     "splits_shuffle_deterministic",
 ]
@@ -1128,21 +1129,21 @@ _STALE_PREV = [
     "dedup_against_near",
     "text_token_count",
     "sources_warc_read",
-    # --- 7 of the 40 r6-evidence entries (the rest spill) ---
+    # --- 6 of the 40 r6-evidence entries (the rest spill) ---
     "dedup_lines",
     "text_url_features",
     "q20_excess_suppliers",
     "dedup_window_fraction",
     "dedup_remove_windows",
     "dedup_remove_sentences",
-    "sources_bucketed_join",
 ]
 
-# r6-evidence entries the round-8 window cannot fit (33 — the r6
-# block is 40 wide and the 5 new entries + r5 spill + core take 43
+# r6-evidence entries the round-8 window cannot fit (34 — the r6
+# block is 40 wide and the 6 new entries + r5 spill + core take 44
 # of the 50 slots). All mimic-green every session; oldest driver evidence in
 # the repo from here on: these MUST open round 9's window.
 _STALE_SPILL = [
+    "sources_bucketed_join",
     "splits_leakage_audit",
     "multimodal_image_ahash",
     "multimodal_video_framehash",

@@ -2922,6 +2922,37 @@ ORDER BY media_id
 """
 
 
+def q_image_phash(spark, sf_dir):
+    """DCT perceptual hash through the REAL netpbm codec,
+    value-oracled: the same planted payloads as the ahash entry must
+    produce the offline-computed 63-bit DCT hashes (NULL + ok=false
+    for undecodables). The re-light robustness head-to-head vs
+    ahash and the near-dup pairing are pinned in
+    tests/test_operators.py::TestImagePhash."""
+    out = multimodal.image_phash(
+        _ahash_planted_media(spark), multimodal.NetpbmCodec()
+    )
+    return out.orderBy("media_id")
+
+
+# expected 63-bit hashes computed OFFLINE by running NetpbmCodec's
+# 32x32 luma_grid + orthonormal DCT-II + median threshold on the
+# planted payloads (round 8)
+SQL_IMAGE_PHASH = """
+SELECT CAST(media_id AS BIGINT) AS media_id, media_type,
+  CAST(phash AS BIGINT) AS phash, ok
+FROM (VALUES
+  (1, 'image/x-portable-pixmap', 4300075814964908330, true),
+  (2, 'image/x-portable-graymap', 3447668958697475626, true),
+  (3, 'image/x-portable-graymap', 5422956857162518130, true),
+  (4, 'image/x-portable-pixmap', NULL, false),
+  (5, 'image/x-portable-graymap', NULL, false),
+  (6, 'image/x-portable-pixmap', 3074504075575481642, true)
+) AS t(media_id, media_type, phash, ok)
+ORDER BY media_id
+"""
+
+
 def q_video_framehash(spark, sf_dir):
     """Per-frame perceptual video hashes through the REAL y4m codec,
     value-oracled: planted banded-pattern videos (incl. a trimmed
@@ -3609,6 +3640,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sources_snapshot_timetravel": q_snapshot_timetravel,
         "sources_snapshot_changes": q_snapshot_changes,
         "sources_snapshot_scan": q_snapshot_scan,
+        "multimodal_image_phash": q_image_phash,
         "sketch_top_items": q_top_items,
         "splits_shuffle_deterministic": q_shuffle_deterministic,
     }
@@ -3715,6 +3747,7 @@ def entry_oracles() -> dict[str, str]:
         "sources_snapshot_timetravel": SQL_SNAPSHOT_TIMETRAVEL,
         "sources_snapshot_changes": SQL_SNAPSHOT_CHANGES,
         "sources_snapshot_scan": SQL_SNAPSHOT_SCAN,
+        "multimodal_image_phash": SQL_IMAGE_PHASH,
         "sketch_top_items": SQL_TOP_ITEMS,
         "splits_shuffle_deterministic": SQL_SHUFFLE_DETERMINISTIC,
     }

@@ -2748,3 +2748,99 @@ def test_top_items_by_group(spark):
         ("de", "der", 20, 1), ("de", "cat", 5, 2),
         ("en", "the", 30, 1), ("en", "cat", 10, 2),
     ]
+
+
+class TestImagePhash:
+    def _media(self, spark, imgs):
+        return spark.createDataFrame(
+            [(i, bytearray(p), "image/x-portable-pixmap")
+             for i, p in enumerate(imgs)],
+            "media_id long, media binary, media_type string",
+        )
+
+    @staticmethod
+    def _ppm(arr):
+        import numpy as np
+
+        a = np.asarray(arr, dtype=np.uint8)
+        h, w, _ = a.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+    def test_uniform_brightness_shift_is_invariant(self, spark):
+        """DC removal makes pHash exactly invariant to uniform luma
+        shifts — the whole point of hashing frequency structure."""
+        import numpy as np
+
+        from prql_spark.operators import multimodal
+
+        rng = np.random.RandomState(7)
+        base = rng.randint(0, 200, (24, 24, 3))
+        shifted = np.clip(base + 40, 0, 255)
+        df = self._media(spark, [self._ppm(base), self._ppm(shifted)])
+        h = {
+            r.media_id: r.phash
+            for r in multimodal.image_phash(
+                df, multimodal.NetpbmCodec()
+            ).collect()
+        }
+        assert bin(h[0] ^ h[1]).count("1") <= 2
+
+    def test_illumination_gradient_robustness_beats_ahash(self, spark):
+        """An illumination gradient (re-lit photo) misclassifies a
+        band of pixels against ahash's single global mean but only
+        perturbs pHash's lowest horizontal-frequency coefficient —
+        the documented advantage, asserted head-to-head on the same
+        payloads (probed at 6 seeds: pHash 0-4 bits vs ahash 8-11)."""
+        import numpy as np
+
+        from prql_spark.operators import multimodal
+
+        rng = np.random.RandomState(3)
+        base = rng.randint(30, 200, (32, 32, 3)).astype(np.int16)
+        grad = np.linspace(0, 55, 32, dtype=np.int16)[None, :, None]
+        lit = np.clip(base + grad, 0, 255)
+        df = self._media(
+            spark, [self._ppm(base.astype(np.uint8)),
+                    self._ppm(lit.astype(np.uint8))]
+        )
+        codec = multimodal.NetpbmCodec()
+        ph = {r.media_id: r.phash
+              for r in multimodal.image_phash(df, codec).collect()}
+        ah = {r.media_id: r.ahash
+              for r in multimodal.image_ahash(df, codec).collect()}
+        d_p = bin(ph[0] ^ ph[1]).count("1")
+        d_a = bin(ah[0] ^ ah[1]).count("1")
+        assert d_p < d_a
+        assert d_p <= 6
+
+    def test_unrelated_images_differ_and_undecodable_null(self, spark):
+        import numpy as np
+
+        from prql_spark.operators import multimodal
+
+        rng = np.random.RandomState(11)
+        a = rng.randint(0, 255, (16, 16, 3)).astype(np.uint8)
+        b = rng.randint(0, 255, (16, 16, 3)).astype(np.uint8)
+        df = self._media(spark, [self._ppm(a), self._ppm(b), b"garbage"])
+        out = {r.media_id: r for r in multimodal.image_phash(
+            df, multimodal.NetpbmCodec()).collect()}
+        assert bin(out[0].phash ^ out[1].phash).count("1") >= 15
+        assert out[2].phash is None and out[2].ok is False
+
+    def test_near_dup_pairing(self, spark):
+        import numpy as np
+
+        from prql_spark.operators import multimodal
+
+        rng = np.random.RandomState(5)
+        base = rng.randint(0, 200, (24, 24, 3))
+        shifted = np.clip(base + 30, 0, 255)
+        other = rng.randint(0, 255, (24, 24, 3))
+        df = self._media(spark, [
+            self._ppm(base), self._ppm(shifted),
+            self._ppm(other.astype(np.uint8)),
+        ])
+        pairs = multimodal.image_near_dups_phash(
+            df, max_hamming=6, codec=multimodal.NetpbmCodec()
+        ).collect()
+        assert [(p.media_id_a, p.media_id_b) for p in pairs] == [(0, 1)]
