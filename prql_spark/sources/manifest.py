@@ -117,6 +117,7 @@ def snapshot_write(
     mode: str = "overwrite",
     max_commit_attempts: int = 20,
     extra: dict | None = None,
+    allow_new_columns: bool = False,
 ) -> dict:
     """Commit ``df`` as a new version of the dataset at ``path``.
 
@@ -125,9 +126,13 @@ def snapshot_write(
     version's list (the parent's files are REFERENCED, never
     rewritten — an append of 1 GB to a 100 TB table moves 1 GB) and
     raises on a schema mismatch vs the parent (a mixed-schema
-    version would fail or silently null-fill at read). ``extra``
-    merges caller metadata into the manifest (e.g. the streaming
-    sink's ``stream_id``/``epoch`` idempotence keys).
+    version would fail or silently null-fill at read). Schema
+    EVOLUTION is opt-in: ``allow_new_columns=True`` accepts an
+    append whose schema is a SUPERSET of the parent's (add a
+    column; never drop or retype one) — the version is flagged so
+    reads merge schemas and old files null-fill the new columns.
+    ``extra`` merges caller metadata into the manifest (e.g. the
+    streaming sink's ``stream_id``/``epoch`` idempotence keys).
     Returns ``{"version", "n_files", "operation"}``.
     """
     if mode not in ("overwrite", "append"):
@@ -165,15 +170,24 @@ def snapshot_write(
         parent = seen[-1] if seen else None
         version = (parent or 0) + 1
         files = list(staged)
+        merge_schema = False
         if mode == "append" and parent is not None:
             pm = _load_manifest(fs, jvm, base, parent)
             psig = [tuple(p) for p in pm.get("schema", [])]
             if psig and psig != schema_sig:
-                raise ValueError(
-                    "snapshot_write: append schema mismatch vs version "
-                    f"{parent}: {psig} != {schema_sig} — a mixed-schema "
-                    "version would fail (or silently null-fill) at read"
+                superset = allow_new_columns and set(psig) < set(
+                    schema_sig
                 )
+                if not superset:
+                    raise ValueError(
+                        "snapshot_write: append schema mismatch vs "
+                        f"version {parent}: {psig} != {schema_sig} — "
+                        "a mixed-schema version would fail (or "
+                        "silently null-fill) at read; adding columns "
+                        "needs allow_new_columns=True"
+                    )
+                merge_schema = True
+            merge_schema = merge_schema or bool(pm.get("merge_schema"))
             files = pm["files"] + files
         manifest = {
             "version": version,
@@ -181,6 +195,7 @@ def snapshot_write(
             "operation": mode,
             "commit": commit_id,
             "schema": schema_sig,
+            "merge_schema": merge_schema,
             "files": files,
             **(extra or {}),
         }
@@ -247,7 +262,12 @@ def snapshot_read(
             paths.append(f"{base}/{d}")
         else:
             paths.extend(f"{base}/{d}/{n}" for n in sorted(names))
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if manifest.get("merge_schema"):
+        # schema-evolved version: files span schemas; merge so old
+        # files null-fill columns added later
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:

@@ -390,3 +390,34 @@ def test_zorder_snapshot_prunes_on_both_columns(spark, tmp_path):
     # the same layout serves range predicates on either column
     assert n_files(scan_a) < 16
     assert n_files(scan_b) < 16
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    from prql_spark.sources.manifest import snapshot_history
+
+    path = str(tmp_path / "evolve")
+    snapshot_write(spark.range(10), path)
+    wide = spark.range(10, 15).withColumn("lang", F.lit("en"))
+    # without the opt-in: still rejected
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        snapshot_write(wide, path, mode="append")
+    snapshot_write(wide, path, mode="append", allow_new_columns=True)
+    out = snapshot_read(spark, path)
+    assert set(out.columns) == {"id", "lang"}
+    rows = {r.id: r.lang for r in out.collect()}
+    assert len(rows) == 15
+    assert rows[3] is None and rows[12] == "en"  # old rows null-fill
+    # evolution is sticky: later same-schema appends keep merging
+    snapshot_write(
+        spark.range(15, 18).withColumn("lang", F.lit("de")),
+        path, mode="append",
+    )
+    assert snapshot_read(spark, path).count() == 18
+    # the old version still reads with its own narrow schema
+    assert snapshot_read(spark, path, 1).columns == ["id"]
+    # dropping a column is never allowed
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snapshot_write(
+            spark.range(3), path, mode="append", allow_new_columns=True
+        )
+    assert snapshot_history(spark, path).count() == 3
