@@ -568,3 +568,38 @@ def test_stream_append_snapshot_exactly_once(spark, tmp_path):
     got = sorted(r.id for r in snapshot_read(spark, table).collect())
     assert got == list(range(250))  # no duplicates
     assert snapshot_history(spark, table).count() == n_versions_2
+
+
+def test_stream_rollup_to_snapshot_lakehouse_path(spark, events_dir, tmp_path):
+    """The full streaming lakehouse composition: events stream →
+    watermarked hourly rollup (append mode — only FINALIZED windows
+    emit) → exactly-once manifest appends. The table converges to
+    the batch rollup over every window the watermark closed, each
+    micro-batch is a time-travelable version, and the rows live in
+    an atomic, vacuumable table instead of bare files."""
+    from prql_spark.sources.manifest import snapshot_read
+
+    table = str(tmp_path / "rollup_tbl")
+    stream = sp.read_events_stream(spark, events_dir, max_files_per_trigger=3)
+    rolled = sp.hourly_rollup(stream, watermark="1 hours")
+    sp.stream_append_snapshot(
+        rolled, table, checkpoint=str(tmp_path / "ck"), stream_id="roll",
+    )
+    got = {
+        (r.bucket, r.event_type): (r.n, r.value_sum)
+        for r in snapshot_read(spark, table).collect()
+    }
+    assert len(got) > 0
+    batch = {
+        (r.bucket, r.event_type): (r.n, r.value_sum)
+        for r in sp.hourly_rollup(
+            spark.read.parquet(events_dir)
+        ).collect()
+    }
+    # append mode emits only watermark-closed windows: everything
+    # emitted must match the batch twin exactly (no partials)
+    for k, v in got.items():
+        assert batch[k] == v, k
+    # the stream's trailing windows (never closed by the watermark)
+    # are the only ones allowed to be absent
+    assert set(got) <= set(batch)
