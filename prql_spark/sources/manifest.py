@@ -652,3 +652,58 @@ def snapshot_restore(
                 "n_files": len(m["files"]),
             }
     raise RuntimeError(f"snapshot_restore: lost commit races at {path!r}")
+
+
+def validate_snapshot(spark: SparkSession, path: str) -> dict:
+    """Integrity check (fsck) for a manifest table: every file the
+    LATEST manifest references must exist with its recorded size,
+    the version chain must be gapless back to the oldest retained
+    manifest, and every parent pointer must match. Returns a report
+    dict with ``ok`` plus the specific violations — run it before
+    trusting a table handed over from another system, after a
+    manual copy/restore, or on a vacuum schedule. Driver-side
+    metadata only; no Spark job."""
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    Path = jvm.org.apache.hadoop.fs.Path
+    seen = _versions(fs, jvm, base)
+    report: dict = {
+        "ok": True,
+        "versions": seen,
+        "missing_files": [],
+        "size_mismatches": [],
+        "version_gaps": [],
+        "bad_parents": [],
+    }
+    if not seen:
+        report["ok"] = False
+        report["version_gaps"] = ["no versions"]
+        return report
+    for a, b in zip(seen, seen[1:]):
+        if b != a + 1:
+            report["version_gaps"].append(f"{a} -> {b}")
+    prev = None
+    for v in seen:
+        m = _load_manifest(fs, jvm, base, v)
+        if prev is not None and m.get("parent") not in (prev, None):
+            # a parent pointing below the retained range is fine
+            # only when that version was vacuumed away
+            if m.get("parent") > prev:
+                report["bad_parents"].append(
+                    f"v{v} parent {m.get('parent')} != {prev}"
+                )
+        prev = v
+    latest = _load_manifest(fs, jvm, base, seen[-1])
+    for f in latest["files"]:
+        p = Path(f"{base}/{f['path']}")
+        if not fs.exists(p):
+            report["missing_files"].append(f["path"])
+        elif fs.getFileStatus(p).getLen() != f["bytes"]:
+            report["size_mismatches"].append(f["path"])
+    report["ok"] = not (
+        report["missing_files"]
+        or report["size_mismatches"]
+        or report["version_gaps"]
+        or report["bad_parents"]
+    )
+    return report

@@ -421,3 +421,35 @@ def test_schema_evolution_add_column(spark, tmp_path):
             spark.range(3), path, mode="append", allow_new_columns=True
         )
     assert snapshot_history(spark, path).count() == 3
+
+
+def test_validate_snapshot_fsck(spark, tmp_path):
+    from prql_spark.sources.manifest import (
+        validate_snapshot,
+        vacuum_snapshot,
+    )
+
+    path = str(tmp_path / "fsck")
+    snapshot_write(spark.range(100).coalesce(2), path)
+    snapshot_write(spark.range(100, 120), path, mode="append")
+    rep = validate_snapshot(spark, path)
+    assert rep["ok"] and rep["versions"] == [1, 2]
+
+    # vacuum keeps the chain valid
+    vacuum_snapshot(spark, path, keep_versions=1)
+    assert validate_snapshot(spark, path)["ok"]
+
+    # corrupt: delete one referenced data file
+    m = json.load(open(os.path.join(path, "_manifests", f"v{2:010d}.json")))
+    victim = os.path.join(path, m["files"][0]["path"])
+    os.remove(victim)
+    rep = validate_snapshot(spark, path)
+    assert not rep["ok"]
+    assert rep["missing_files"] == [m["files"][0]["path"]]
+
+    # corrupt: truncate another referenced file
+    other = os.path.join(path, m["files"][1]["path"])
+    with open(other, "ab") as f:
+        f.write(b"x")
+    rep = validate_snapshot(spark, path)
+    assert m["files"][1]["path"] in rep["size_mismatches"]
