@@ -57,6 +57,13 @@ def _table_mode(args) -> int:
             print(json.dumps(vacuum_snapshot(
                 spark, args.vacuum, keep_versions=args.keep_versions
             )))
+        if args.fsck:
+            from prql_spark.sources.manifest import validate_snapshot
+
+            rep = validate_snapshot(spark, args.fsck)
+            print(json.dumps(rep))
+            if not rep["ok"]:
+                return 1
     except (ValueError, IOError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -162,6 +169,11 @@ def main(argv: list[str] | None = None) -> int:
         help="drop unreferenced files of a manifest-committed dataset",
     )
     tbl.add_argument(
+        "--fsck", metavar="PATH",
+        help="integrity-check a manifest-committed dataset (exit 1 "
+        "when violations are found)",
+    )
+    tbl.add_argument(
         "--target-mb", type=int, default=256,
         help="target file size for --compact (default 256)",
     )
@@ -175,7 +187,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
-    if args.layout or args.compact or args.history or args.vacuum:
+    if (
+        args.layout or args.compact or args.history or args.vacuum
+        or args.fsck
+    ):
         return _table_mode(args)
 
     text = args.query if args.query else sys.stdin.read()

@@ -159,3 +159,23 @@ def test_cli_maintenance_modes(tmp_path, spark):
 
     r = _cli("--layout", str(tmp_path / "missing"))
     assert r.returncode == 1 or json.loads(r.stdout)["n_files"] == 0
+
+
+def test_cli_fsck_mode(tmp_path, spark):
+    import json as _json
+    import os as _os
+
+    from prql_spark.sources.manifest import snapshot_write
+
+    snap = str(tmp_path / "ck")
+    snapshot_write(spark.range(50).coalesce(1), snap)
+    r = _cli("--fsck", snap)
+    assert r.returncode == 0, r.stderr
+    assert _json.loads(r.stdout)["ok"] is True
+
+    m = _json.load(open(_os.path.join(
+        snap, "_manifests", f"v{1:010d}.json")))
+    _os.remove(_os.path.join(snap, m["files"][0]["path"]))
+    r = _cli("--fsck", snap)
+    assert r.returncode == 1
+    assert _json.loads(r.stdout)["missing_files"]
