@@ -1051,9 +1051,9 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
 # slots and 10 pinned, non-core entries rotate through the remaining
 # 40 slots, so their worst-case driver-evidence age rises from 1 to
 # ~2 rounds (the session mimic still re-verifies every entry every
-# round). Round 8: the core carries r7 evidence, so pinning costs 10
-# slots that would otherwise refresh r6-evidence entries — the
-# documented price of never letting a flagship plan go stale.
+# round). Round 9: zero new entries, so the window refreshes the 34
+# oldest (r6-evidence) entries plus the core plus 6 r7-evidence
+# entries — the steady-state rotation the policy was built for.
 _DRIVER_WINDOW = 50
 
 _CORE = [
@@ -1069,80 +1069,22 @@ _CORE = [
     "sources_warc_read",
 ]
 
-# never driver-checked: the round-8 additions (manifest-committed
-# versioned datasets with time travel; frequent-items sketch;
-# deterministic keyed-hash training shuffle)
-_NEW_THIS_ROUND = [
-    "sources_snapshot_timetravel",
-    "sources_snapshot_changes",
-    "sources_snapshot_scan",
-    "multimodal_image_phash",
-    "sketch_top_items",
-    "splits_shuffle_deterministic",
-]
+# never driver-checked: round 9 adds NO new query entries (the
+# round's features — write-time snapshot stats, PRQL pushdown into
+# file-skipping scans, the manifest-race fixes — are pytest-verified
+# and benched; the existing snapshot entries exercise the same code
+# paths), so every window slot goes to evidence refresh.
+_NEW_THIS_ROUND: list[str] = []
 
 # reserved for new entries that outgrow the window (empty this round)
 _NEW_BEHIND: list[str] = []
 
-# Oldest driver evidence first: the 28 r5-evidence entries round 7
+# Oldest driver evidence first: the 34 r6-evidence entries round 8
 # spilled (test-asserted to open THIS window — honored here), then
-# the pinned _CORE (r7 evidence, always in-window by policy), then
-# the oldest r6-evidence entries that fit.
+# the pinned _CORE (r8 evidence, always in-window by policy), then
+# the 6 oldest r7-evidence entries that fit.
 _STALE_PREV = [
-    # --- the r7 _STALE_SPILL 28 (driver evidence age: round 5) ---
-    "profile_orders",
-    "sources_upsert_merge",
-    "sources_zorder_roundtrip",
-    "kafka_json_roundtrip",
-    "text_bm25_rank",
-    "text_contamination",
-    "text_gopher_flags",
-    "text_repetition_flags",
-    "pack_sequences",
-    "stratified_sample",
-    "split_by_hash",
-    "sample_by_hash",
-    "text_redact_pii",
-    "text_strip_boilerplate",
-    "events_sessionize",
-    "events_dedup_within_watermark",
-    "events_interval_join",
-    "skew_salted_aggregate",
-    "multimodal_resize",
-    "sources_csv_roundtrip",
-    "dedup_minhash_clusters",
-    "semdedup_prune",
-    "text_unigram_logprob",
-    "dedup_incremental",
-    "sample_per_group",
-    "text_collocations",
-    "skew_salted_join",
-    "sources_diff_snapshots",
-    # --- _CORE: pinned every round (see policy above) ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "top_customers_left_join",
-    "group_topk",
-    "dedup_exact",
-    "dedup_against_near",
-    "text_token_count",
-    "sources_warc_read",
-    # --- 6 of the 40 r6-evidence entries (the rest spill) ---
-    "dedup_lines",
-    "text_url_features",
-    "q20_excess_suppliers",
-    "dedup_window_fraction",
-    "dedup_remove_windows",
-    "dedup_remove_sentences",
-]
-
-# r6-evidence entries the round-8 window cannot fit (34 — the r6
-# block is 40 wide and the 6 new entries + r5 spill + core take 44
-# of the 50 slots). All mimic-green every session; oldest driver evidence in
-# the repo from here on: these MUST open round 9's window.
-_STALE_SPILL = [
+    # --- the r8 _STALE_SPILL 34 (driver evidence age: round 6) ---
     "sources_bucketed_join",
     "splits_leakage_audit",
     "multimodal_image_ahash",
@@ -1177,17 +1119,31 @@ _STALE_SPILL = [
     "window_lag_row_number",
     "multimodal_frame_sample",
     "asof_forward_tolerance",
-]
-
-# checked in round 7 (freshest driver evidence; _CORE members sit in
-# the window instead) — behind the spill
-_FRESH_PREV = [
+    # --- _CORE: pinned every round (see policy above) ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "top_customers_left_join",
+    "group_topk",
+    "dedup_exact",
+    "dedup_against_near",
+    "text_token_count",
+    "sources_warc_read",
+    # --- 6 of the 40 r7-evidence entries (the rest spill) ---
     "text_token_count_bpe",
     "multimodal_image_neardups",
     "multimodal_audio_neardups",
     "multimodal_video_neardups",
     "splits_near_leakage",
     "text_normalize",
+]
+
+# r7-evidence entries the round-9 window cannot fit (34 — the r7
+# block is 40 wide and the r6 spill + core take 44 of the 50 slots).
+# All mimic-green every session; oldest driver evidence in the repo
+# from here on: these MUST open round 10's window.
+_STALE_SPILL = [
     "text_url_blocklist",
     "window_running_total",
     "window_moving_average",
@@ -1222,6 +1178,51 @@ _FRESH_PREV = [
     "docs_clean_pipeline",
     "sketch_distinct_users",
     "sketch_value_median",
+]
+
+# checked in round 8 (freshest driver evidence; _CORE members sit in
+# the window instead) — behind the spill
+_FRESH_PREV = [
+    "sources_snapshot_timetravel",
+    "sources_snapshot_changes",
+    "sources_snapshot_scan",
+    "multimodal_image_phash",
+    "sketch_top_items",
+    "splits_shuffle_deterministic",
+    "profile_orders",
+    "sources_upsert_merge",
+    "sources_zorder_roundtrip",
+    "kafka_json_roundtrip",
+    "text_bm25_rank",
+    "text_contamination",
+    "text_gopher_flags",
+    "text_repetition_flags",
+    "pack_sequences",
+    "stratified_sample",
+    "split_by_hash",
+    "sample_by_hash",
+    "text_redact_pii",
+    "text_strip_boilerplate",
+    "events_sessionize",
+    "events_dedup_within_watermark",
+    "events_interval_join",
+    "skew_salted_aggregate",
+    "multimodal_resize",
+    "sources_csv_roundtrip",
+    "dedup_minhash_clusters",
+    "semdedup_prune",
+    "text_unigram_logprob",
+    "dedup_incremental",
+    "sample_per_group",
+    "text_collocations",
+    "skew_salted_join",
+    "sources_diff_snapshots",
+    "dedup_lines",
+    "text_url_features",
+    "q20_excess_suppliers",
+    "dedup_window_fraction",
+    "dedup_remove_windows",
+    "dedup_remove_sentences",
 ]
 
 _DRIVER_ORDER = (
