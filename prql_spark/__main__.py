@@ -55,7 +55,8 @@ def _table_mode(args) -> int:
             from prql_spark.sources.manifest import vacuum_snapshot
 
             print(json.dumps(vacuum_snapshot(
-                spark, args.vacuum, keep_versions=args.keep_versions
+                spark, args.vacuum, keep_versions=args.keep_versions,
+                min_age_s=args.min_age_s,
             )))
         if args.fsck:
             from prql_spark.sources.manifest import validate_snapshot
@@ -184,6 +185,12 @@ def main(argv: list[str] | None = None) -> int:
     tbl.add_argument(
         "--keep-versions", type=int, default=2,
         help="versions to retain with --vacuum (default 2)",
+    )
+    tbl.add_argument(
+        "--min-age-s", type=float, default=3600.0,
+        help="--vacuum grace window: unreferenced files younger than "
+        "this are kept (a concurrent writer's staged commit); 0 "
+        "deletes all unreferenced files (default 3600)",
     )
     args = ap.parse_args(argv)
 

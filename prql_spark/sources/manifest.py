@@ -33,8 +33,19 @@ Layout::
     <path>/_manifests/.v{N}.json.tmp         stage, renamed into place
 
 All filesystem access goes through Hadoop's FileSystem API, so
-file:// , hdfs:// and s3a:// behave identically. Manifests carry
-RELATIVE file paths — a dataset can be cloned or mounted elsewhere.
+READS (planning, time travel, history, fsck) behave identically on
+file:// , hdfs:// and s3a://. The COMMIT point is exists-check +
+rename, which is a true atomic claim only on filesystems whose
+rename is atomic and refuses an existing destination — HDFS. On the
+local filesystem Hadoop's ``RawLocalFileSystem.rename`` also refuses
+an existing destination (pinned in tests), leaving only the tiny
+check-then-rename window; on S3A rename is copy+delete and two
+racing writers CAN both believe they committed the same version —
+single-writer (or externally locked) operation is required there.
+The seam to replace for object stores is :func:`_write_text_atomic`
+(a conditional-put, like Delta's LogStore or an Iceberg catalog).
+Manifests carry RELATIVE file paths — a dataset can be cloned or
+mounted elsewhere.
 
 Single-manifest simplification (documented trade-off vs Iceberg's
 manifest lists): each commit's manifest holds the FULL file list.
@@ -63,7 +74,17 @@ def _fs(spark: SparkSession, path: str):
 def _write_text_atomic(fs, jvm, dir_path: str, name: str, text: str) -> bool:
     """Stage ``text`` under a dotted tmp name, then rename to
     ``name``. Returns False when ``name`` already exists (another
-    writer won the version) — the rename is the commit point."""
+    writer won the version) — the rename is the commit point.
+
+    Atomicity is the filesystem's: HDFS rename atomically refuses an
+    existing destination, so the loser of a race always sees False.
+    Hadoop's local ``RawLocalFileSystem.rename`` also returns False
+    on an existing destination (behavior pinned in
+    tests/test_manifest.py), leaving only the narrow window between
+    the exists() probe and the rename. S3A rename is copy+delete
+    with no conditional semantics — concurrent writers on S3 need an
+    external lock or a conditional-put replacement for this seam
+    (see the module docstring)."""
     Path = jvm.org.apache.hadoop.fs.Path
     tmp = Path(f"{dir_path}/.{name}.{uuid.uuid4().hex[:8]}.tmp")
     out = fs.create(tmp, True)
@@ -111,6 +132,62 @@ def _load_manifest(fs, jvm, base: str, version: int) -> dict:
     )
 
 
+def _stats_enc(v):
+    """JSON-encode a stats bound the way snapshot_scan compares them
+    (timestamps/dates → ISO strings, bytes → utf-8)."""
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("utf-8", "replace")
+    return v
+
+
+def _staged_stats(spark, data_dir: str, staged: list, cols: tuple) -> int:
+    """Exact per-file [min, max] for ``cols`` over the just-staged
+    files, attached into ``staged`` in place; returns the number of
+    files that got stats.
+
+    One COLUMN-PRUNED distributed scan of the NEW files only
+    (``groupBy(input_file_name())``) — runs executor-side on any
+    filesystem (where :func:`attach_stats`'s driver-side pyarrow
+    footer reads cannot, i.e. object stores), and the ranges are
+    exact-from-data, so there is no "footer lacks statistics" miss
+    case. The ``collect()`` is bounded at one row per staged file.
+    Cost: re-reading only ``cols`` of the files this very commit just
+    wrote (typically still in page cache) — proportional to the
+    commit, never the table."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c)).alias(f"mn_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"mx_{c}"))
+    rows = (
+        spark.read.parquet(data_dir)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(*aggs)
+        .collect()
+    )
+    by_name: dict[str, dict] = {}
+    for r in rows:
+        st = {}
+        for c in cols:
+            lo, hi = r[f"mn_{c}"], r[f"mx_{c}"]
+            # an all-NULL file has no usable range for c; scans then
+            # always read it (safe), same as a stats-less footer
+            if lo is not None and hi is not None:
+                st[c] = [_stats_enc(lo), _stats_enc(hi)]
+        if st:
+            by_name[r["f"].rsplit("/", 1)[1]] = st
+    n_ok = 0
+    for f in staged:
+        st = by_name.get(f["path"].rsplit("/", 1)[1])
+        if st:
+            f["stats"] = st
+            n_ok += 1
+    return n_ok
+
+
 def snapshot_write(
     df: DataFrame,
     path: str,
@@ -118,6 +195,7 @@ def snapshot_write(
     max_commit_attempts: int = 20,
     extra: dict | None = None,
     allow_new_columns: bool = False,
+    stats_cols: tuple | None = None,
 ) -> dict:
     """Commit ``df`` as a new version of the dataset at ``path``.
 
@@ -132,7 +210,18 @@ def snapshot_write(
     column; never drop or retype one) — the version is flagged so
     reads merge schemas and old files null-fill the new columns.
     ``extra`` merges caller metadata into the manifest (e.g. the
-    streaming sink's ``stream_id``/``epoch`` idempotence keys).
+    streaming sink's ``stream_id``/``epoch`` idempotence keys); a
+    ``stream_id``/``epoch`` pair is ALSO folded into the manifest's
+    per-stream high-water map (``streams``), which every commit
+    carries forward from its parent — so the exactly-once replay
+    check survives :func:`vacuum_snapshot` trimming old manifests
+    (the latest manifest alone knows every stream's high water).
+    ``stats_cols`` collects exact per-file [min, max] for those
+    columns AT WRITE TIME (one column-pruned distributed scan of the
+    new files — works on any filesystem, unlike the driver-side
+    footer reads of :func:`attach_stats`) and embeds them in the
+    manifest, powering :func:`snapshot_scan` file skipping with no
+    separate stats commit.
     Returns ``{"version", "n_files", "operation"}``.
     """
     if mode not in ("overwrite", "append"):
@@ -164,6 +253,9 @@ def snapshot_write(
             }
         )
 
+    if stats_cols:
+        _staged_stats(spark, data_dir, staged, tuple(stats_cols))
+
     fs.mkdirs(Path(f"{base}/{_MANIFEST_DIR}"))
     for _ in range(max_commit_attempts):
         seen = _versions(fs, jvm, base)
@@ -171,8 +263,13 @@ def snapshot_write(
         version = (parent or 0) + 1
         files = list(staged)
         merge_schema = False
-        if mode == "append" and parent is not None:
+        streams: dict = {}
+        if parent is not None:
             pm = _load_manifest(fs, jvm, base, parent)
+            # the per-stream high-water map rides EVERY commit (incl.
+            # overwrites), so it survives vacuum trimming manifests
+            streams = dict(pm.get("streams") or {})
+        if mode == "append" and parent is not None:
             psig = [tuple(p) for p in pm.get("schema", [])]
             if psig and psig != schema_sig:
                 superset = allow_new_columns and set(psig) < set(
@@ -189,6 +286,9 @@ def snapshot_write(
                 merge_schema = True
             merge_schema = merge_schema or bool(pm.get("merge_schema"))
             files = pm["files"] + files
+        if extra and "stream_id" in extra and "epoch" in extra:
+            sid = str(extra["stream_id"])
+            streams[sid] = max(int(extra["epoch"]), streams.get(sid, -1))
         manifest = {
             "version": version,
             "parent": parent,
@@ -196,6 +296,7 @@ def snapshot_write(
             "commit": commit_id,
             "schema": schema_sig,
             "merge_schema": merge_schema,
+            "streams": streams,
             "files": files,
             **(extra or {}),
         }
@@ -331,13 +432,29 @@ def compact_snapshot(
 
 
 def vacuum_snapshot(
-    spark: SparkSession, path: str, keep_versions: int = 2
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = 2,
+    min_age_s: float = 3600.0,
 ) -> dict:
     """Reclaim space: drop all but the newest ``keep_versions``
     manifests, then delete every data file no retained manifest
-    references. The only operation that ever deletes data, and it
-    provably deletes only unreferenced files (the referenced set is
-    computed from the manifests that remain)."""
+    references AND whose modification time is at least ``min_age_s``
+    seconds old.
+
+    The age threshold closes a real race: a concurrent
+    ``snapshot_write`` STAGES its files before publishing the
+    manifest that references them, so "unreferenced" alone also
+    describes a commit in flight — deleting those files would let
+    the writer publish a manifest pointing at nothing (the same race
+    Iceberg's remove-orphan-files guards with an age threshold).
+    With the default one-hour grace, vacuum is safe to run alongside
+    writers whose stage→commit gap is shorter than the grace window;
+    ``min_age_s=0`` restores pure unreferenced-set semantics for
+    quiesced tables (and tests). Old behavior otherwise unchanged:
+    only files no retained manifest references are ever deleted."""
+    import time
+
     if keep_versions < 1:
         raise ValueError("vacuum_snapshot: keep_versions must be >= 1")
     fs, jvm = _fs(spark, path)
@@ -350,6 +467,8 @@ def vacuum_snapshot(
         m = _load_manifest(fs, jvm, base, v)
         referenced.update(f["path"] for f in m["files"])
     dropped_files = 0
+    skipped_young = 0
+    cutoff_ms = (time.time() - min_age_s) * 1000.0
     data_root = Path(f"{base}/{_DATA_DIR}")
     if fs.exists(data_root):
         it = fs.listFiles(data_root, True)
@@ -365,6 +484,9 @@ def vacuum_snapshot(
             if any(c.startswith(("_", ".")) for c in rel.split("/")):
                 continue
             if rel not in referenced:
+                if st.getModificationTime() > cutoff_ms:
+                    skipped_young += 1  # possibly a commit in flight
+                    continue
                 doomed.append(st.getPath())
         for p in doomed:
             fs.delete(p, False)
@@ -388,6 +510,7 @@ def vacuum_snapshot(
             dropped_manifests += 1
     return {
         "dropped_files": dropped_files,
+        "skipped_young_files": skipped_young,
         "dropped_manifests": dropped_manifests,
         "kept_versions": keep,
     }
@@ -397,10 +520,11 @@ def committed_epochs(
     spark: SparkSession, path: str, stream_id: str
 ) -> set:
     """Epoch ids a streaming sink has already committed to the table
-    at ``path`` under ``stream_id`` — the idempotence ledger
-    :func:`prql_spark.streaming.pipeline.stream_append_snapshot`
-    consults to turn foreachBatch's at-least-once into
-    exactly-once-effect. One small-directory listing."""
+    at ``path`` under ``stream_id``, read from the RETAINED
+    manifests. NOTE: after a vacuum trims manifests this set is
+    incomplete — :func:`stream_high_water` (which every commit
+    carries forward) is the vacuum-safe check the streaming sink
+    actually uses; this remains for inspection/debugging."""
     fs, jvm = _fs(spark, path)
     base = path.rstrip("/")
     out = set()
@@ -409,6 +533,32 @@ def committed_epochs(
         if m.get("stream_id") == stream_id and "epoch" in m:
             out.add(m["epoch"])
     return out
+
+
+def stream_high_water(
+    spark: SparkSession, path: str, stream_id: str
+) -> int:
+    """Highest epoch any commit recorded for ``stream_id`` at
+    ``path``, or -1 when none. This is the exactly-once replay check
+    that SURVIVES :func:`vacuum_snapshot`: every commit folds its
+    parent's per-stream high-water map into its own manifest, so the
+    latest manifest alone knows every stream's high water even after
+    older manifests (the per-epoch ledger rows) are vacuumed away.
+    foreachBatch epochs are monotonic per checkpoint and commit in
+    order, so ``epoch <= high_water`` ⇔ already committed. Retained
+    per-manifest ``(stream_id, epoch)`` rows are ALSO scanned, which
+    covers tables written before the ``streams`` map existed."""
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    hw = -1
+    for v in _versions(fs, jvm, base):
+        m = _load_manifest(fs, jvm, base, v)
+        if m.get("stream_id") == stream_id and "epoch" in m:
+            hw = max(hw, int(m["epoch"]))
+        s = m.get("streams") or {}
+        if stream_id in s:
+            hw = max(hw, int(s[stream_id]))
+    return hw
 
 
 def snapshot_changes(
@@ -505,16 +655,20 @@ def attach_stats(
 ) -> dict:
     """Collect per-file [min, max] footer stats for ``cols`` on the
     given version's files and commit them as a new manifest version
-    (operation ``stats`` — the FILE LIST is unchanged, so
-    `snapshot_changes` crosses it safely and time travel still
-    reads identical content).
+    (operation ``stats``). The commit always REBASES onto the
+    current head: its file list is the head's file list (stats
+    merged in by path), so `snapshot_changes` crosses it safely,
+    time travel still reads identical content, and a commit that
+    raced in between is never rolled back — its files stay in the
+    table (they just carry no stats until re-attached).
 
     Stats power :func:`snapshot_scan`'s driver-side file skipping.
     Collection is footer-only (no data pages); local-filesystem
-    paths are read directly via pyarrow — on remote stores collect
-    at write time from a local staging copy, or skip (scan falls
-    back to reading every file). Combine with the z-order writer:
-    clustered layout → tight per-file ranges → most files skip.
+    paths are read directly via pyarrow — on remote stores use
+    ``snapshot_write(stats_cols=...)`` instead, which collects exact
+    stats executor-side at write time on any filesystem. Combine
+    with the z-order writer: clustered layout → tight per-file
+    ranges → most files skip.
     """
     fs, jvm = _fs(spark, path)
     base = path.rstrip("/")
@@ -530,30 +684,44 @@ def attach_stats(
             f"scheme {scheme!r} — collect stats from a staging copy"
         )
     local_base = jvm.org.apache.hadoop.fs.Path(base).toUri().getPath()
-    n_ok = 0
-    files = []
+    stats_by_path: dict[str, dict] = {}
     for f in m["files"]:
         st = _file_stats(f"{local_base}/{f['path']}", cols)
-        nf = dict(f)
         if st is not None:
-            nf["stats"] = {**nf.get("stats", {}), **st}
-            n_ok += 1
-        files.append(nf)
-    manifest = {
-        **m,
-        "files": files,
-        "operation": "stats",
-        "parent": v,
-    }
+            stats_by_path[f["path"]] = st
+    # Publish on top of the CURRENT head, never on version v's file
+    # list: a concurrent commit (or an explicit older ``version=``)
+    # means v's list is stale, and re-publishing it would silently
+    # drop the newer commit's files from the table head (an
+    # unintended rollback). Stats are keyed by file path, so they
+    # attach to whatever subset of v's files the head still
+    # references; files the head added since v simply carry no
+    # stats (scans read them — safe).
     for _ in range(20):
         seen = _versions(fs, jvm, base)
-        nv = seen[-1] + 1
-        manifest["version"] = nv
+        head = seen[-1]
+        hm = m if head == v else _load_manifest(fs, jvm, base, head)
+        n_ok = 0
+        files = []
+        for f in hm["files"]:
+            nf = dict(f)
+            st = stats_by_path.get(f["path"])
+            if st is not None:
+                nf["stats"] = {**nf.get("stats", {}), **st}
+                n_ok += 1
+            files.append(nf)
+        manifest = {
+            **hm,
+            "files": files,
+            "operation": "stats",
+            "parent": head,
+            "version": head + 1,
+        }
         if _write_text_atomic(
             fs, jvm, f"{base}/{_MANIFEST_DIR}",
-            f"v{nv:010d}.json", json.dumps(manifest),
+            f"v{head + 1:010d}.json", json.dumps(manifest),
         ):
-            return {"version": nv, "files_with_stats": n_ok,
+            return {"version": head + 1, "files_with_stats": n_ok,
                     "n_files": len(files)}
     raise RuntimeError(f"attach_stats: lost commit races at {path!r}")
 
@@ -635,12 +803,20 @@ def snapshot_restore(
     m = _load_manifest(fs, jvm, base, version)
     for _ in range(20):
         latest = _versions(fs, jvm, base)[-1]
+        # restore rolls back DATA, never the exactly-once ledger: the
+        # head's per-stream high-water map is merged forward (max per
+        # stream), else a replayed epoch would re-append post-restore
+        lm = _load_manifest(fs, jvm, base, latest)
+        streams = dict(m.get("streams") or {})
+        for sid, ep in (lm.get("streams") or {}).items():
+            streams[sid] = max(int(ep), streams.get(sid, -1))
         manifest = {
             **m,
             "version": latest + 1,
             "parent": latest,
             "operation": "restore",
             "restored_from": version,
+            "streams": streams,
         }
         if _write_text_atomic(
             fs, jvm, f"{base}/{_MANIFEST_DIR}",

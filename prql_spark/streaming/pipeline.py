@@ -374,12 +374,17 @@ def stream_append_snapshot(
       unreferenced (readers never see them; vacuum reclaims), and
       the replay commits cleanly;
     * batch committed but died BEFORE the checkpoint advanced → the
-      replayed epoch is found in the manifest ledger
-      (:func:`committed_epochs`) and skipped — no duplicate rows,
-      ever. The upsert sink gets idempotence from key-overwrite
-      semantics; this one needs none of that, so it works for
-      APPEND-shaped streams (immutable event logs) where upsert
-      semantics would be wrong.
+      replayed epoch is at-or-below the stream's high-water mark
+      (:func:`prql_spark.sources.manifest.stream_high_water` — every
+      commit carries the per-stream high-water map forward, so the
+      check survives vacuum trimming old manifests) and is skipped —
+      no duplicate rows, ever. The upsert sink gets idempotence from
+      key-overwrite semantics; this one needs none of that, so it
+      works for APPEND-shaped streams (immutable event logs) where
+      upsert semantics would be wrong. The table probe and ledger
+      read go through Hadoop's FileSystem API (NOT ``os.path``), so
+      the exactly-once contract holds on hdfs:// and s3a:// paths,
+      not just local ones.
 
     The ledger is keyed by ``(stream_id, epoch)``, which is exact
     for same-checkpoint replays (the failure mode that actually
@@ -394,19 +399,23 @@ def stream_append_snapshot(
     drained (test / bounded-backfill shape).
     """
     from prql_spark.sources.manifest import (
-        committed_epochs,
+        _fs,
         snapshot_write,
+        stream_high_water,
     )
 
     sid = stream_id or checkpoint or "default"
 
     def _append(batch_df: DataFrame, epoch_id: int) -> None:
-        import os
-
-        if os.path.isdir(os.path.join(path, "_manifests")):
-            if epoch_id in committed_epochs(
-                batch_df.sparkSession, path, sid
-            ):
+        sess = batch_df.sparkSession
+        fs, jvm = _fs(sess, path)
+        mdir = jvm.org.apache.hadoop.fs.Path(
+            f"{path.rstrip('/')}/_manifests"
+        )
+        if fs.exists(mdir):
+            # epochs are monotonic per checkpoint and commit in
+            # order, so at-or-below high water ⇔ already committed
+            if epoch_id <= stream_high_water(sess, path, sid):
                 return  # replayed batch: already committed
         if batch_df.isEmpty():
             return

@@ -73,7 +73,7 @@ def test_vacuum_deletes_only_unreferenced(spark, tmp_path):
     snapshot_write(spark.range(1000).repartition(8), path)
     compact_snapshot(spark, path, target_mb=256)  # v2: 1 file
     snapshot_write(spark.range(50), path, mode="append")  # v3
-    res = vacuum_snapshot(spark, path, keep_versions=2)
+    res = vacuum_snapshot(spark, path, keep_versions=2, min_age_s=0)
     assert res["kept_versions"] == [2, 3]
     assert res["dropped_files"] == 8  # v1's fragments only
     # retained versions still read perfectly
@@ -336,7 +336,7 @@ def test_manifest_matches_model_under_random_ops(spark, tmp_path_factory, ops):
             if not model:
                 continue
             keep = sorted(retained)[-arg:]
-            vacuum_snapshot(spark, path, keep_versions=arg)
+            vacuum_snapshot(spark, path, keep_versions=arg, min_age_s=0)
             retained.intersection_update(keep)
     for v in sorted(retained):
         got = sorted(r.id for r in snapshot_read(spark, path, v).collect())
@@ -436,7 +436,7 @@ def test_validate_snapshot_fsck(spark, tmp_path):
     assert rep["ok"] and rep["versions"] == [1, 2]
 
     # vacuum keeps the chain valid
-    vacuum_snapshot(spark, path, keep_versions=1)
+    vacuum_snapshot(spark, path, keep_versions=1, min_age_s=0)
     assert validate_snapshot(spark, path)["ok"]
 
     # corrupt: delete one referenced data file
@@ -453,3 +453,147 @@ def test_validate_snapshot_fsck(spark, tmp_path):
         f.write(b"x")
     rep = validate_snapshot(spark, path)
     assert m["files"][1]["path"] in rep["size_mismatches"]
+
+
+# ------------------------------------------------------------------
+# round-9 hardenings: commit-race rebase, vacuum grace window,
+# write-time stats, vacuum-surviving exactly-once ledger, local
+# rename contract
+# ------------------------------------------------------------------
+
+
+def test_attach_stats_rebases_onto_head_never_rolls_back(spark, tmp_path):
+    """A stats commit racing (or explicitly targeting) an older
+    version must publish the HEAD's file list with stats merged in by
+    path — republishing the stale list would silently drop the newer
+    commit's files (unintended rollback / data loss)."""
+    from prql_spark.sources.manifest import attach_stats
+
+    path = str(tmp_path / "rebase")
+    snapshot_write(spark.range(100).coalesce(2), path)            # v1
+    snapshot_write(spark.range(100, 150), path, mode="append")    # v2
+    # stats computed for v1's files, commit lands on top of v2
+    res = attach_stats(spark, path, ("id",), version=1)
+    assert res["version"] == 3
+    assert res["files_with_stats"] == 2  # v1's two files only
+    # the append's rows survived the stats commit
+    assert _ids(snapshot_read(spark, path)) == list(range(150))
+    m = json.load(open(os.path.join(path, "_manifests", f"v{3:010d}.json")))
+    with_stats = [f for f in m["files"] if "stats" in f]
+    without = [f for f in m["files"] if "stats" not in f]
+    assert len(with_stats) == 2 and len(without) >= 1
+
+
+def test_vacuum_grace_window_protects_staged_commit(spark, tmp_path):
+    """Unreferenced-but-YOUNG files are a concurrent writer's staged
+    commit until proven otherwise: vacuum must skip them inside the
+    grace window and reap them only when old (or min_age_s=0)."""
+    import glob as _g
+    import time
+
+    path = str(tmp_path / "grace")
+    snapshot_write(spark.range(100).coalesce(1), path)   # v1
+    snapshot_write(spark.range(5).coalesce(1), path)     # v2 overwrite
+    # v1's file is unreferenced under keep_versions=1 but freshly
+    # written — the default grace window must protect it
+    res = vacuum_snapshot(spark, path, keep_versions=1)
+    assert res["dropped_files"] == 0
+    assert res["skipped_young_files"] >= 1
+    v1_files = _g.glob(os.path.join(path, "data", "*", "*.parquet"))
+    assert len(v1_files) == 2  # both commits' files still on disk
+    # age the orphan out of the window -> reaped
+    old = time.time() - 7200
+    for f in _g.glob(os.path.join(path, "data", "*", "*")):
+        os.utime(f, (old, old))
+    res = vacuum_snapshot(spark, path, keep_versions=1)
+    assert res["dropped_files"] == 1
+    assert _ids(snapshot_read(spark, path)) == list(range(5))
+
+
+def test_write_time_stats_power_file_skipping(spark, tmp_path):
+    """snapshot_write(stats_cols=...) embeds exact per-file ranges at
+    commit time — no separate attach_stats pass — and snapshot_scan
+    prunes on them. Runs against a scheme-qualified file:// path to
+    pin that the whole path goes through Hadoop's FS API (object
+    stores use the same code), where driver-side attach_stats cannot."""
+    from prql_spark.sources.manifest import snapshot_scan
+
+    path = "file://" + str(tmp_path / "wstats")
+    df = spark.range(16000).withColumn("v", F.col("id") * 2)
+    snapshot_write(
+        df.repartitionByRange(16, "id").sortWithinPartitions("id"),
+        path, stats_cols=("id",),
+    )
+    out = snapshot_scan(spark, path, "id", lo=4000, hi=4999)
+    assert sorted(r.id for r in out.collect()) == list(range(4000, 5000))
+    n_input_files = out.select(
+        F.input_file_name().alias("f")
+    ).distinct().count()
+    assert n_input_files <= 3  # skipped ~14 of 16 files
+    # appends keep the parent's stats and add their own
+    snapshot_write(
+        spark.createDataFrame([(99999, 0)], "id long, v long"),
+        path, mode="append", stats_cols=("id",),
+    )
+    out2 = snapshot_scan(spark, path, "id", lo=99000)
+    assert [r.id for r in out2.collect()] == [99999]
+    assert out2.select(
+        F.input_file_name().alias("f")
+    ).distinct().count() == 1
+
+
+def test_stream_high_water_survives_vacuum_and_restore(spark, tmp_path):
+    """The exactly-once ledger must outlive manifest retention: every
+    commit carries the per-stream high-water map forward, so the
+    latest manifest alone answers the replay check after a vacuum —
+    and a data restore never rolls the ledger back."""
+    from prql_spark.sources.manifest import (
+        committed_epochs,
+        snapshot_restore,
+        stream_high_water,
+    )
+
+    path = str(tmp_path / "hw")
+    snapshot_write(
+        spark.range(10), path, mode="append",
+        extra={"stream_id": "s1", "epoch": 0},
+    )
+    snapshot_write(
+        spark.range(10, 20), path, mode="append",
+        extra={"stream_id": "s1", "epoch": 1},
+    )
+    assert stream_high_water(spark, path, "s1") == 1
+    vacuum_snapshot(spark, path, keep_versions=1, min_age_s=0)
+    # the per-epoch ledger rows are gone…
+    assert committed_epochs(spark, path, "s1") == {1}
+    # …but the high water is carried in the retained manifest
+    assert stream_high_water(spark, path, "s1") == 1
+    assert stream_high_water(spark, path, "other") == -1
+    # an overwrite (no stream keys) still carries the map forward
+    snapshot_write(spark.range(3), path)
+    assert stream_high_water(spark, path, "s1") == 1
+    # restore rolls back data, never the ledger
+    v = max(
+        r.version for r in snapshot_history(spark, path).collect()
+    )
+    snapshot_restore(spark, path, v - 1)
+    assert stream_high_water(spark, path, "s1") == 1
+
+
+def test_local_rename_refuses_existing_destination(spark, tmp_path):
+    """Pin the commit-point contract on the local filesystem: a
+    second publish of the SAME version name must lose (return False)
+    — Hadoop's RawLocalFileSystem rename refuses an existing
+    destination, so the loser of a race cannot clobber the winner's
+    manifest (the module docstring's honesty depends on this)."""
+    from prql_spark.sources.manifest import _fs, _write_text_atomic
+
+    base = str(tmp_path / "atomic")
+    os.makedirs(base)
+    fs, jvm = _fs(spark, base)
+    assert _write_text_atomic(fs, jvm, base, "v1.json", '{"a": 1}')
+    assert not _write_text_atomic(fs, jvm, base, "v1.json", '{"a": 2}')
+    with open(os.path.join(base, "v1.json")) as f:
+        assert json.load(f) == {"a": 1}  # winner's content intact
+    # the loser's tmp stage was cleaned up
+    assert [n for n in os.listdir(base) if n.endswith(".tmp")] == []

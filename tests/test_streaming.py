@@ -603,3 +603,59 @@ def test_stream_rollup_to_snapshot_lakehouse_path(spark, events_dir, tmp_path):
     # the stream's trailing windows (never closed by the watermark)
     # are the only ones allowed to be absent
     assert set(got) <= set(batch)
+
+
+def test_stream_append_snapshot_scheme_path_and_vacuum_replay(
+    spark, tmp_path
+):
+    """Two exactly-once regressions pinned (round-9 ADVICE): (1) the
+    ledger probe goes through Hadoop's FS API, so a scheme-qualified
+    table path (file://, standing in for hdfs/s3a) still detects
+    replays — os.path.isdir would silently never match; (2) the
+    replay check survives a vacuum that trimmed the per-epoch
+    manifests, because every commit carries the per-stream
+    high-water map forward."""
+    import os
+
+    from prql_spark.sources.manifest import (
+        snapshot_history,
+        snapshot_read,
+        vacuum_snapshot,
+    )
+
+    landing = str(tmp_path / "landing")
+    table = "file://" + str(tmp_path / "table")  # NOT an os.path
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    spark.range(0, 50).coalesce(1).write.parquet(
+        os.path.join(landing, "a")
+    )
+    spark.range(50, 90).coalesce(1).write.parquet(
+        os.path.join(landing, "b")
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(landing, "*"))
+        )
+
+    sp.stream_append_snapshot(
+        stream(), table, checkpoint=ckpt, stream_id="s1"
+    )
+    got = sorted(r.id for r in snapshot_read(spark, table).collect())
+    assert got == list(range(90))
+    n_versions = snapshot_history(spark, table).count()
+    assert n_versions >= 2  # one commit per micro-batch
+
+    # trim the per-epoch ledger manifests, then force a full replay
+    vacuum_snapshot(spark, table, keep_versions=1, min_age_s=0)
+    shutil.rmtree(ckpt)
+    sp.stream_append_snapshot(
+        stream(), table, checkpoint=str(tmp_path / "ckpt2"),
+        stream_id="s1",
+    )
+    got = sorted(r.id for r in snapshot_read(spark, table).collect())
+    assert got == list(range(90))  # zero duplicate rows
+    assert snapshot_history(spark, table).count() == 1  # no new commits
