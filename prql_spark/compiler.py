@@ -183,6 +183,10 @@ class Compiler:
         self.frame: str | None = None
         # 'wrap': agg/window funcs get OVER(...); 'agg': plain agg SQL
         self.window_mode = "wrap"
+        # manifest table just loaded by `from` and not yet transformed
+        # past filters — sargable filter bounds re-plan its scan
+        # through manifest file-skipping (see _manifest_pushdown)
+        self._manifest_from: str | None = None
 
     # -------------------------------------------------- dialect seam
     # (sql_backend.SqlCompiler overrides these to emit DuckDB/ANSI
@@ -307,6 +311,11 @@ class Compiler:
         if not isinstance(step, FuncCall):
             raise PrqlCompileError(f"pipeline step is not a transform: {step}")
         name = step.name
+        if name != "filter":
+            # any transform other than a filter consumes the pristine
+            # manifest scan (columns may be renamed/derived past it);
+            # t_from re-arms for the next manifest source
+            self._manifest_from = None
         if name in TRANSFORMS:
             getattr(self, f"t_{name}")(step)
         elif name in self.funcs:
@@ -368,6 +377,13 @@ class Compiler:
             self.scope[f"{alias}.{c}"] = c
             if alias != tname:
                 self.scope[f"{tname}.{c}"] = c
+        # arm manifest file-skipping pushdown: only for the DataFrame
+        # engine (the SQL-text backend just emits text) and only for
+        # tables the catalog resolved through a manifest
+        if isinstance(self.df, DataFrame) and tname in getattr(
+            self.catalog, "_manifest_paths", {}
+        ):
+            self._manifest_from = tname
 
     def _table_ref(self, step: FuncCall) -> tuple[str, str]:
         assigns = step.named.get("_assigns") or []
@@ -454,7 +470,106 @@ class Compiler:
             keep = [c for c in self.df.columns if c != tmp]
             self.r_select([(c, self._qi(c)) for c in keep])
             return
+        if self._manifest_from is not None:
+            self._manifest_pushdown(step.args[0])
         self.r_filter(ce.sql)
+
+    def _manifest_pushdown(self, cond) -> None:
+        """Route a sargable filter straight after ``from`` on a
+        manifest table through manifest file-skipping: extract
+        conservative [lo, hi] bounds per column from the condition's
+        AST and re-plan the scan over only the files whose manifest
+        stats can overlap them (100 TB lever: a selective range
+        predicate on a stats-covered, clustered column opens
+        O(matching) files instead of every file). The EXACT original
+        predicate is still applied by the caller, so correctness
+        never depends on stats coverage; when nothing prunes, the
+        original plan is kept unchanged."""
+        bounds = self._filter_bounds(cond)
+        if not bounds:
+            return
+        pruned = self.catalog.load_pruned(self._manifest_from, bounds)
+        self._manifest_from = None  # one re-plan per source
+        if pruned is not None:
+            self.df = pruned
+
+    def _filter_bounds(self, node) -> dict:
+        """Column → (lo, hi) bounds implied by the condition —
+        conjunctions of ``col <op> literal`` comparisons and
+        ``in lo..hi`` ranges. Anything else contributes nothing
+        (never wrong bounds: unknown shapes are simply not sargable
+        for file skipping). Strict inequalities widen to inclusive
+        bounds (conservative)."""
+        out: dict[str, list] = {}
+        _FLIP = {"<": ">", ">": "<", ">=": "<=", "<=": ">=", "==": "=="}
+
+        def litval(n):
+            if not isinstance(n, Lit):
+                return None
+            if n.kind in ("int", "float", "str", "date"):
+                return n.value
+            if n.kind == "timestamp":
+                # stats store isoformat ("T"-separated); normalize
+                return str(n.value).replace(" ", "T")
+            return None
+
+        def add(colname, op, v):
+            flat = self.scope.get(colname)
+            if flat is None or v is None:
+                return
+            lo, hi = out.get(flat, [None, None])
+            try:
+                if op in (">=", ">", "=="):
+                    lo = v if lo is None else max(lo, v)
+                if op in ("<=", "<", "=="):
+                    hi = v if hi is None else min(hi, v)
+            except TypeError:
+                return  # mixed-type bounds: not sargable
+            out[flat] = [lo, hi]
+
+        def walk(n):
+            if isinstance(n, ExprPipeline):
+                # fold `(x | in a..b)` into FuncCall("in", [rng, x]),
+                # mirroring _expr_pipeline
+                cur = n.steps[0]
+                for stp in n.steps[1:]:
+                    if isinstance(stp, Ident):
+                        stp = FuncCall(stp.name, [], {})
+                    if not isinstance(stp, FuncCall):
+                        return
+                    cur = FuncCall(stp.name, stp.args + [cur], stp.named)
+                walk(cur)
+                return
+            if isinstance(n, Binary) and n.op == "and":
+                walk(n.left)
+                walk(n.right)
+                return
+            if isinstance(n, Binary) and n.op in _FLIP:
+                if isinstance(n.left, Ident):
+                    add(n.left.name, n.op, litval(n.right))
+                elif isinstance(n.right, Ident):
+                    add(n.right.name, _FLIP[n.op], litval(n.left))
+                return
+            # `value | in lo..hi` parses as FuncCall("in", [range, value])
+            if (
+                isinstance(n, FuncCall)
+                and n.name == "in"
+                and len(n.args) == 2
+                and isinstance(n.args[0], RangeLit)
+                and isinstance(n.args[1], Ident)
+            ):
+                rng = n.args[0]
+                col = n.args[1].name
+                if rng.start is not None:
+                    add(col, ">=", litval(rng.start))
+                if rng.end is not None:
+                    add(col, "<=", litval(rng.end))
+
+        walk(node)
+        return {
+            k: (lo, hi) for k, (lo, hi) in out.items()
+            if lo is not None or hi is not None
+        }
 
     # -- aggregate (top level; group-level handled in t_group)
     def t_aggregate(self, step: FuncCall, keys: list[str] | None = None):

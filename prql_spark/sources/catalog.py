@@ -50,6 +50,9 @@ class Catalog:
         self.options = options
         self.broadcast_names = set(broadcast)
         self._registered: dict[str, DataFrame] = {}
+        # manifest tables seen by load() — the PRQL compiler asks for
+        # these to route sargable filters through file-skipping reads
+        self._manifest_paths: dict[str, str] = {}
 
     def register(self, name: str, df: DataFrame, broadcast: bool = False):
         self._registered[name] = df
@@ -71,6 +74,7 @@ class Catalog:
             if os.path.isdir(os.path.join(alt, "_manifests")):
                 from prql_spark.sources.manifest import snapshot_read
 
+                self._manifest_paths[name] = alt
                 return snapshot_read(self.spark, alt, version)
             if os.path.exists(alt):
                 path = alt
@@ -138,3 +142,22 @@ class Catalog:
 
     def is_broadcast(self, name: str) -> bool:
         return name in self.broadcast_names
+
+    def load_pruned(self, name: str, bounds: dict):
+        """Manifest-table FILE-SKIPPING load for predicate pushdown:
+        re-plan ``name``'s latest version keeping only files whose
+        manifest [min, max] stats can overlap every bound in
+        ``bounds`` (``{col: (lo, hi)}``). Returns the pruned
+        DataFrame, or None when ``name`` is not a manifest table or
+        nothing was actually pruned (caller keeps its original
+        plan). The caller MUST still apply its exact predicate —
+        pruning is conservative, not exact."""
+        path = self._manifest_paths.get(name)
+        if path is None or not bounds:
+            return None
+        from prql_spark.sources.manifest import snapshot_pruned_read
+
+        df, n_kept, n_total = snapshot_pruned_read(
+            self.spark, path, bounds
+        )
+        return df if n_kept < n_total else None

@@ -784,6 +784,60 @@ def snapshot_scan(
     return df
 
 
+def snapshot_pruned_read(
+    spark: SparkSession,
+    path: str,
+    bounds: dict,
+    version: int | None = None,
+):
+    """File-skipping read for PREDICATE PUSHDOWN callers (the PRQL
+    catalog): keep only files whose manifest [min, max] ranges can
+    overlap EVERY bound in ``bounds`` (``{col: (lo, hi)}``, either
+    edge None). Unlike :func:`snapshot_scan` the predicate is NOT
+    applied here — the caller re-applies its exact original filter
+    on top, so pruning only has to be CONSERVATIVE: files lacking
+    stats for a bounded column are kept, and any comparison that
+    fails (type mismatch between a literal and the stored stats)
+    keeps the file. Returns ``(df, n_kept, n_total)`` so the caller
+    can decide whether pruning was worth re-planning."""
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    seen = _versions(fs, jvm, base)
+    if not seen:
+        raise ValueError(f"snapshot_pruned_read: no versions at {path!r}")
+    v = seen[-1] if version is None else version
+    if v not in seen:
+        raise ValueError(
+            f"snapshot_pruned_read: version {v} not in {seen} at {path!r}"
+        )
+    m = _load_manifest(fs, jvm, base, v)
+
+    def overlaps(f) -> bool:
+        st = f.get("stats") or {}
+        for col, (lo, hi) in bounds.items():
+            rng = st.get(col)
+            if rng is None:
+                continue  # no stats for this col: keep (safe)
+            fmin, fmax = rng
+            try:
+                if lo is not None and fmax < _stats_enc(lo):
+                    return False
+                if hi is not None and fmin > _stats_enc(hi):
+                    return False
+            except TypeError:
+                continue  # incomparable literal vs stats: keep
+        return True
+
+    keep = [f"{base}/{f['path']}" for f in m["files"] if overlaps(f)]
+    n_total = len(m["files"])
+    if not keep:
+        return snapshot_read(spark, path, v).limit(0), 0, n_total
+    reader = spark.read
+    if m.get("merge_schema"):
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*keep), len(keep), n_total
+
+
 def snapshot_restore(
     spark: SparkSession, path: str, version: int
 ) -> dict:

@@ -597,3 +597,52 @@ def test_local_rename_refuses_existing_destination(spark, tmp_path):
         assert json.load(f) == {"a": 1}  # winner's content intact
     # the loser's tmp stage was cleaned up
     assert [n for n in os.listdir(base) if n.endswith(".tmp")] == []
+
+
+def test_prql_filter_pushdown_into_file_skipping(spark, tmp_path):
+    """PRQL `from tbl | filter k >= a and k <= b` over a
+    stats-covered manifest table must open only the files whose
+    manifest ranges overlap — the declarative path gets the same
+    100 TB file-skipping lever as the Python snapshot_scan API.
+    Non-sargable predicates and pipelines that transform before
+    filtering stay on the unpruned plan, always exact."""
+    from prql_spark import compile_prql
+    from prql_spark.sources.catalog import Catalog
+
+    snapshot_write(
+        spark.range(16000).withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k") * 2)
+        .repartitionByRange(16, "k").sortWithinPartitions("k"),
+        str(tmp_path / "mt"), stats_cols=("k",),
+    )
+    cat = Catalog(spark, str(tmp_path))
+
+    def n_files(df):
+        # plan-level: the files the scan would OPEN (inputFiles),
+        # not just the files whose rows survive the filter
+        return len(df.inputFiles())
+
+    out = compile_prql("from mt\nfilter k >= 4000 and k <= 4999", cat)
+    assert sorted(r.k for r in out.collect()) == list(range(4000, 5000))
+    assert n_files(out) <= 3  # skipped ~14 of 16 files
+
+    # range-membership form prunes the same way
+    out2 = compile_prql("from mt\nfilter (k | in 100..199)", cat)
+    assert out2.count() == 100
+    assert n_files(out2) <= 3
+
+    # filter through an alias still resolves the column
+    out3 = compile_prql("from t = mt\nfilter t.k < 1000", cat)
+    assert out3.count() == 1000
+    assert n_files(out3) <= 3
+
+    # non-sargable predicate: exact, unpruned
+    out4 = compile_prql("from mt\nfilter k % 4000 == 0", cat)
+    assert sorted(r.k for r in out4.collect()) == [0, 4000, 8000, 12000]
+    assert n_files(out4) == 16
+
+    # a derive between from and filter disables pushdown, stays exact
+    out5 = compile_prql(
+        "from mt\nderive k2 = k + 0\nfilter k2 >= 15000", cat
+    )
+    assert out5.count() == 1000
