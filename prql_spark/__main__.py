@@ -65,6 +65,16 @@ def _table_mode(args) -> int:
             print(json.dumps(rep))
             if not rep["ok"]:
                 return 1
+        if args.partitions:
+            from prql_spark.sources.manifest import snapshot_partitions
+
+            for r in snapshot_partitions(spark, args.partitions).collect():
+                print(json.dumps(r.asDict()))
+        if args.delete_where:
+            from prql_spark.sources.manifest import delete_snapshot
+
+            path, pred = args.delete_where
+            print(json.dumps(delete_snapshot(spark, path, pred)))
     except (ValueError, IOError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -187,6 +197,16 @@ def main(argv: list[str] | None = None) -> int:
         help="versions to retain with --vacuum (default 2)",
     )
     tbl.add_argument(
+        "--partitions", metavar="PATH",
+        help="print the partition list of a partitioned "
+        "manifest-committed dataset (from the manifest — no listing)",
+    )
+    tbl.add_argument(
+        "--delete-where", nargs=2, metavar=("PATH", "PREDICATE"),
+        help="row-level DELETE from a manifest-committed dataset "
+        "(copy-on-write: only files containing matches rewrite)",
+    )
+    tbl.add_argument(
         "--min-age-s", type=float, default=3600.0,
         help="--vacuum grace window: unreferenced files younger than "
         "this are kept (a concurrent writer's staged commit); 0 "
@@ -196,7 +216,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if (
         args.layout or args.compact or args.history or args.vacuum
-        or args.fsck
+        or args.fsck or args.partitions or args.delete_where
     ):
         return _table_mode(args)
 

@@ -29,8 +29,23 @@ to this engine:
 Layout::
 
     <path>/data/<commit-id>/part-*.parquet   immutable once published
+    <path>/data/<commit-id>/<col>=<v>/part-*.parquet  (partitioned)
     <path>/_manifests/v{N:010d}.json         one per version
     <path>/_manifests/.v{N}.json.tmp         stage, renamed into place
+
+Partition specs (``snapshot_write(partition_by=...)``): files land in
+hive-style ``col=value`` directories INSIDE the commit dir, and each
+file's partition values are recorded in the manifest — both as a
+``partition`` dict (powers :func:`snapshot_partitions`, the
+SHOW PARTITIONS that never lists directories) and as degenerate
+``[v, v]`` entries in the file's ``stats`` map, so every existing
+pruning consumer (:func:`snapshot_scan`, :func:`snapshot_pruned_read`,
+the PRQL predicate pushdown) prunes on partition columns with zero
+extra machinery. Partition stats are parsed from the staged paths
+driver-side (typed via the writer's schema) — no extra Spark job per
+commit. Reads restore partition columns per commit directory
+(``basePath`` + the manifest's ordered schema, so types match the
+writer exactly and never depend on path inference).
 
 All filesystem access goes through Hadoop's FileSystem API, so
 READS (planning, time travel, history, fsck) behave identically on
@@ -58,11 +73,77 @@ from __future__ import annotations
 
 import json
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hidden(name: str) -> bool:
+    """Spark's hidden-path rule for data trees: underscore/dot
+    prefixes are writer metadata (_SUCCESS, .crc, staged tmp dirs) —
+    EXCEPT the hive NULL-partition directory, which is real data."""
+    return name.startswith(("_", ".")) and name != _HIVE_NULL
+
+
+def _hidden_rel(rel: str) -> bool:
+    return any(_hidden(c) for c in rel.split("/"))
+
+
+# partition-path value parsers by Spark simpleString type. Types not
+# listed get NO stats entry (display-only partition value) — pruning
+# on them is simply skipped, never wrong.
+_PART_PARSERS = {
+    "tinyint": int,
+    "smallint": int,
+    "int": int,
+    "bigint": int,
+    "float": float,
+    "double": float,
+    "boolean": lambda s: s.lower() == "true",
+    "string": lambda s: s,
+    "date": lambda s: s,  # hive path is ISO, same as _stats_enc
+    # hive path uses a space separator; stats compare isoformat
+    "timestamp": lambda s: s.replace(" ", "T"),
+    "timestamp_ntz": lambda s: s.replace(" ", "T"),
+}
+
+
+def _parse_partition(
+    rel_inside_commit: str, types: dict
+) -> tuple[dict, set]:
+    """``a=1/b=x%3Ay/part-0.parquet`` → ``({"a": ..., "b": ...},
+    stats_ok)`` with values typed via the writer's schema
+    (``types``: col → simpleString). Hive-escaped chars are
+    unquoted; the hive NULL dir maps to None. ``stats_ok`` names the
+    columns whose value is safe to use as a pruning bound — typed by
+    a known parser (a raw-string fallback for an unlisted type like
+    decimal is display-only: lexicographic bounds on it could prune
+    wrongly)."""
+    out: dict = {}
+    stats_ok: set = set()
+    for seg in rel_inside_commit.split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, raw = seg.partition("=")
+        k = unquote(k)
+        if raw == _HIVE_NULL:
+            out[k] = None
+            continue
+        v = unquote(raw)
+        parser = _PART_PARSERS.get(types.get(k, ""))
+        if parser is not None:
+            try:
+                out[k] = parser(v)
+                stats_ok.add(k)
+                continue
+            except ValueError:
+                pass
+        out[k] = v
+    return out, stats_ok
 
 
 def _fs(spark: SparkSession, path: str):
@@ -142,7 +223,9 @@ def _stats_enc(v):
     return v
 
 
-def _staged_stats(spark, data_dir: str, staged: list, cols: tuple) -> int:
+def _staged_stats(
+    spark, data_dir: str, staged: list, cols: tuple, schema=None
+) -> int:
     """Exact per-file [min, max] for ``cols`` over the just-staged
     files, attached into ``staged`` in place; returns the number of
     files that got stats.
@@ -162,13 +245,23 @@ def _staged_stats(spark, data_dir: str, staged: list, cols: tuple) -> int:
     for c in cols:
         aggs.append(F.min(F.col(c)).alias(f"mn_{c}"))
         aggs.append(F.max(F.col(c)).alias(f"mx_{c}"))
+    reader = spark.read
+    if schema is not None:
+        # partitioned commit dir: basePath + the writer's exact
+        # schema restore the partition columns with the writer's
+        # types (never path inference)
+        reader = reader.schema(schema).option("basePath", data_dir)
     rows = (
-        spark.read.parquet(data_dir)
+        reader.parquet(data_dir)
         .groupBy(F.input_file_name().alias("f"))
         .agg(*aggs)
         .collect()
     )
-    by_name: dict[str, dict] = {}
+    # key on the path RELATIVE to the commit dir, not the basename:
+    # a partitioned write reuses part-file names across partition
+    # directories (one task, many partitions), so basenames collide
+    marker = "/" + data_dir.rstrip("/").rsplit("/", 1)[1] + "/"
+    by_rel: dict[str, dict] = {}
     for r in rows:
         st = {}
         for c in cols:
@@ -178,14 +271,80 @@ def _staged_stats(spark, data_dir: str, staged: list, cols: tuple) -> int:
             if lo is not None and hi is not None:
                 st[c] = [_stats_enc(lo), _stats_enc(hi)]
         if st:
-            by_name[r["f"].rsplit("/", 1)[1]] = st
+            by_rel[unquote(r["f"].split(marker, 1)[1])] = st
     n_ok = 0
     for f in staged:
-        st = by_name.get(f["path"].rsplit("/", 1)[1])
+        rel = f["path"].split("/", 2)[2]  # after data/<commit>/
+        st = by_rel.get(rel)
         if st:
-            f["stats"] = st
+            f["stats"] = {**f.get("stats", {}), **st}
             n_ok += 1
     return n_ok
+
+
+def _stage_commit(
+    df: DataFrame,
+    base: str,
+    fs,
+    jvm,
+    partition_by: tuple,
+    col_types: dict,
+    stats_cols: tuple | None,
+) -> tuple[str, list]:
+    """Write ``df``'s files into a fresh ``data/<commit>/`` dir and
+    return ``(commit_id, staged file entries)`` — relative paths,
+    sizes, partition values (parsed from the hive paths, typed via
+    the writer's schema) and optional write-time column stats. The
+    commit is INVISIBLE until a manifest referencing it is published;
+    a writer that dies here leaves only unreferenced files (vacuum
+    reclaims them after the grace window)."""
+    spark = df.sparkSession
+    commit_id = uuid.uuid4().hex[:16]
+    data_dir = f"{base}/{_DATA_DIR}/{commit_id}"
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
+
+    # relative paths of the freshly staged files (partitioned writes
+    # nest them under col=value dirs — keep the FULL relative path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    data_prefix = Path(data_dir).toUri().getPath()
+    staged = []
+    it = fs.listFiles(Path(data_dir), True)
+    while it.hasNext():
+        st = it.next()
+        rel = st.getPath().toUri().getPath()[len(data_prefix):]
+        rel = rel.lstrip("/")
+        if _hidden_rel(rel):
+            continue
+        entry = {
+            "path": f"{_DATA_DIR}/{commit_id}/{rel}",
+            "bytes": st.getLen(),
+        }
+        if partition_by:
+            values, ok = _parse_partition(rel, col_types)
+            entry["partition"] = {
+                c: values.get(c) for c in partition_by
+            }
+            stats = {
+                c: [values[c], values[c]]
+                for c in partition_by
+                if c in ok and values.get(c) is not None
+            }
+            if stats:
+                entry["stats"] = stats
+        staged.append(entry)
+
+    if stats_cols:
+        _staged_stats(
+            spark,
+            data_dir,
+            staged,
+            tuple(stats_cols),
+            schema=df.schema if partition_by else None,
+        )
+    return commit_id, staged
 
 
 def snapshot_write(
@@ -196,6 +355,7 @@ def snapshot_write(
     extra: dict | None = None,
     allow_new_columns: bool = False,
     stats_cols: tuple | None = None,
+    partition_by: tuple | None = None,
 ) -> dict:
     """Commit ``df`` as a new version of the dataset at ``path``.
 
@@ -222,10 +382,25 @@ def snapshot_write(
     footer reads of :func:`attach_stats`) and embeds them in the
     manifest, powering :func:`snapshot_scan` file skipping with no
     separate stats commit.
+    ``partition_by`` lays the commit out hive-style
+    (``col=value`` dirs inside the commit dir) and records each
+    file's partition values in the manifest — as a ``partition``
+    dict AND as exact ``[v, v]`` stats, so file skipping and PRQL
+    pushdown prune on partition columns for free (no scan: values
+    are parsed from the staged paths driver-side, typed via the
+    writer's schema). Appends must keep the parent's partitioning;
+    an overwrite may change it.
     Returns ``{"version", "n_files", "operation"}``.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"snapshot_write: unknown mode {mode!r}")
+    partition_by = tuple(partition_by or ())
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"snapshot_write: partition_by columns {missing} not in "
+            f"dataframe columns {df.columns}"
+        )
     spark = df.sparkSession
     fs, jvm = _fs(spark, path)
     base = path.rstrip("/")
@@ -233,30 +408,20 @@ def snapshot_write(
     schema_sig = sorted(
         (f.name, f.dataType.simpleString()) for f in df.schema.fields
     )
-    commit_id = uuid.uuid4().hex[:16]
-    data_dir = f"{base}/{_DATA_DIR}/{commit_id}"
-    df.write.mode("errorifexists").parquet(data_dir)
+    # ordered (name, type): reconstructs the writer's exact schema at
+    # read time (partitioned reads pass it explicitly so partition
+    # column types never depend on path inference)
+    schema_ddl = [
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    ]
+    col_types = dict(schema_ddl)
+    commit_id, staged = _stage_commit(
+        df, base, fs, jvm, partition_by, col_types, stats_cols
+    )
 
-    # relative paths of the freshly staged files
-    Path = jvm.org.apache.hadoop.fs.Path
-    staged = []
-    it = fs.listFiles(Path(data_dir), True)
-    while it.hasNext():
-        st = it.next()
-        name = st.getPath().getName()
-        if name.startswith(("_", ".")):
-            continue
-        staged.append(
-            {
-                "path": f"{_DATA_DIR}/{commit_id}/{name}",
-                "bytes": st.getLen(),
-            }
-        )
-
-    if stats_cols:
-        _staged_stats(spark, data_dir, staged, tuple(stats_cols))
-
-    fs.mkdirs(Path(f"{base}/{_MANIFEST_DIR}"))
+    fs.mkdirs(
+        jvm.org.apache.hadoop.fs.Path(f"{base}/{_MANIFEST_DIR}")
+    )
     for _ in range(max_commit_attempts):
         seen = _versions(fs, jvm, base)
         parent = seen[-1] if seen else None
@@ -270,6 +435,14 @@ def snapshot_write(
             # overwrites), so it survives vacuum trimming manifests
             streams = dict(pm.get("streams") or {})
         if mode == "append" and parent is not None:
+            ppart = tuple(pm.get("partition_by") or ())
+            if ppart != partition_by:
+                raise ValueError(
+                    "snapshot_write: append partitioning mismatch vs "
+                    f"version {parent}: {ppart} != {partition_by} — "
+                    "a version mixing layouts cannot be planned with "
+                    "one partition scheme; overwrite to re-partition"
+                )
             psig = [tuple(p) for p in pm.get("schema", [])]
             if psig and psig != schema_sig:
                 superset = allow_new_columns and set(psig) < set(
@@ -295,6 +468,8 @@ def snapshot_write(
             "operation": mode,
             "commit": commit_id,
             "schema": schema_sig,
+            "schema_ddl": schema_ddl,
+            "partition_by": list(partition_by),
             "merge_schema": merge_schema,
             "streams": streams,
             "files": files,
@@ -316,13 +491,94 @@ def snapshot_write(
     )
 
 
+def _manifest_ddl(m: dict) -> str | None:
+    """The writer's exact schema as a DDL string (ordered), or None
+    for manifests written before ``schema_ddl`` existed."""
+    sd = m.get("schema_ddl")
+    if not sd:
+        return None
+    return ", ".join(f"`{n}` {t}" for n, t in sd)
+
+
+def _plan_read(spark, base: str, m: dict, files=None) -> DataFrame:
+    """Plan a scan of ``files`` (manifest file dicts; default: all of
+    ``m``'s). Plans per COMMIT DIRECTORY, not per file: passing N
+    explicit paths costs Spark one driver-side stat each (~2 ms/file
+    locally, a remote call each on object stores). Commit dirs are
+    immutable, so a dir whose visible data files EQUAL the referenced
+    set is passed as one path — verified with one (recursive) listing
+    per dir, so a hand-planted stray file inside a commit dir still
+    falls back to exact file paths and is never read. Planning is
+    O(#commits), not O(#files).
+
+    Partitioned tables read per commit dir with ``basePath`` (so the
+    ``col=value`` dirs surface as columns) and the manifest's exact
+    ordered schema (types never depend on path inference; with
+    schema evolution, old files null-fill newer columns), then the
+    commits union — plan-level only, no shuffle."""
+    fs, jvm = _fs(spark, base)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if files is None:
+        files = m["files"]
+    # commit dir -> referenced paths relative to it
+    groups: dict[str, set] = {}
+    for f in files:
+        d, cid, rel = f["path"].split("/", 2)
+        groups.setdefault(f"{d}/{cid}", set()).add(rel)
+
+    def visible_rels(full_dir: str) -> set:
+        prefix = Path(full_dir).toUri().getPath()
+        out = set()
+        it = fs.listFiles(Path(full_dir), True)
+        while it.hasNext():
+            st = it.next()
+            rel = st.getPath().toUri().getPath()[len(prefix):]
+            rel = rel.lstrip("/")
+            if not _hidden_rel(rel):
+                out.add(rel)
+        return out
+
+    per_dir: dict[str, list] = {}
+    for d, rels in groups.items():
+        full = f"{base}/{d}"
+        if visible_rels(full) == rels:
+            per_dir[d] = [full]
+        else:
+            per_dir[d] = [f"{full}/{r}" for r in sorted(rels)]
+
+    if not m.get("partition_by"):
+        paths = [p for ps in per_dir.values() for p in ps]
+        reader = spark.read
+        if m.get("merge_schema"):
+            # schema-evolved version: files span schemas; merge so
+            # old files null-fill columns added later
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
+
+    ddl = _manifest_ddl(m)
+    order = [n for n, _t in m["schema_ddl"]]
+    out = None
+    for d, paths in per_dir.items():
+        part_df = (
+            spark.read.schema(ddl)
+            .option("basePath", f"{base}/{d}")
+            .parquet(*paths)
+            # Spark surfaces partition columns LAST regardless of the
+            # user schema's order — restore the writer's order (a
+            # plan-level projection, free)
+            .select(*order)
+        )
+        out = part_df if out is None else out.unionByName(part_df)
+    return out
+
+
 def snapshot_read(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read the dataset at ``path`` as of ``version`` (default: the
-    latest). Plans from the manifest's file list — one listStatus
-    per referenced commit directory (to validate dir-grouped
-    planning), never a recursive data-tree walk."""
+    latest). Plans from the manifest's file list — one listing per
+    referenced commit directory (to validate dir-grouped planning),
+    never a recursive data-tree walk."""
     fs, jvm = _fs(spark, path)
     base = path.rstrip("/")
     seen = _versions(fs, jvm, base)
@@ -339,36 +595,7 @@ def snapshot_read(
         raise ValueError(
             f"snapshot_read: version {version} is empty at {path!r}"
         )
-    # Plan per COMMIT DIRECTORY, not per file: passing N explicit
-    # paths costs Spark one driver-side stat each (~2 ms/file
-    # locally, a remote call each on object stores). Commit dirs are
-    # immutable, so a dir whose visible data files EQUAL the
-    # referenced set can be passed as one path — verified with one
-    # listStatus per dir, so a hand-planted stray file inside a
-    # commit dir still falls back to exact file paths and is never
-    # read. Planning is O(#commits), not O(#files).
-    Path = jvm.org.apache.hadoop.fs.Path
-    groups: dict[str, set] = {}
-    for f in manifest["files"]:
-        d, name = f["path"].rsplit("/", 1)
-        groups.setdefault(d, set()).add(name)
-    paths = []
-    for d, names in groups.items():
-        visible = {
-            s.getPath().getName()
-            for s in fs.listStatus(Path(f"{base}/{d}"))
-            if not s.getPath().getName().startswith(("_", "."))
-        }
-        if visible == names:
-            paths.append(f"{base}/{d}")
-        else:
-            paths.extend(f"{base}/{d}/{n}" for n in sorted(names))
-    reader = spark.read
-    if manifest.get("merge_schema"):
-        # schema-evolved version: files span schemas; merge so old
-        # files null-fill columns added later
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*paths)
+    return _plan_read(spark, base, manifest)
 
 
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
@@ -395,6 +622,53 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def snapshot_partitions(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """One row per partition of the given version (default latest):
+    the partition columns (as strings; NULL for the hive default
+    partition) plus ``n_files`` and ``total_bytes`` — read from the
+    MANIFEST alone. The SHOW PARTITIONS that never lists a
+    directory: at 100 TB / 10k partitions this is one small JSON
+    read, not 10k object-store LISTs. Raises on an unpartitioned
+    table."""
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    seen = _versions(fs, jvm, base)
+    if not seen:
+        raise ValueError(f"snapshot_partitions: no versions at {path!r}")
+    v = seen[-1] if version is None else version
+    if v not in seen:
+        raise ValueError(
+            f"snapshot_partitions: version {v} not in {seen} at {path!r}"
+        )
+    m = _load_manifest(fs, jvm, base, v)
+    pby = list(m.get("partition_by") or ())
+    if not pby:
+        raise ValueError(
+            f"snapshot_partitions: version {v} at {path!r} is not "
+            "partitioned"
+        )
+    agg: dict[tuple, list] = {}
+    for f in m["files"]:
+        pv = f.get("partition") or {}
+        key = tuple(
+            None if pv.get(c) is None else str(pv.get(c)) for c in pby
+        )
+        slot = agg.setdefault(key, [0, 0])
+        slot[0] += 1
+        slot[1] += f["bytes"]
+    rows = [
+        (*key, n, b) for key, (n, b) in sorted(
+            agg.items(), key=lambda kv: tuple(x or "" for x in kv[0])
+        )
+    ]
+    ddl = ", ".join(f"`{c}` STRING" for c in pby)
+    return spark.createDataFrame(
+        rows, f"{ddl}, n_files INT, total_bytes LONG"
+    )
+
+
 def compact_snapshot(
     spark: SparkSession, path: str, target_mb: int = 256
 ) -> dict:
@@ -403,6 +677,11 @@ def compact_snapshot(
     the previous version remains readable (time travel) — there is NO
     deletion window at all. No-op when already at the target count.
     The repack is a narrow ``coalesce`` of a manifest-planned scan.
+
+    A partitioned table keeps its partitioning: rows shuffle once on
+    the partition columns (so each hive dir is written by one task —
+    one file per partition value) and the floor on achievable file
+    count is the partition count, which the no-op check honors.
     """
     import math
 
@@ -414,14 +693,31 @@ def compact_snapshot(
     m = _load_manifest(fs, jvm, base, seen[-1])
     total = sum(f["bytes"] for f in m["files"])
     want = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    pby = tuple(m.get("partition_by") or ())
+    if pby:
+        n_parts = len(
+            {
+                tuple(sorted((f.get("partition") or {}).items()))
+                for f in m["files"]
+            }
+        )
+        want = max(want, n_parts)
     if len(m["files"]) <= want:
         return {"compacted": False, "n_files": len(m["files"])}
-    df = snapshot_read(spark, path).coalesce(want)
+    df = snapshot_read(spark, path)
+    if pby:
+        df = df.repartition(want, *pby)
+    else:
+        df = df.coalesce(want)
     # operation tag "compact" (extra overrides the mode label):
     # history reads honestly, and snapshot_changes rejects crossing
     # it just like any other rewrite
     res = snapshot_write(
-        df, path, mode="overwrite", extra={"operation": "compact"}
+        df,
+        path,
+        mode="overwrite",
+        partition_by=pby or None,
+        extra={"operation": "compact"},
     )
     return {
         "compacted": True,
@@ -480,8 +776,9 @@ def vacuum_snapshot(
                 Path(base).toUri().getPath()
             ):].lstrip("/")
             # hidden entries (_SUCCESS, .crc) are writer metadata,
-            # not data — leave them to their commit directory
-            if any(c.startswith(("_", ".")) for c in rel.split("/")):
+            # not data — leave them to their commit directory. The
+            # hive NULL-partition dir is NOT hidden (real data).
+            if _hidden_rel(rel):
                 continue
             if rel not in referenced:
                 if st.getModificationTime() > cutoff_ms:
@@ -492,14 +789,22 @@ def vacuum_snapshot(
             fs.delete(p, False)
             dropped_files += 1
         # sweep commit directories holding no data files anymore
-        # (only writer metadata like _SUCCESS/.crc remains)
+        # (only writer metadata like _SUCCESS/.crc — or, for
+        # partitioned commits, emptied col=value dirs — remains)
         for st in fs.listStatus(data_root):
             if not st.isDirectory():
                 continue
-            remaining = [
-                s.getPath().getName() for s in fs.listStatus(st.getPath())
-            ]
-            if all(n.startswith(("_", ".")) for n in remaining):
+            dir_prefix = st.getPath().toUri().getPath()
+            it2 = fs.listFiles(st.getPath(), True)
+            empty = True
+            while it2.hasNext():
+                rel2 = (
+                    it2.next().getPath().toUri().getPath()
+                )[len(dir_prefix):].lstrip("/")
+                if not _hidden_rel(rel2):
+                    empty = False
+                    break
+            if empty:
                 fs.delete(st.getPath(), True)
     dropped_manifests = 0
     for v in seen:
@@ -599,14 +904,272 @@ def snapshot_changes(
         f["path"]
         for f in _load_manifest(fs, jvm, base, since_version)["files"]
     }
-    new_files = [
-        f"{base}/{f['path']}"
-        for f in _load_manifest(fs, jvm, base, latest)["files"]
-        if f["path"] not in old
-    ]
+    lm = _load_manifest(fs, jvm, base, latest)
+    new_files = [f for f in lm["files"] if f["path"] not in old]
     if not new_files:
         return snapshot_read(spark, path, latest).limit(0)
-    return spark.read.parquet(*new_files)
+    return _plan_read(spark, base, lm, new_files)
+
+
+def _rel_from_uri(uri: str) -> str:
+    """``input_file_name()`` URI → manifest-relative path
+    (``data/<commit>/...``). The URI percent-encodes raw bytes (a
+    literal ``%`` in a hive-escaped dir name arrives as ``%25``), so
+    one unquote restores the on-disk name the manifest recorded.
+    rsplit: the TABLE's data dir is the last ``/data/`` segment (a
+    base path like ``/mnt/data/tbl`` must not split first; nothing
+    under the commit dir can contain a raw ``/data/`` — commit ids
+    are hex and hive escapes slashes in partition values)."""
+    return _DATA_DIR + "/" + unquote(uri.rsplit(f"/{_DATA_DIR}/", 1)[1])
+
+
+def _table_stats_cols(m: dict, partition_by: tuple) -> tuple | None:
+    """The data columns the table's manifest already carries stats
+    for — merge/delete re-collect these on the files they rewrite,
+    so file-skipping coverage never degrades across row-level
+    commits. (Partition columns are excluded: their [v, v] stats are
+    re-derived from the staged paths for free.)"""
+    cols = sorted(
+        {c for f in m["files"] for c in (f.get("stats") or {})}
+        - set(partition_by)
+    )
+    return tuple(cols) or None
+
+
+def _commit_replacing(
+    spark,
+    path: str,
+    planned: dict,
+    keep_paths: set,
+    staged: list,
+    operation: str,
+) -> dict:
+    """Publish a manifest whose file list is ``planned``'s files
+    minus the replaced ones (``keep_paths`` survivors) plus
+    ``staged`` — the copy-on-write commit primitive under
+    :func:`merge_snapshot` / :func:`delete_snapshot`. If another
+    writer committed since ``planned`` was read, the commit retries
+    ONLY when the head still references exactly the same data files
+    (e.g. a ``stats`` commit landed — kept entries are then taken
+    from the head so fresher stats survive); any real data change
+    raises, because the rewrite was planned against files that are
+    no longer the table — the caller must re-run on the new head
+    (same validation posture as Iceberg's conflict detection)."""
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    planned_paths = [f["path"] for f in planned["files"]]
+    for _ in range(20):
+        seen = _versions(fs, jvm, base)
+        head = seen[-1]
+        hm = (
+            planned
+            if head == planned["version"]
+            else _load_manifest(fs, jvm, base, head)
+        )
+        if [f["path"] for f in hm["files"]] != planned_paths:
+            raise RuntimeError(
+                f"{operation}_snapshot: concurrent commit changed "
+                f"{path!r} (planned against v{planned['version']}, "
+                f"head v{head} references different files) — re-run "
+                "against the new head"
+            )
+        kept = [f for f in hm["files"] if f["path"] in keep_paths]
+        manifest = {
+            **hm,
+            "version": head + 1,
+            "parent": head,
+            "operation": operation,
+            "files": kept + staged,
+        }
+        if _write_text_atomic(
+            fs, jvm, f"{base}/{_MANIFEST_DIR}",
+            f"v{head + 1:010d}.json", json.dumps(manifest),
+        ):
+            return {
+                "version": head + 1,
+                "operation": operation,
+                "n_files_rewritten": len(planned_paths)
+                - len(keep_paths),
+                "n_files_kept": len(kept),
+                "n_files_new": len(staged),
+            }
+    raise RuntimeError(f"{operation}_snapshot: lost commit races at {path!r}")
+
+
+def merge_snapshot(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: tuple,
+) -> dict:
+    """Row-level UPSERT into a manifest table, copy-on-write: rows of
+    ``source`` REPLACE target rows with the same ``on`` key; source
+    rows with no match insert. Only the files that actually contain a
+    matched key are rewritten — untouched files are referenced
+    verbatim in the new manifest, so merging 1 GB of updates into a
+    100 TB table moves (touched files + 1 GB), never the table.
+
+    Touched-file discovery is two-stage, both scale levers explicit:
+
+    1. **Stats prune (no data read).** The source keys' [min, max]
+       (one tiny agg) are compared against each file's manifest
+       stats — on a table written with ``stats_cols=`` (or
+       partitioned by) the key columns, only overlapping files go to
+       stage 2. Files without key stats are always candidates (safe).
+    2. **Exact probe (candidates only).** One semi-join of the
+       candidate files against the distinct source keys, grouped by
+       ``input_file_name`` — returns at most one row per file.
+
+    Whole-row replace semantics: the source schema must equal the
+    table schema; duplicate keys WITHIN the source all land (the
+    matched target row is removed once). Time travel keeps the
+    pre-merge version readable; ``snapshot_changes`` refuses to
+    cross a merge (rewritten files ≠ added rows). A concurrent data
+    commit between plan and publish raises (see
+    :func:`_commit_replacing`); re-run on the new head."""
+    from pyspark.sql import functions as F
+
+    on = tuple(on)
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    seen = _versions(fs, jvm, base)
+    if not seen:
+        raise ValueError(f"merge_snapshot: no versions at {path!r}")
+    m = _load_manifest(fs, jvm, base, seen[-1])
+    src_sig = sorted(
+        (f.name, f.dataType.simpleString()) for f in source.schema.fields
+    )
+    tbl_sig = [tuple(p) for p in m.get("schema", [])]
+    if tbl_sig and src_sig != tbl_sig:
+        raise ValueError(
+            f"merge_snapshot: source schema {src_sig} != table schema "
+            f"{tbl_sig} — merge is whole-row replace; align the "
+            "source first"
+        )
+    missing = [c for c in on if c not in source.columns]
+    if missing:
+        raise ValueError(
+            f"merge_snapshot: key columns {missing} not in source"
+        )
+
+    # stage 1: prune candidates by manifest stats vs source key range
+    krow = source.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in on],
+        *[F.max(c).alias(f"mx_{c}") for c in on],
+    ).collect()[0]
+    bounds = {
+        c: (krow[f"mn_{c}"], krow[f"mx_{c}"])
+        for c in on
+        if krow[f"mn_{c}"] is not None
+    }
+
+    def overlaps(f) -> bool:
+        st = f.get("stats") or {}
+        pv = f.get("partition") or {}
+        for c, (lo, hi) in bounds.items():
+            # NULL keys never equi-join: a hive NULL partition on a
+            # key column cannot contain a matchable row — exact skip
+            if c in pv and pv[c] is None:
+                return False
+            rng = st.get(c)
+            if rng is None:
+                continue
+            try:
+                if rng[0] > _stats_enc(hi) or rng[1] < _stats_enc(lo):
+                    return False
+            except TypeError:
+                continue
+        return True
+
+    candidates = [f for f in m["files"] if overlaps(f)]
+
+    # stage 2: exact touched set — semi-join candidates vs keys,
+    # one output row per file
+    keys = source.select(*on).dropDuplicates()
+    touched: set = set()
+    if candidates:
+        probe = (
+            _plan_read(spark, base, m, candidates)
+            .withColumn("__file", F.input_file_name())
+            .join(F.broadcast(keys), list(on), "left_semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        )
+        touched = {_rel_from_uri(r["__file"]) for r in probe}
+
+    partition_by = tuple(m.get("partition_by") or ())
+    col_types = dict(m.get("schema_ddl") or [])
+    if touched:
+        touched_entries = [f for f in m["files"] if f["path"] in touched]
+        survivors = _plan_read(spark, base, m, touched_entries).join(
+            F.broadcast(keys), list(on), "left_anti"
+        )
+        new_data = survivors.unionByName(
+            source.select(*survivors.columns)
+        )
+    else:
+        new_data = source
+    _, staged = _stage_commit(
+        new_data, base, fs, jvm, partition_by, col_types,
+        stats_cols=_table_stats_cols(m, partition_by),
+    )
+    keep = {f["path"] for f in m["files"]} - touched
+    return _commit_replacing(spark, path, m, keep, staged, "merge")
+
+
+def delete_snapshot(
+    spark: SparkSession, path: str, predicate: str
+) -> dict:
+    """Row-level DELETE from a manifest table, copy-on-write: files
+    containing at least one row matching ``predicate`` (a Spark SQL
+    boolean expression) are rewritten without those rows; every
+    other file is referenced verbatim in the new manifest. Touched
+    discovery is one filtered scan grouped by ``input_file_name``
+    (parquet row-group stats make the non-matching files cheap); on
+    a table with manifest stats covering the predicate's columns,
+    combine with :func:`snapshot_scan` semantics by deleting in
+    partition/key order so the rewrite set stays small. Time travel
+    keeps the pre-delete version readable — GDPR-style erasure is
+    complete only after :func:`vacuum_snapshot` reclaims the old
+    files."""
+    from pyspark.sql import functions as F
+
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    seen = _versions(fs, jvm, base)
+    if not seen:
+        raise ValueError(f"delete_snapshot: no versions at {path!r}")
+    m = _load_manifest(fs, jvm, base, seen[-1])
+    probe = (
+        _plan_read(spark, base, m)
+        .where(predicate)
+        .select(F.input_file_name().alias("__file"))
+        .distinct()
+        .collect()
+    )
+    touched = {_rel_from_uri(r["__file"]) for r in probe}
+    if not touched:
+        return {
+            "version": m["version"],
+            "operation": "delete",
+            "n_files_rewritten": 0,
+            "n_files_kept": len(m["files"]),
+            "n_files_new": 0,
+            "noop": True,
+        }
+    partition_by = tuple(m.get("partition_by") or ())
+    col_types = dict(m.get("schema_ddl") or [])
+    touched_entries = [f for f in m["files"] if f["path"] in touched]
+    survivors = _plan_read(spark, base, m, touched_entries).where(
+        f"NOT ({predicate}) OR ({predicate}) IS NULL"
+    )
+    _, staged = _stage_commit(
+        survivors, base, fs, jvm, partition_by, col_types,
+        stats_cols=_table_stats_cols(m, partition_by),
+    )
+    keep = {f["path"] for f in m["files"]} - touched
+    return _commit_replacing(spark, path, m, keep, staged, "delete")
 
 
 def _file_stats(local_path: str, cols: tuple) -> dict | None:
@@ -765,6 +1328,12 @@ def snapshot_scan(
     lo_e, hi_e = enc(lo), enc(hi)
     keep = []
     for f in m["files"]:
+        # a hive NULL partition holds ONLY NULLs for its column — no
+        # row can satisfy a range bound (SQL: NULL >= x is never
+        # TRUE), so the skip is exact, not just conservative
+        pv = f.get("partition") or {}
+        if col in pv and pv[col] is None:
+            continue
         rng = (f.get("stats") or {}).get(col)
         if rng is not None:
             fmin, fmax = rng
@@ -772,10 +1341,10 @@ def snapshot_scan(
                 continue
             if hi_e is not None and fmin > hi_e:
                 continue
-        keep.append(f"{base}/{f['path']}")
+        keep.append(f)
     if not keep:
         return snapshot_read(spark, path, v).limit(0).where(F.lit(False))
-    df = spark.read.parquet(*keep)
+    df = _plan_read(spark, base, m, keep)
     c = F.col(col)
     if lo is not None:
         df = df.where(c >= F.lit(lo))
@@ -814,7 +1383,12 @@ def snapshot_pruned_read(
 
     def overlaps(f) -> bool:
         st = f.get("stats") or {}
+        pv = f.get("partition") or {}
         for col, (lo, hi) in bounds.items():
+            # hive NULL partition: every row is NULL for col, and a
+            # range/equality bound can never hold on NULL — exact skip
+            if col in pv and pv[col] is None:
+                return False
             rng = st.get(col)
             if rng is None:
                 continue  # no stats for this col: keep (safe)
@@ -828,14 +1402,11 @@ def snapshot_pruned_read(
                 continue  # incomparable literal vs stats: keep
         return True
 
-    keep = [f"{base}/{f['path']}" for f in m["files"] if overlaps(f)]
+    keep = [f for f in m["files"] if overlaps(f)]
     n_total = len(m["files"])
     if not keep:
         return snapshot_read(spark, path, v).limit(0), 0, n_total
-    reader = spark.read
-    if m.get("merge_schema"):
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*keep), len(keep), n_total
+    return _plan_read(spark, base, m, keep), len(keep), n_total
 
 
 def snapshot_restore(

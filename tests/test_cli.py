@@ -179,3 +179,29 @@ def test_cli_fsck_mode(tmp_path, spark):
     r = _cli("--fsck", snap)
     assert r.returncode == 1
     assert _json.loads(r.stdout)["missing_files"]
+
+
+def test_cli_partitions_and_delete_where(tmp_path, spark):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from prql_spark.sources.manifest import snapshot_write
+
+    snap = str(tmp_path / "pdl")
+    snapshot_write(
+        spark.range(100).withColumn(
+            "grp", (F.col("id") % 2).cast("int")
+        ),
+        snap, partition_by=("grp",),
+    )
+    r = _cli("--partitions", snap)
+    assert r.returncode == 0, r.stderr
+    rows = [_json.loads(ln) for ln in r.stdout.strip().splitlines()]
+    assert [x["grp"] for x in rows] == ["0", "1"]
+    assert all(x["n_files"] >= 1 for x in rows)
+
+    r = _cli("--delete-where", snap, "id >= 90")
+    assert r.returncode == 0, r.stderr
+    rep = _json.loads(r.stdout)
+    assert rep["operation"] == "delete" and rep["version"] == 2

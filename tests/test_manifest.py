@@ -646,3 +646,367 @@ def test_prql_filter_pushdown_into_file_skipping(spark, tmp_path):
         "from mt\nderive k2 = k + 0\nfilter k2 >= 15000", cat
     )
     assert out5.count() == 1000
+
+
+# ---------------------------------------------------------------- #
+# partition specs (snapshot_write(partition_by=...))               #
+# ---------------------------------------------------------------- #
+
+
+def _mk_part_df(spark):
+    """4 partitions incl. a NULL and a hive-escaped value (colon)."""
+    rows = []
+    for i in range(400):
+        ds = [None, "2024-01-01", "a:b c", "z"][i % 4]
+        rows.append((i, ds, float(i)))
+    return spark.createDataFrame(
+        rows, "id INT, ds STRING, v DOUBLE"
+    )
+
+
+def test_partitioned_write_read_roundtrip(spark, tmp_path):
+    """Rows, schema (incl. the partition column's TYPE and the
+    original column ORDER), NULL partitions and hive-escaped values
+    all survive the round trip."""
+    path = str(tmp_path / "pt")
+    df = _mk_part_df(spark)
+    res = snapshot_write(df, path, partition_by=("ds",))
+    assert res["version"] == 1
+    back = snapshot_read(spark, path)
+    assert back.columns == ["id", "ds", "v"]  # writer's order, ds restored
+    assert dict(back.dtypes)["ds"] == "string"  # no path inference
+    assert sorted(
+        (r.id, r.ds, r.v) for r in back.collect()
+    ) == sorted((r.id, r.ds, r.v) for r in df.collect())
+
+
+def test_partitioned_int_column_keeps_type(spark, tmp_path):
+    path = str(tmp_path / "pti")
+    df = spark.range(100).withColumn(
+        "bucket", (F.col("id") % 5).cast("int")
+    )
+    snapshot_write(df, path, partition_by=("bucket",))
+    back = snapshot_read(spark, path)
+    assert dict(back.dtypes)["bucket"] == "int"
+    assert sorted(r.id for r in back.collect()) == list(range(100))
+
+
+def test_partitioned_append_requires_same_partitioning(spark, tmp_path):
+    path = str(tmp_path / "pa")
+    df = _mk_part_df(spark)
+    snapshot_write(df, path, partition_by=("ds",))
+    # same partitioning appends fine; time travel sees both versions
+    snapshot_write(
+        df.withColumn("id", F.col("id") + 1000), path,
+        mode="append", partition_by=("ds",),
+    )
+    assert snapshot_read(spark, path).count() == 800
+    assert snapshot_read(spark, path, 1).count() == 400
+    # different (or missing) partitioning raises
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        snapshot_write(df, path, mode="append")
+    with pytest.raises(ValueError, match="partitioning mismatch"):
+        snapshot_write(df, path, mode="append", partition_by=("id",))
+
+
+def test_partition_values_prune_files(spark, tmp_path):
+    """Partition values become [v, v] manifest stats at write time
+    (no scan, no attach_stats call) — snapshot_scan and
+    snapshot_pruned_read open only matching hive dirs."""
+    from prql_spark.sources.manifest import (
+        snapshot_pruned_read,
+        snapshot_scan,
+    )
+
+    path = str(tmp_path / "pp")
+    snapshot_write(_mk_part_df(spark), path, partition_by=("ds",))
+    total = len(snapshot_read(spark, path).inputFiles())
+
+    hit = snapshot_scan(spark, path, "ds", lo="z", hi="z")
+    assert sorted(r.id for r in hit.collect()) == list(range(3, 400, 4))
+    assert len(hit.inputFiles()) < total
+    # NULL-partition files are skipped EXACTLY (NULL >= x never
+    # holds), not conservatively kept — only the z dir is read
+    assert all("ds=z" in f for f in hit.inputFiles())
+
+    df, kept, n = snapshot_pruned_read(
+        spark, path, {"ds": ("2024-01-01", "2024-12-31")}
+    )
+    assert kept < n
+    files = df.inputFiles()
+    assert files and all("ds=2024-01-01" in f for f in files)
+
+
+def test_partition_pruning_int_typed(spark, tmp_path):
+    from prql_spark.sources.manifest import snapshot_scan
+
+    path = str(tmp_path / "ppi")
+    df = spark.range(1000).withColumn(
+        "bucket", (F.col("id") % 8).cast("int")
+    )
+    snapshot_write(df, path, partition_by=("bucket",))
+    hit = snapshot_scan(spark, path, "bucket", lo=6, hi=7)
+    assert hit.count() == 250
+    assert all(
+        "bucket=6" in f or "bucket=7" in f for f in hit.inputFiles()
+    )
+
+
+def test_prql_pushdown_on_partition_column(spark, tmp_path):
+    """The declarative path: `from tbl | filter pcol == x` over a
+    partitioned manifest table opens only that partition's files —
+    partition pruning via the same stats machinery, zero compiler
+    changes."""
+    from prql_spark import compile_prql
+    from prql_spark.sources.catalog import Catalog
+
+    snapshot_write(
+        _mk_part_df(spark), str(tmp_path / "mtp"), partition_by=("ds",)
+    )
+    cat = Catalog(spark, str(tmp_path))
+    out = compile_prql('from mtp\nfilter ds == "z"\nsort id', cat)
+    assert [r.id for r in out.collect()] == list(range(3, 400, 4))
+    assert all("ds=z" in f for f in out.inputFiles())
+
+
+def test_snapshot_partitions_listing(spark, tmp_path):
+    from prql_spark.sources.manifest import snapshot_partitions
+
+    path = str(tmp_path / "pl")
+    snapshot_write(_mk_part_df(spark), path, partition_by=("ds",))
+    rows = snapshot_partitions(spark, path).collect()
+    assert [r.ds for r in rows] == [None, "2024-01-01", "a:b c", "z"]
+    assert all(r.n_files >= 1 and r.total_bytes > 0 for r in rows)
+    # unpartitioned table raises
+    snapshot_write(spark.range(10), str(tmp_path / "flat"))
+    with pytest.raises(ValueError, match="not partitioned"):
+        snapshot_partitions(spark, str(tmp_path / "flat"))
+
+
+def test_partitioned_compact_and_vacuum(spark, tmp_path):
+    """Compaction keeps the partition spec (one file per hive dir),
+    vacuum reclaims the old version's files — including the hive
+    NULL dir, which the hidden-path rule must NOT protect."""
+    path = str(tmp_path / "pcv")
+    df = _mk_part_df(spark).repartition(8)
+    snapshot_write(df, path, partition_by=("ds",))
+    m1 = json.load(open(os.path.join(
+        path, "_manifests", f"v{1:010d}.json")))
+    assert len(m1["files"]) > 4  # several files per partition
+    res = compact_snapshot(spark, path, target_mb=1024)
+    assert res["compacted"] and res["n_files_after"] == 4
+    m2 = json.load(open(os.path.join(
+        path, "_manifests", f"v{2:010d}.json")))
+    assert m2["partition_by"] == ["ds"]
+    assert snapshot_read(spark, path).count() == 400
+
+    rep = vacuum_snapshot(spark, path, keep_versions=1, min_age_s=0)
+    assert rep["dropped_files"] == len(m1["files"])
+    # v1's hive-null files really are gone from disk
+    import glob
+
+    v1_null = glob.glob(os.path.join(
+        path, "data", m1["commit"], "__HIVE_DEFAULT_PARTITION__", "*"
+    ))
+    assert [f for f in v1_null if f.endswith(".parquet")] == []
+    assert snapshot_read(spark, path).count() == 400
+
+
+def test_partitioned_snapshot_changes(spark, tmp_path):
+    from prql_spark.sources.manifest import snapshot_changes
+
+    path = str(tmp_path / "pchg")
+    snapshot_write(_mk_part_df(spark), path, partition_by=("ds",))
+    add = spark.createDataFrame(
+        [(9001, "z", 1.0), (9002, None, 2.0)], "id INT, ds STRING, v DOUBLE"
+    )
+    snapshot_write(add, path, mode="append", partition_by=("ds",))
+    got = snapshot_changes(spark, path, since_version=1)
+    assert sorted(
+        ((r.id, r.ds) for r in got.collect()), key=lambda t: t[0]
+    ) == [(9001, "z"), (9002, None)]
+
+
+def test_partitioned_write_time_stats_compose(spark, tmp_path):
+    """stats_cols= on a partitioned write: data-column stats come
+    from the distributed scan (basePath-aware), partition-column
+    stats from the paths — both land in the same manifest and both
+    prune."""
+    from prql_spark.sources.manifest import snapshot_scan
+
+    path = str(tmp_path / "pws")
+    df = (
+        spark.range(4000)
+        .withColumn("bucket", (F.col("id") % 4).cast("int"))
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    snapshot_write(
+        df, path, partition_by=("bucket",), stats_cols=("id",)
+    )
+    all_files = len(snapshot_read(spark, path).inputFiles())
+    by_part = snapshot_scan(spark, path, "bucket", lo=2, hi=2)
+    assert by_part.count() == 1000
+    assert len(by_part.inputFiles()) < all_files
+    by_range = snapshot_scan(spark, path, "id", lo=100, hi=199)
+    assert by_range.count() == 100
+    assert len(by_range.inputFiles()) < all_files
+
+
+# ---------------------------------------------------------------- #
+# row-level MERGE / DELETE (copy-on-write)                          #
+# ---------------------------------------------------------------- #
+
+
+def test_merge_snapshot_upserts_and_rewrites_only_touched(spark, tmp_path):
+    """Matched keys update, unmatched insert, and ONLY the files
+    containing matched keys are rewritten — the untouched files are
+    referenced verbatim (same physical paths) in the new manifest."""
+    from prql_spark.sources.manifest import merge_snapshot
+
+    path = str(tmp_path / "mg")
+    base = (
+        spark.range(1000)
+        .withColumn("val", F.col("id") * 10)
+        .repartitionByRange(10, "id")
+        .sortWithinPartitions("id")
+    )
+    snapshot_write(base, path, stats_cols=("id",))
+    m1 = json.load(open(os.path.join(
+        path, "_manifests", f"v{1:010d}.json")))
+    # updates hit only ids 0-99 (file 1 of 10) + two fresh inserts
+    src = spark.createDataFrame(
+        [(5, -5), (50, -50), (99, -99), (2000, 1), (2001, 2)],
+        "id LONG, val LONG",
+    )
+    res = merge_snapshot(spark, path, src, on=("id",))
+    assert res["version"] == 2 and res["operation"] == "merge"
+    assert res["n_files_rewritten"] <= 2  # stats-pruned to the 0-99 file(s)
+    m2 = json.load(open(os.path.join(
+        path, "_manifests", f"v{2:010d}.json")))
+    untouched_before = {f["path"] for f in m1["files"]} & {
+        f["path"] for f in m2["files"]
+    }
+    assert len(untouched_before) == len(m1["files"]) - res["n_files_rewritten"]
+
+    got = {r.id: r.val for r in snapshot_read(spark, path).collect()}
+    assert len(got) == 1002
+    assert got[5] == -5 and got[50] == -50 and got[99] == -99
+    assert got[2000] == 1 and got[2001] == 2
+    assert got[100] == 1000  # untouched row intact
+    # pre-merge version still readable (time travel)
+    old = {r.id: r.val for r in snapshot_read(spark, path, 1).collect()}
+    assert old[5] == 50 and len(old) == 1000
+    # rewritten files carry re-collected id stats (coverage survives)
+    rewritten = [
+        f for f in m2["files"] if f["path"] not in untouched_before
+    ]
+    assert rewritten and all(
+        "id" in (f.get("stats") or {}) for f in rewritten
+    )
+
+
+def test_merge_snapshot_schema_and_key_validation(spark, tmp_path):
+    from prql_spark.sources.manifest import merge_snapshot
+
+    path = str(tmp_path / "mgv")
+    snapshot_write(
+        spark.range(10).withColumn("val", F.lit(1).cast("long")), path
+    )
+    with pytest.raises(ValueError, match="source schema"):
+        merge_snapshot(
+            spark, path,
+            spark.range(3).withColumn("other", F.lit("x")), on=("id",),
+        )
+    with pytest.raises(ValueError, match="key columns"):
+        merge_snapshot(
+            spark, path,
+            spark.range(3).withColumn("val", F.lit(2).cast("long")),
+            on=("nope",),
+        )
+
+
+def test_merge_snapshot_partitioned_table(spark, tmp_path):
+    """Merge into a partitioned table: rewrites stay inside the
+    partition layout (new files land under col=value dirs, partition
+    stats intact) and only the touched partitions' files rewrite."""
+    from prql_spark.sources.manifest import merge_snapshot
+
+    path = str(tmp_path / "mgp")
+    df = spark.range(400).withColumn(
+        "bucket", (F.col("id") % 4).cast("int")
+    )
+    snapshot_write(df, path, partition_by=("bucket",))
+    src = spark.createDataFrame(
+        [(0, 0), (4, 0), (9000, 1)], "id LONG, bucket INT"
+    )
+    res = merge_snapshot(spark, path, src, on=("id",))
+    m2 = json.load(open(os.path.join(
+        path, "_manifests", f"v{res['version']:010d}.json")))
+    assert m2["partition_by"] == ["bucket"]
+    got = snapshot_read(spark, path)
+    assert got.count() == 401
+    assert got.where("id = 9000").collect()[0].bucket == 1
+    # files stay hive-partitioned after the merge
+    assert all("bucket=" in f["path"] for f in m2["files"])
+
+
+def test_delete_snapshot_rewrites_only_matching_files(spark, tmp_path):
+    from prql_spark.sources.manifest import delete_snapshot
+
+    path = str(tmp_path / "dl")
+    snapshot_write(
+        spark.range(1000)
+        .withColumn("grp", (F.col("id") % 2).cast("int"))
+        .repartitionByRange(8, "id")
+        .sortWithinPartitions("id"),
+        path,
+    )
+    m1 = json.load(open(os.path.join(
+        path, "_manifests", f"v{1:010d}.json")))
+    res = delete_snapshot(spark, path, "id >= 900")
+    assert res["operation"] == "delete"
+    assert res["n_files_rewritten"] == 1  # only the last range file
+    back = snapshot_read(spark, path)
+    assert back.count() == 900
+    assert back.where("id >= 900").count() == 0
+    # time travel: pre-delete version intact until vacuumed
+    assert snapshot_read(spark, path, 1).count() == 1000
+    # no-op delete returns without a new version
+    res2 = delete_snapshot(spark, path, "id > 100000")
+    assert res2.get("noop") is True
+    # NULL predicate rows survive (SQL semantics: NULL is not TRUE)
+    path2 = str(tmp_path / "dln")
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")], "id INT, s STRING"
+        ),
+        path2,
+    )
+    delete_snapshot(spark, path2, "s = 'a'")
+    assert sorted(
+        r.id for r in snapshot_read(spark, path2).collect()
+    ) == [2, 3]
+
+
+def test_changes_refuses_to_cross_merge_and_delete(spark, tmp_path):
+    from prql_spark.sources.manifest import (
+        delete_snapshot,
+        merge_snapshot,
+        snapshot_changes,
+    )
+
+    path = str(tmp_path / "chx")
+    snapshot_write(
+        spark.range(100).withColumn("val", F.col("id")), path
+    )
+    merge_snapshot(
+        spark, path,
+        spark.createDataFrame([(5, -5)], "id LONG, val LONG"),
+        on=("id",),
+    )
+    with pytest.raises(ValueError, match="not append"):
+        snapshot_changes(spark, path, since_version=1)
+    delete_snapshot(spark, path, "id = 7")
+    with pytest.raises(ValueError):
+        snapshot_changes(spark, path, since_version=2)
