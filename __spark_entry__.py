@@ -1051,9 +1051,9 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
 # slots and 10 pinned, non-core entries rotate through the remaining
 # 40 slots, so their worst-case driver-evidence age rises from 1 to
 # ~2 rounds (the session mimic still re-verifies every entry every
-# round). Round 9: zero new entries, so the window refreshes the 34
-# oldest (r6-evidence) entries plus the core plus 6 r7-evidence
-# entries — the steady-state rotation the policy was built for.
+# round). Round 9: 2 new entries (partitioned snapshots, row-level
+# merge/delete) + the 34 oldest (r6-evidence) entries + the core +
+# 4 r7-evidence entries fill the window.
 _DRIVER_WINDOW = 50
 
 _CORE = [
@@ -1069,12 +1069,16 @@ _CORE = [
     "sources_warc_read",
 ]
 
-# never driver-checked: round 9 adds NO new query entries (the
-# round's features — write-time snapshot stats, PRQL pushdown into
-# file-skipping scans, the manifest-race fixes — are pytest-verified
-# and benched; the existing snapshot entries exercise the same code
-# paths), so every window slot goes to evidence refresh.
-_NEW_THIS_ROUND: list[str] = []
+# never driver-checked: the round-9 lakehouse features that are
+# query-shaped — partition specs (partitioned commits + partition
+# pruning) and row-level MERGE/DELETE (copy-on-write) — each get an
+# entry; the rest of the round (write-time stats, PRQL pushdown,
+# manifest-race fixes) is pytest-verified and rides the same code
+# paths these entries exercise.
+_NEW_THIS_ROUND: list[str] = [
+    "sources_snapshot_partitioned",
+    "sources_snapshot_merge",
+]
 
 # reserved for new entries that outgrow the window (empty this round)
 _NEW_BEHIND: list[str] = []
@@ -1130,13 +1134,14 @@ _STALE_PREV = [
     "dedup_against_near",
     "text_token_count",
     "sources_warc_read",
-    # --- 6 of the 40 r7-evidence entries (the rest spill) ---
+    # --- 3 of the 40 r7-evidence entries (the rest spill; two
+    # slots went to this round's new entries) ---
     "text_token_count_bpe",
     "multimodal_image_neardups",
     "multimodal_audio_neardups",
-    "multimodal_video_neardups",
-    "splits_near_leakage",
-    "text_normalize",
+    # re-oracled this round (the r8 literals encoded BLAS kernel
+    # noise — see SQL_IMAGE_PHASH): needs fresh driver evidence
+    "multimodal_image_phash",
 ]
 
 # r7-evidence entries the round-9 window cannot fit (34 — the r7
@@ -1144,6 +1149,9 @@ _STALE_PREV = [
 # All mimic-green every session; oldest driver evidence in the repo
 # from here on: these MUST open round 10's window.
 _STALE_SPILL = [
+    "multimodal_video_neardups",
+    "splits_near_leakage",
+    "text_normalize",
     "text_url_blocklist",
     "window_running_total",
     "window_moving_average",
@@ -1186,7 +1194,6 @@ _FRESH_PREV = [
     "sources_snapshot_timetravel",
     "sources_snapshot_changes",
     "sources_snapshot_scan",
-    "multimodal_image_phash",
     "sketch_top_items",
     "splits_shuffle_deterministic",
     "profile_orders",

@@ -110,6 +110,16 @@ HEADLINE = {
     "sources_snapshot_timetravel": "collect",
     "splits_shuffle_deterministic": "collect",
     "sketch_top_items": "collect",
+    # round-9: the rest of the round-8 lakehouse family (scan-side
+    # file skipping and the commit-dir incremental planner were
+    # driver-invisible — a DCT-UDF or read-planner regression must
+    # show), plus the DCT perceptual hash, plus the two round-9
+    # entries (partitioned commits; copy-on-write merge+delete)
+    "multimodal_image_phash": "collect",
+    "sources_snapshot_scan": "collect",
+    "sources_snapshot_changes": "collect",
+    "sources_snapshot_partitioned": "collect",
+    "sources_snapshot_merge": "collect",
 }
 
 

@@ -2936,15 +2936,23 @@ def q_image_phash(spark, sf_dir):
 
 
 # expected 63-bit hashes computed OFFLINE by running NetpbmCodec's
-# 32x32 luma_grid + orthonormal DCT-II + median threshold on the
-# planted payloads (round 8)
+# 32x32 luma_grid + orthonormal DCT-II + 1e-6 rounding + median
+# threshold on the planted payloads. Regenerated in round 9: the
+# round-8 literals were computed WITHOUT the rounding step and
+# turned out to encode that host's BLAS kernel noise — the planted
+# flat-fill payloads have ~50 of 63 true-zero coefficients, and the
+# unrounded near-median bits flipped 12-16 bits when the runtime
+# BLAS changed between rounds (driver-green r8, red r9 on identical
+# code). image_phash now rounds before thresholding, making these
+# values host-independent; id 6 (the only payload with a real
+# spectrum) hashes identically before and after the fix.
 SQL_IMAGE_PHASH = """
 SELECT CAST(media_id AS BIGINT) AS media_id, media_type,
   CAST(phash AS BIGINT) AS phash, ok
 FROM (VALUES
-  (1, 'image/x-portable-pixmap', 4300075814964908330, true),
-  (2, 'image/x-portable-graymap', 3447668958697475626, true),
-  (3, 'image/x-portable-graymap', 5422956857162518130, true),
+  (1, 'image/x-portable-pixmap', 36028799166447658, true),
+  (2, 'image/x-portable-graymap', 36170086410649642, true),
+  (3, 'image/x-portable-graymap', 551903330384, true),
   (4, 'image/x-portable-pixmap', NULL, false),
   (5, 'image/x-portable-graymap', NULL, false),
   (6, 'image/x-portable-pixmap', 3074504075575481642, true)
@@ -3505,6 +3513,148 @@ FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
 """
 
 
+def q_snapshot_partitioned(spark, sf_dir):
+    """Partitioned manifest table (manifest.snapshot_write
+    partition_by=): two commits of orders halves, hive-partitioned
+    by o_orderstatus inside each commit dir, partition values
+    recorded as manifest [v, v] stats at write time (parsed from
+    the staged paths — no scan). The result value-checks the whole
+    surface: the per-status aggregate proves the partition column
+    round-trips through the hive layout with the writer's type and
+    every row lands in the right partition across an append; the
+    'F:pruned' row re-reads one status through snapshot_scan, whose
+    partition pruning opens ONLY that hive dir (file count pinned
+    in tests/test_manifest.py; DuckDB checks the values here)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from prql_spark.sources.manifest import (
+        snapshot_read,
+        snapshot_scan,
+        snapshot_write,
+    )
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "prql_spark_snapp_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    orders = Catalog(spark, sf_dir).load("orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    snapshot_write(
+        orders.where("o_orderkey % 2 = 0"), d,
+        partition_by=("o_orderstatus",),
+    )
+    snapshot_write(
+        orders.where("o_orderkey % 2 = 1"), d,
+        mode="append", partition_by=("o_orderstatus",),
+    )
+    agg = [
+        F.count(F.lit(1)).alias("n"),
+        F.expr("round(sum(o_totalprice), 2)").alias("total"),
+    ]
+    full = (
+        snapshot_read(spark, d)
+        .groupBy("o_orderstatus")
+        .agg(*agg)
+    )
+    pruned = (
+        snapshot_scan(spark, d, "o_orderstatus", lo="F", hi="F")
+        .agg(*agg)
+        .withColumn("o_orderstatus", F.lit("F:pruned"))
+        .select("o_orderstatus", "n", "total")
+    )
+    return full.unionByName(pruned).orderBy("o_orderstatus")
+
+
+SQL_SNAPSHOT_PARTITIONED = """
+SELECT o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 'F:pruned', count(*), round(sum(o_totalprice), 2)
+FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_orderstatus
+"""
+
+
+def q_snapshot_merge(spark, sf_dir):
+    """Row-level MERGE + DELETE on a manifest table, copy-on-write
+    (manifest.merge_snapshot / delete_snapshot): orders committed
+    key-clustered with write-time key stats; the merge updates every
+    key ≡ 7 (mod 100) (+100000 to its total) and inserts three
+    synthetic keys — touched files found by stats pruning + one
+    semi-join probe, untouched files referenced verbatim; the delete
+    then removes every key ≡ 13 (mod 100). DuckDB replays the same
+    anti-join ∪ source ∪ filter algebra relationally, value-checking
+    update/insert/delete semantics end to end. The file-accounting
+    contract (only touched files rewrite) is pinned in
+    tests/test_manifest.py."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from prql_spark.sources.manifest import (
+        delete_snapshot,
+        merge_snapshot,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "prql_spark_snapm_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    orders = Catalog(spark, sf_dir).load("orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    snapshot_write(
+        orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        ),
+        d,
+        stats_cols=("o_orderkey",),
+    )
+    src = orders.where("o_orderkey % 100 = 7").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100000.0
+    )
+    extra = spark.createDataFrame(
+        [(900000001, 1.25), (900000002, 4.5), (900000003, 7.75)],
+        "o_orderkey LONG, o_totalprice DOUBLE",
+    )
+    merge_snapshot(spark, d, src.unionByName(extra), on=("o_orderkey",))
+    delete_snapshot(spark, d, "o_orderkey % 100 = 13")
+    return snapshot_read(spark, d).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("round(sum(o_totalprice), 2)").alias("total"),
+        F.expr("max(o_orderkey)").alias("max_key"),
+    )
+
+
+SQL_SNAPSHOT_MERGE = """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice + 100000 AS o_totalprice
+  FROM orders WHERE o_orderkey % 100 = 7
+  UNION ALL
+  SELECT * FROM (VALUES (900000001, 1.25), (900000002, 4.5),
+                        (900000003, 7.75)) v(o_orderkey, o_totalprice)
+), merged AS (
+  SELECT o.o_orderkey, o.o_totalprice FROM orders o
+  WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+       max(o_orderkey) AS max_key
+FROM merged WHERE NOT (o_orderkey % 100 = 13)
+"""
+
+
 def q_top_items(spark, sf_dir):
     """Frequent-items sketch (sketches.top_items): approx_top_k over
     a 15-value composite of orders — k exceeds the distinct count,
@@ -3638,6 +3788,8 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "text_url_blocklist": q_url_blocklist,
         "sources_snapshot_timetravel": q_snapshot_timetravel,
+        "sources_snapshot_partitioned": q_snapshot_partitioned,
+        "sources_snapshot_merge": q_snapshot_merge,
         "sources_snapshot_changes": q_snapshot_changes,
         "sources_snapshot_scan": q_snapshot_scan,
         "multimodal_image_phash": q_image_phash,
@@ -3745,6 +3897,8 @@ def entry_oracles() -> dict[str, str]:
         # frequent-items in the exact (no-eviction) regime; keyed-
         # hash shuffle order recomputed cross-engine
         "sources_snapshot_timetravel": SQL_SNAPSHOT_TIMETRAVEL,
+        "sources_snapshot_partitioned": SQL_SNAPSHOT_PARTITIONED,
+        "sources_snapshot_merge": SQL_SNAPSHOT_MERGE,
         "sources_snapshot_changes": SQL_SNAPSHOT_CHANGES,
         "sources_snapshot_scan": SQL_SNAPSHOT_SCAN,
         "multimodal_image_phash": SQL_IMAGE_PHASH,

@@ -1135,6 +1135,17 @@ def image_phash(
     DCT basis matrix is built once per task and the transform is
     two (32×32)·(32×32) matmuls per image — negligible next to
     decode.
+
+    Reproducibility: coefficients are rounded to 1e-6 before the
+    median threshold. The matmul's low-order float bits depend on
+    the BLAS kernel (threads, SIMD dispatch), and an image whose
+    spectrum is mostly TRUE ZEROS (flat synthetic fills, solid
+    borders) otherwise gets its near-median bits decided by ~1e-17
+    kernel noise — a hash that differs across hosts is useless for
+    dedup (caught in round 9: the same payloads hashed differently
+    under two BLAS environments, 12-16 bits apart). Real images
+    carry O(1)-O(1000) coefficients, for which the rounding is
+    invisible; degenerate ones now hash identically everywhere.
     """
     codec = codec or _DEFAULT_CODEC
     n = grid
@@ -1157,7 +1168,10 @@ def image_phash(
                     continue
                 a = np.asarray(g, dtype=np.float64).reshape(n, n)
                 d = basis @ a @ basis.T
-                block = d[:8, :8].flatten()[1:]  # drop DC
+                # kill BLAS-kernel noise in true-zero coefficients
+                # BEFORE the median: cross-host reproducibility (see
+                # docstring)
+                block = np.round(d[:8, :8].flatten()[1:], 6)
                 med = np.median(block)
                 packed = 0
                 for i, v in enumerate(block):

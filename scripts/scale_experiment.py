@@ -164,7 +164,7 @@ def fresh_op(op: str, n_copies: int):
     if op == "embedding_near_dups" and not os.path.exists(vpath):
         synthesize_vectors(spark, n_copies)
 
-    from prql_spark.operators import similarity
+    from prql_spark.operators import similarity, sketches
 
     def docs():
         return spark.read.parquet(dpath)
@@ -210,10 +210,55 @@ def fresh_op(op: str, n_copies: int):
         "token_count_bpe": lambda: bpe.bpe_token_stats(docs()).where(
             "bpe_n_tokens >= 0"
         ),
+        # round-9 scale rows for the round-8 newcomers:
+        # per-group heavy hitters under PLANTED skew — 90% of docs
+        # in one hot group, the rest over 49 cold groups; the
+        # sketch must bound memory regardless (shuffle carries
+        # sketches, never raw values)
+        "top_items_by_group": lambda: sketches.top_items_by_group(
+            docs().select(
+                F.expr(
+                    "IF(doc_id % 10 < 9, 'hot', "
+                    "concat('g', doc_id % 49))"
+                ).alias("grp"),
+                F.expr("split(text, ' ')[0]").alias("word"),
+            ),
+            "word",
+            group_by="grp",
+            k=10,
+        ),
     }
+    # train_bpe_merges returns a merges LIST (driver-dict loop), not
+    # a DataFrame — time the whole call; "rows" = merges learned.
+    # The claim under test: ONE corpus pass builds the bounded word
+    # dict (max_words=50k), and the merge loop never touches Spark.
+    if op == "train_bpe_merges":
+        reps = 2
+        if "--reps" in sys.argv:
+            reps = int(sys.argv[sys.argv.index("--reps") + 1])
+        secs, rows = [], 0
+        for _ in range(reps):
+            spark._jvm.System.gc()
+            t = time.time()
+            merges = bpe.train_bpe_merges(
+                docs(), n_merges=200, max_words=50_000
+            )
+            rows = len(merges)
+            secs.append(round(time.time() - t, 2))
+        steady = (
+            sorted(secs[1:])[len(secs[1:]) // 2]
+            if len(secs) > 1 else secs[0]
+        )
+        print(json.dumps(
+            {"op": op, "sec": steady, "cold_sec": secs[0],
+             "reps": secs, "rows": rows, "n_copies": n_copies,
+             "fresh_jvm": True, "max_words": 50_000}
+        ))
+        spark.stop()
+        return
     if op not in ops:
         raise SystemExit(
-            f"unknown op {op!r}; one of {sorted(ops)}"
+            f"unknown op {op!r}; one of {sorted(ops) + ['train_bpe_merges']}"
         )
     reps = 2
     if "--reps" in sys.argv:
@@ -435,6 +480,70 @@ def snapshot_scale(n_copies: int):
     spark.stop()
 
 
+def media_scale(n_images: int):
+    """DCT pHash vs ahash cost per payload at scale: synthesize
+    ``n_images`` small real P6 (netpbm) images executor-side
+    (mapInPandas, 32×24 RGB ≈ 2.3 KB each), then hash the SAME
+    payloads with image_ahash and image_phash in a fresh JVM. The
+    round-8 claim was robustness (re-light flips 8-11 ahash bits vs
+    0-4 pHash); this measures the PRICE of that robustness — the
+    32×32 DCT is O(grid³) float work per image vs ahash's 8×8 mean
+    threshold."""
+    _assert_no_concurrent_jvms()
+    import numpy as np
+    import pandas as pd
+
+    from prql_spark.operators import multimodal as mm
+
+    spark = build_spark("scale-exp-media")
+    spark.sparkContext.setLogLevel("ERROR")
+    mpath = os.path.join(SCRATCH, f"media_x{n_images}")
+    if not os.path.exists(mpath):
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    rng = np.random.default_rng(int(i))
+                    px = rng.integers(
+                        0, 256, (24, 32, 3), dtype=np.uint8
+                    )
+                    rows.append(
+                        (int(i), b"P6\n32 24\n255\n" + px.tobytes(),
+                         "image/x-portable-pixmap")
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "media", "media_type"]
+                )
+
+        spark.range(n_images).repartition(32).mapInPandas(
+            gen, "media_id LONG, media BINARY, media_type STRING"
+        ).write.parquet(mpath)
+    media = spark.read.parquet(mpath)
+    codec = mm.NetpbmCodec()
+
+    def run(name, fn, hash_col):
+        secs, n = [], 0
+        for _ in range(2):
+            spark._jvm.System.gc()
+            t = time.time()
+            n = fn().where(f"{hash_col} IS NOT NULL").count()
+            secs.append(round(time.time() - t, 2))
+        return {"op": name, "cold_sec": secs[0], "sec": secs[-1],
+                "rows": n, "us_per_payload": round(
+                    secs[-1] / n_images * 1e6, 2)}
+
+    a = run("image_ahash",
+            lambda: mm.image_ahash(media, codec=codec), "ahash")
+    p = run("image_phash",
+            lambda: mm.image_phash(media, codec=codec), "phash")
+    print(json.dumps(
+        {"mode": "media_scale", "n_images": n_images,
+         "ahash": a, "phash": p,
+         "phash_over_ahash": round(p["sec"] / a["sec"], 2)}
+    ))
+    spark.stop()
+
+
 def main():
     raw = sys.argv[1:]
     skip = {
@@ -456,6 +565,9 @@ def main():
         return
     if "--snapshot-scale" in sys.argv:
         snapshot_scale(n_copies)
+        return
+    if "--media-scale" in sys.argv:
+        media_scale(n_copies * 5000)  # default 100 -> 500k images
         return
     _assert_no_concurrent_jvms()
     spark = build_spark("scale-exp")

@@ -2844,3 +2844,44 @@ class TestImagePhash:
             df, max_hamming=6, codec=multimodal.NetpbmCodec()
         ).collect()
         assert [(p.media_id_a, p.media_id_b) for p in pairs] == [(0, 1)]
+
+    def test_degenerate_spectrum_hash_is_host_independent(self, spark):
+        """Round-9 regression: a flat-fill image's DCT block is ~50
+        of 63 TRUE ZEROS, and before the 1e-6 rounding its
+        near-median bits were decided by ~1e-17 BLAS kernel noise —
+        the same payload hashed 12-16 bits apart under two BLAS
+        environments (driver-green r8, red r9, identical code). The
+        operator now rounds before thresholding; this pins the
+        contract by recomputing the hash driver-side with a
+        DIFFERENT matmul association order (a different rounding
+        path, the same class of perturbation a kernel change makes)
+        and requiring bit-exact equality."""
+        import numpy as np
+
+        from prql_spark.operators import multimodal
+
+        flat = np.zeros((6, 9, 3), dtype=np.uint8)
+        flat[:, :, 0] = np.arange(9, dtype=np.uint8) * 28
+        flat[:, :, 1] = 77
+        df = self._media(spark, [self._ppm(flat)])
+        codec = multimodal.NetpbmCodec()
+        got = multimodal.image_phash(df, codec).collect()[0].phash
+
+        n = 32
+        g = codec.luma_grid(self._ppm(flat), "image/x-portable-pixmap", n)
+        k = np.arange(n)
+        basis = np.cos(
+            np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)
+        ) * np.sqrt(2.0 / n)
+        basis[0] *= np.sqrt(0.5)
+        a = np.asarray(g, dtype=np.float64).reshape(n, n)
+        # deliberately different association -> different float
+        # rounding in the low-order bits
+        d = basis @ (a @ basis.T)
+        block = np.round(d[:8, :8].flatten()[1:], 6)
+        med = np.median(block)
+        packed = 0
+        for i, v in enumerate(block):
+            if v > med:
+                packed |= 1 << i
+        assert packed == got
