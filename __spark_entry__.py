@@ -370,7 +370,12 @@ WHERE rn <= 3
 ORDER BY o_orderstatus, o_totalprice DESC
 """
 
-LAG_LEAD = """
+# round-9 consolidation (rotation pressure): the former
+# window_lag_row_number + window_dense_rank_first_last entries merged
+# into ONE suite exercising all 7 stdlib window functions (lag, lead,
+# row_number, rank, dense_rank, first, last) over two different
+# window specs — coverage preserved, one rotation slot freed.
+WINDOW_SUITE = """
 from orders
 group [o_custkey] (
   sort [o_orderdate, o_orderkey]
@@ -379,16 +384,40 @@ group [o_custkey] (
     order_seq = row_number,
   ]
 )
-select [o_orderkey, o_custkey, prev_price, order_seq]
+group [o_orderstatus] (
+  sort [o_orderdate, o_orderkey]
+  derive [
+    dr = rank_dense,
+    rnk = rank,
+    nxt = lead 1 o_orderkey,
+    first_key = first o_orderkey,
+    last_key = last o_orderkey,
+  ]
+)
+select [o_orderkey, o_custkey, prev_price, order_seq, o_orderstatus,
+        dr, rnk, nxt, first_key, last_key]
 sort [o_orderkey]
 """
 
-LAG_LEAD_SQL = """
+WINDOW_SUITE_SQL = """
 SELECT o_orderkey, o_custkey,
-  lag(o_totalprice, 1) OVER w AS prev_price,
-  row_number() OVER w AS order_seq
+  lag(o_totalprice, 1) OVER wc AS prev_price,
+  row_number() OVER wc AS order_seq,
+  o_orderstatus,
+  dense_rank() OVER ws AS dr,
+  rank() OVER ws AS rnk,
+  lead(o_orderkey, 1) OVER ws AS nxt,
+  first_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    AS first_key,
+  last_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    AS last_key
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       ws AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)
 ORDER BY o_orderkey
 """
 
@@ -483,37 +512,6 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
-DENSE_RANK_WINDOW = """
-from orders
-group [o_orderstatus] (
-  sort [o_orderdate, o_orderkey]
-  derive [
-    dr = rank_dense,
-    nxt = lead 1 o_orderkey,
-    first_key = first o_orderkey,
-    last_key = last o_orderkey,
-  ]
-)
-select [o_orderkey, o_orderstatus, dr, nxt, first_key, last_key]
-sort [o_orderkey]
-"""
-
-DENSE_RANK_WINDOW_SQL = """
-SELECT o_orderkey, o_orderstatus,
-  dense_rank() OVER w AS dr,
-  lead(o_orderkey, 1) OVER w AS nxt,
-  first_value(o_orderkey) OVER (PARTITION BY o_orderstatus
-    ORDER BY o_orderdate, o_orderkey
-    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    AS first_key,
-  last_value(o_orderkey) OVER (PARTITION BY o_orderstatus
-    ORDER BY o_orderdate, o_orderkey
-    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    AS last_key
-FROM orders
-WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)
-ORDER BY o_orderkey
-"""
 
 TRAILING_7D = """
 from orders
@@ -1015,7 +1013,7 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
     "window_running_total": (RUNNING_TOTAL, RUNNING_TOTAL_SQL),
     "window_moving_average": (MOVING_AVERAGE, MOVING_AVERAGE_SQL),
     "group_topk": (GROUP_TOPK, GROUP_TOPK_SQL),
-    "window_lag_row_number": (LAG_LEAD, LAG_LEAD_SQL),
+    "window_functions_suite": (WINDOW_SUITE, WINDOW_SUITE_SQL),
     "take_range": (TAKE_RANGE, TAKE_RANGE_SQL),
     "null_handling": (NULL_HANDLING, NULL_HANDLING_SQL),
     "fstring_cast": (FSTRING_CAST, FSTRING_CAST_SQL),
@@ -1023,7 +1021,6 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
     "events_daily_rollup": (EVENTS_SESSIONS, EVENTS_SESSIONS_SQL),
     "agg_stddev_minmax": (RANK_STATS, RANK_STATS_SQL),
     "window_interval_range": (TRAILING_7D, TRAILING_7D_SQL),
-    "window_dense_rank_first_last": (DENSE_RANK_WINDOW, DENSE_RANK_WINDOW_SQL),
 }
 
 
@@ -1119,8 +1116,8 @@ _STALE_PREV = [
     "q17_small_qty_revenue",
     "q19_disjunctive_filter",
     "q22_inactive_balance",
-    "window_dense_rank_first_last",
-    "window_lag_row_number",
+    "window_functions_suite",
+    "multimodal_video_neardups",
     "multimodal_frame_sample",
     "asof_forward_tolerance",
     # --- _CORE: pinned every round (see policy above) ---
@@ -1149,7 +1146,6 @@ _STALE_PREV = [
 # All mimic-green every session; oldest driver evidence in the repo
 # from here on: these MUST open round 10's window.
 _STALE_SPILL = [
-    "multimodal_video_neardups",
     "splits_near_leakage",
     "text_normalize",
     "text_url_blocklist",

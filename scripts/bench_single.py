@@ -35,10 +35,17 @@ from prql_spark import build_spark  # noqa: E402
 def main():
     name = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    out = subprocess.run(
-        ["pgrep", "-c", "java"], capture_output=True, text=True
-    ).stdout.strip()
-    if out not in ("", "0"):
+    # wait (up to 120 s) for straggler JVMs — back-to-back shell
+    # invocations race the previous JVM's exit; then refuse rather
+    # than record a contaminated number
+    for _ in range(24):
+        out = subprocess.run(
+            ["pgrep", "-c", "java"], capture_output=True, text=True
+        ).stdout.strip()
+        if out in ("", "0"):
+            break
+        time.sleep(5)
+    else:
         raise SystemExit(
             f"refusing to measure: {out} concurrent JVM(s) alive"
         )
