@@ -75,6 +75,15 @@ def _table_mode(args) -> int:
 
             path, pred = args.delete_where
             print(json.dumps(delete_snapshot(spark, path, pred)))
+        if args.optimize:
+            from prql_spark.sources.manifest import optimize_snapshot
+
+            path, cols = args.optimize
+            print(json.dumps(optimize_snapshot(
+                spark, path,
+                zorder_by=tuple(c.strip() for c in cols.split(",")),
+                target_mb=args.target_mb,
+            )))
     except (ValueError, IOError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -207,6 +216,13 @@ def main(argv: list[str] | None = None) -> int:
         "(copy-on-write: only files containing matches rewrite)",
     )
     tbl.add_argument(
+        "--optimize", nargs=2, metavar=("PATH", "COLS"),
+        help="OPTIMIZE a manifest-committed dataset: rewrite the "
+        "latest version z-ordered over the comma-separated COLS "
+        "with write-time stats (one commit; time travel keeps the "
+        "old version)",
+    )
+    tbl.add_argument(
         "--min-age-s", type=float, default=3600.0,
         help="--vacuum grace window: unreferenced files younger than "
         "this are kept (a concurrent writer's staged commit); 0 "
@@ -217,6 +233,7 @@ def main(argv: list[str] | None = None) -> int:
     if (
         args.layout or args.compact or args.history or args.vacuum
         or args.fsck or args.partitions or args.delete_where
+        or args.optimize
     ):
         return _table_mode(args)
 

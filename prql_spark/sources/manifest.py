@@ -727,6 +727,84 @@ def compact_snapshot(
     }
 
 
+def optimize_snapshot(
+    spark: SparkSession,
+    path: str,
+    zorder_by: tuple,
+    target_mb: int = 256,
+    stats_cols: tuple | None = None,
+    target_files: int | None = None,
+) -> dict:
+    """OPTIMIZE for manifest tables: rewrite the latest version
+    CLUSTERED by z-order over ``zorder_by`` (multi-column layout —
+    per-file [min, max] stays narrow on EVERY participating column),
+    re-collect write-time stats for those columns, and commit it all
+    as ONE new version (operation ``optimize``). The previous
+    version stays readable (time travel; vacuum reclaims later), so
+    there is no deletion window — the same pattern as
+    :func:`compact_snapshot`, plus clustering, plus stats.
+
+    This is the scan-side 100 TB lever assembled end to end: after
+    one optimize, a sargable predicate on ANY z column — through
+    :func:`snapshot_scan`, :func:`snapshot_pruned_read`, or the PRQL
+    pushdown — plans in O(matching files). Partitioned tables keep
+    their partition spec; rows range-partition on
+    ``(partition cols, z)`` so each hive directory's files cover
+    contiguous z-ranges.
+
+    Cost: one stats pass (``approxQuantile`` over the z columns) +
+    one range shuffle + the write — the same stage count as a plain
+    compaction rewrite."""
+    import math
+
+    from prql_spark.sources.layout import zorder_expr
+    from pyspark.sql import functions as F
+
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    seen = _versions(fs, jvm, base)
+    if not seen:
+        raise ValueError(f"optimize_snapshot: no versions at {path!r}")
+    m = _load_manifest(fs, jvm, base, seen[-1])
+    total = sum(f["bytes"] for f in m["files"])
+    # target_files pins the output file count directly (small tables,
+    # tests); otherwise size to target_mb
+    want = target_files or max(
+        1, math.ceil(total / (target_mb * 1024 * 1024))
+    )
+    pby = tuple(m.get("partition_by") or ())
+    df = snapshot_read(spark, path)
+    missing = [c for c in zorder_by if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"optimize_snapshot: zorder_by columns {missing} not in "
+            f"table columns {df.columns}"
+        )
+    z = zorder_expr(df, list(zorder_by))
+    keyed = df.withColumn("__z", F.expr(z))
+    range_key = [*pby, "__z"]
+    out = (
+        keyed.repartitionByRange(want, *range_key)
+        .sortWithinPartitions(*range_key)
+        .drop("__z")
+    )
+    res = snapshot_write(
+        out,
+        path,
+        mode="overwrite",
+        partition_by=pby or None,
+        stats_cols=tuple(stats_cols or zorder_by),
+        extra={"operation": "optimize"},
+    )
+    return {
+        "version": res["version"],
+        "operation": "optimize",
+        "zorder_by": list(zorder_by),
+        "n_files_before": len(m["files"]),
+        "n_files_after": res["n_files"],
+    }
+
+
 def vacuum_snapshot(
     spark: SparkSession,
     path: str,

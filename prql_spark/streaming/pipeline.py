@@ -361,6 +361,7 @@ def stream_append_snapshot(
     checkpoint: str | None = None,
     stream_id: str | None = None,
     timeout_s: int = 300,
+    partition_by: tuple | None = None,
 ):
     """Exactly-once streaming appends into a manifest-committed
     table (``sources/manifest.py``): ``foreachBatch`` stages each
@@ -397,6 +398,13 @@ def stream_append_snapshot(
     Readers time-travel mid-stream: every micro-batch is a queryable
     version. Runs with trigger(availableNow) and blocks until
     drained (test / bounded-backfill shape).
+
+    ``partition_by`` lays every micro-batch out hive-style (the
+    event-time date/hour is the canonical choice): the manifest
+    records per-file partition values, so downstream range reads on
+    the partition column prune at the driver — and the append
+    schema/partitioning checks still apply (a batch cannot silently
+    change the table's layout).
     """
     from prql_spark.sources.manifest import (
         _fs,
@@ -422,6 +430,7 @@ def stream_append_snapshot(
         snapshot_write(
             batch_df, path, mode="append",
             extra={"stream_id": sid, "epoch": epoch_id},
+            partition_by=partition_by,
         )
 
     w = (

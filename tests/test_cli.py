@@ -205,3 +205,24 @@ def test_cli_partitions_and_delete_where(tmp_path, spark):
     assert r.returncode == 0, r.stderr
     rep = _json.loads(r.stdout)
     assert rep["operation"] == "delete" and rep["version"] == 2
+
+
+def test_cli_optimize_mode(tmp_path, spark):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from prql_spark.sources.manifest import snapshot_write
+
+    snap = str(tmp_path / "opt")
+    snapshot_write(
+        spark.range(2000).withColumn(
+            "k", (F.col("id") % 10).cast("int")
+        ).repartition(6),
+        snap,
+    )
+    r = _cli("--optimize", snap, "id,k")
+    assert r.returncode == 0, r.stderr
+    rep = _json.loads(r.stdout)
+    assert rep["operation"] == "optimize" and rep["version"] == 2
+    assert rep["zorder_by"] == ["id", "k"]

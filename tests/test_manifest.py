@@ -1010,3 +1010,69 @@ def test_changes_refuses_to_cross_merge_and_delete(spark, tmp_path):
     delete_snapshot(spark, path, "id = 7")
     with pytest.raises(ValueError):
         snapshot_changes(spark, path, since_version=2)
+
+
+def test_optimize_snapshot_zorder_prunes_both_columns(spark, tmp_path):
+    """OPTIMIZE ZORDER: one commit rewrites the latest version
+    z-clustered over two columns WITH write-time stats — range scans
+    on EITHER column then open a strict subset of files; rows
+    identical; the pre-optimize version stays readable."""
+    from prql_spark.sources.manifest import (
+        optimize_snapshot,
+        snapshot_scan,
+    )
+
+    path = str(tmp_path / "opt")
+    df = (
+        spark.range(20000)
+        .withColumn("k1", (F.col("id") % 100).cast("int"))
+        .withColumn("k2", ((F.col("id") * 7919) % 100).cast("int"))
+        .repartition(16)
+    )
+    snapshot_write(df, path)
+    res = optimize_snapshot(
+        spark, path, zorder_by=("k1", "k2"), target_files=16
+    )
+    assert res["operation"] == "optimize"
+    hist = {r.version: r.operation
+            for r in snapshot_history(spark, path).collect()}
+    assert hist[2] == "optimize"
+    total = len(snapshot_read(spark, path).inputFiles())
+    assert total > 3  # enough files for pruning to be meaningful
+    for col in ("k1", "k2"):
+        hit = snapshot_scan(spark, path, col, lo=10, hi=19)
+        assert hit.count() == 2000
+        assert len(hit.inputFiles()) < total
+    assert snapshot_read(spark, path, 1).count() == 20000
+    with pytest.raises(ValueError, match="zorder_by columns"):
+        optimize_snapshot(spark, path, zorder_by=("nope",))
+
+
+def test_optimize_snapshot_keeps_partition_spec(spark, tmp_path):
+    from prql_spark.sources.manifest import (
+        optimize_snapshot,
+        snapshot_scan,
+    )
+    import json as _json
+    import os as _os
+
+    path = str(tmp_path / "optp")
+    df = (
+        spark.range(8000)
+        .withColumn("bucket", (F.col("id") % 2).cast("int"))
+        .withColumn("k", (F.col("id") % 50).cast("int"))
+        .repartition(8)
+    )
+    snapshot_write(df, path, partition_by=("bucket",))
+    res = optimize_snapshot(
+        spark, path, zorder_by=("k",), target_files=8
+    )
+    m = _json.load(open(_os.path.join(
+        path, "_manifests", f"v{res['version']:010d}.json")))
+    assert m["partition_by"] == ["bucket"]
+    assert all("bucket=" in f["path"] for f in m["files"])
+    total = len(snapshot_read(spark, path).inputFiles())
+    hit = snapshot_scan(spark, path, "k", lo=0, hi=9)
+    assert hit.count() == 1600
+    assert len(hit.inputFiles()) < total
+    assert snapshot_read(spark, path).count() == 8000

@@ -659,3 +659,38 @@ def test_stream_append_snapshot_scheme_path_and_vacuum_replay(
     got = sorted(r.id for r in snapshot_read(spark, table).collect())
     assert got == list(range(90))  # zero duplicate rows
     assert snapshot_history(spark, table).count() == 1  # no new commits
+
+
+def test_stream_append_snapshot_partitioned(spark, tmp_path):
+    """Partitioned exactly-once streaming appends: each micro-batch
+    lands hive-partitioned, the manifest records partition values,
+    and a downstream partition scan prunes to one hive dir."""
+    from prql_spark.sources.manifest import (
+        snapshot_partitions,
+        snapshot_read,
+        snapshot_scan,
+    )
+    from prql_spark.streaming.pipeline import stream_append_snapshot
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, None)],
+        "id INT, grp STRING",
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("id INT, grp STRING").parquet(src)
+    )
+    stream_append_snapshot(
+        stream, tbl, checkpoint=ckpt, stream_id="s1",
+        partition_by=("grp",),
+    )
+    assert sorted(
+        r.id for r in snapshot_read(spark, tbl).collect()
+    ) == [1, 2, 3, 4]
+    parts = {r.grp for r in snapshot_partitions(spark, tbl).collect()}
+    assert parts == {"a", "b", None}
+    hit = snapshot_scan(spark, tbl, "grp", lo="a", hi="a")
+    assert sorted(r.id for r in hit.collect()) == [1, 3]
+    assert all("grp=a" in f for f in hit.inputFiles())
