@@ -241,7 +241,7 @@ def _staged_stats(
     commit, never the table."""
     from pyspark.sql import functions as F
 
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         aggs.append(F.min(F.col(c)).alias(f"mn_{c}"))
         aggs.append(F.max(F.col(c)).alias(f"mx_{c}"))
@@ -262,6 +262,7 @@ def _staged_stats(
     # directories (one task, many partitions), so basenames collide
     marker = "/" + data_dir.rstrip("/").rsplit("/", 1)[1] + "/"
     by_rel: dict[str, dict] = {}
+    n_by_rel: dict[str, int] = {}
     for r in rows:
         st = {}
         for c in cols:
@@ -270,11 +271,17 @@ def _staged_stats(
             # always read it (safe), same as a stats-less footer
             if lo is not None and hi is not None:
                 st[c] = [_stats_enc(lo), _stats_enc(hi)]
+        rel = unquote(r["f"].split(marker, 1)[1])
+        n_by_rel[rel] = r["__n_rows"]
         if st:
-            by_rel[unquote(r["f"].split(marker, 1)[1])] = st
+            by_rel[rel] = st
     n_ok = 0
     for f in staged:
         rel = f["path"].split("/", 2)[2]  # after data/<commit>/
+        # per-file row count rides the same scan for free — powers
+        # metadata-only counts (snapshot_count) and history rows
+        if rel in n_by_rel:
+            f["n_rows"] = int(n_by_rel[rel])
         st = by_rel.get(rel)
         if st:
             f["stats"] = {**f.get("stats", {}), **st}
@@ -600,12 +607,14 @@ def snapshot_read(
 
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     """One row per committed version: version, parent, operation,
-    n_files, total_bytes."""
+    n_files, total_bytes, n_rows (NULL when any of the version's
+    files lacks a recorded row count — see :func:`snapshot_count`)."""
     fs, jvm = _fs(spark, path)
     base = path.rstrip("/")
     rows = []
     for v in _versions(fs, jvm, base):
         m = _load_manifest(fs, jvm, base, v)
+        counts = [f.get("n_rows") for f in m["files"]]
         rows.append(
             (
                 m["version"],
@@ -613,13 +622,44 @@ def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
                 m["operation"],
                 len(m["files"]),
                 sum(f["bytes"] for f in m["files"]),
+                sum(counts) if all(c is not None for c in counts)
+                else None,
             )
         )
     return spark.createDataFrame(
         rows,
         "version INT, parent INT, operation STRING, n_files INT,"
-        " total_bytes LONG",
+        " total_bytes LONG, n_rows LONG",
     )
+
+
+def snapshot_count(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int:
+    """Row count of the given version (default latest) answered from
+    the MANIFEST when every referenced file carries a recorded
+    ``n_rows`` (written for free by the ``stats_cols=`` scan and by
+    :func:`attach_stats` footer reads) — zero tasks, zero file
+    opens; the 100 TB ``SELECT count(*)`` that doesn't scan 100 TB.
+    Falls back to one real ``count()`` job when any file lacks a
+    recorded count (plain writes without stats)."""
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    seen = _versions(fs, jvm, base)
+    if not seen:
+        raise ValueError(f"snapshot_count: no versions at {path!r}")
+    v = seen[-1] if version is None else version
+    if v not in seen:
+        raise ValueError(
+            f"snapshot_count: version {v} not in {seen} at {path!r}"
+        )
+    m = _load_manifest(fs, jvm, base, v)
+    counts = [f.get("n_rows") for f in m["files"]]
+    if counts and all(c is not None for c in counts):
+        return int(sum(counts))
+    if not m["files"]:
+        return 0
+    return snapshot_read(spark, path, v).count()
 
 
 def snapshot_partitions(
@@ -1326,10 +1366,19 @@ def attach_stats(
         )
     local_base = jvm.org.apache.hadoop.fs.Path(base).toUri().getPath()
     stats_by_path: dict[str, dict] = {}
+    nrows_by_path: dict[str, int] = {}
     for f in m["files"]:
         st = _file_stats(f"{local_base}/{f['path']}", cols)
         if st is not None:
             stats_by_path[f["path"]] = st
+        try:
+            import pyarrow.parquet as pq
+
+            nrows_by_path[f["path"]] = pq.read_metadata(
+                f"{local_base}/{f['path']}"
+            ).num_rows
+        except Exception:
+            pass
     # Publish on top of the CURRENT head, never on version v's file
     # list: a concurrent commit (or an explicit older ``version=``)
     # means v's list is stale, and re-publishing it would silently
@@ -1350,6 +1399,9 @@ def attach_stats(
             if st is not None:
                 nf["stats"] = {**nf.get("stats", {}), **st}
                 n_ok += 1
+            nr = nrows_by_path.get(f["path"])
+            if nr is not None:
+                nf["n_rows"] = nr
             files.append(nf)
         manifest = {
             **hm,

@@ -1076,3 +1076,35 @@ def test_optimize_snapshot_keeps_partition_spec(spark, tmp_path):
     assert hit.count() == 1600
     assert len(hit.inputFiles()) < total
     assert snapshot_read(spark, path).count() == 8000
+
+
+def test_snapshot_count_metadata_only(spark, tmp_path):
+    """With stats_cols= every file carries n_rows, so counts come
+    from the manifest — zero Spark jobs (asserted via the session's
+    job counter); plain writes fall back to a real count()."""
+    from prql_spark.sources.manifest import snapshot_count
+
+    path = str(tmp_path / "cnt")
+    snapshot_write(
+        spark.range(5000).repartition(4), path, stats_cols=("id",)
+    )
+    snapshot_write(
+        spark.range(5000, 5500), path, mode="append",
+        stats_cols=("id",),
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    assert snapshot_count(spark, path) == 5500
+    assert snapshot_count(spark, path, version=1) == 5000
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # no job ran: answered from the manifest
+    hist = {r.version: r.n_rows
+            for r in snapshot_history(spark, path).collect()}
+    assert hist == {1: 5000, 2: 5500}
+
+    # plain write (no stats): falls back to one real count
+    path2 = str(tmp_path / "cnt2")
+    snapshot_write(spark.range(77), path2)
+    assert snapshot_count(spark, path2) == 77
+    h2 = snapshot_history(spark, path2).collect()[0]
+    assert h2.n_rows is None
