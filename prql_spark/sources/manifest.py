@@ -213,6 +213,51 @@ def _load_manifest(fs, jvm, base: str, version: int) -> dict:
     )
 
 
+_STATS_MAX_CHARS = 32
+
+
+def _trunc_lo(s: str, n: int = _STATS_MAX_CHARS) -> str:
+    """Safe LOWER bound for a long string stat: a prefix sorts <=
+    every string it prefixes, so truncation alone is valid."""
+    return s if len(s) <= n else s[:n]
+
+
+def _trunc_hi(s: str, n: int = _STATS_MAX_CHARS) -> str | None:
+    """Safe UPPER bound for a long string stat: truncate, then
+    increment the last code point (skipping the surrogate gap) so
+    the result sorts >= every string sharing the prefix — the same
+    scheme Iceberg uses for bounded metadata. Returns None when no
+    safe bound exists (every prefix char is at the code-point
+    ceiling) — the caller must then drop the bound entirely
+    (conservative: the file is always read)."""
+    if len(s) <= n:
+        return s
+    p = s[:n]
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c >= 0x10FFFF:
+            continue
+        nc = c + 1
+        if 0xD800 <= nc <= 0xDFFF:
+            nc = 0xE000
+        return p[:i] + chr(nc)
+    return None
+
+
+def _bound_stat(lo, hi):
+    """Bound one [lo, hi] stats pair for the manifest: long strings
+    truncate (manifests must stay small — a text column's raw
+    min/max would embed whole documents, megabytes per file entry at
+    100 TB); everything else passes through. Returns None when no
+    safe bounded form exists."""
+    if isinstance(lo, str) and isinstance(hi, str):
+        hi_b = _trunc_hi(hi)
+        if hi_b is None:
+            return None
+        return [_trunc_lo(lo), hi_b]
+    return [lo, hi]
+
+
 def _stats_enc(v):
     """JSON-encode a stats bound the way snapshot_scan compares them
     (timestamps/dates → ISO strings, bytes → utf-8)."""
@@ -270,7 +315,9 @@ def _staged_stats(
             # an all-NULL file has no usable range for c; scans then
             # always read it (safe), same as a stats-less footer
             if lo is not None and hi is not None:
-                st[c] = [_stats_enc(lo), _stats_enc(hi)]
+                rng = _bound_stat(_stats_enc(lo), _stats_enc(hi))
+                if rng is not None:
+                    st[c] = rng
         rel = unquote(r["f"].split(marker, 1)[1])
         n_by_rel[rel] = r["__n_rows"]
         if st:
@@ -334,11 +381,12 @@ def _stage_commit(
             entry["partition"] = {
                 c: values.get(c) for c in partition_by
             }
-            stats = {
-                c: [values[c], values[c]]
-                for c in partition_by
-                if c in ok and values.get(c) is not None
-            }
+            stats = {}
+            for c in partition_by:
+                if c in ok and values.get(c) is not None:
+                    rng = _bound_stat(values[c], values[c])
+                    if rng is not None:
+                        stats[c] = rng
             if stats:
                 entry["stats"] = stats
         staged.append(entry)
@@ -1328,7 +1376,12 @@ def _file_stats(local_path: str, cols: tuple) -> dict | None:
             return v.decode("utf-8", "replace")
         return v
 
-    return {k: [enc(lo), enc(hi)] for k, (lo, hi) in out.items()}
+    bounded = {}
+    for k, (lo, hi) in out.items():
+        rng = _bound_stat(enc(lo), enc(hi))
+        if rng is not None:
+            bounded[k] = rng
+    return bounded or None
 
 
 def attach_stats(

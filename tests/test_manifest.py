@@ -1108,3 +1108,47 @@ def test_snapshot_count_metadata_only(spark, tmp_path):
     assert snapshot_count(spark, path2) == 77
     h2 = snapshot_history(spark, path2).collect()[0]
     assert h2.n_rows is None
+
+
+def test_string_stats_truncate_but_prune_correctly(spark, tmp_path):
+    """stats_cols on a LONG string column must not embed whole
+    values in the manifest (at 100 TB a text column's raw min/max is
+    megabytes per file entry): mins prefix-truncate, maxes truncate
+    with the last code point incremented (a safe upper bound), and
+    pruning on the truncated ranges stays exact-conservative."""
+    from prql_spark.sources.manifest import (
+        _trunc_hi,
+        _trunc_lo,
+        snapshot_scan,
+    )
+
+    # unit behavior, incl. the surrogate-gap skip and the no-safe-
+    # bound ceiling case
+    assert _trunc_lo("x" * 100) == "x" * 32
+    assert _trunc_hi("abc") == "abc"
+    h = _trunc_hi("a" * 100)
+    assert len(h) == 32 and h == "a" * 31 + "b" and h > "a" * 100
+    assert _trunc_hi("a" * 31 + "퟿" + "zz")[-1] == ""
+    assert _trunc_hi(chr(0x10FFFF) * 40) is None
+
+    path = str(tmp_path / "lstr")
+    rows = [(i, chr(ord("a") + i % 8) * 500) for i in range(4000)]
+    df = (
+        spark.createDataFrame(rows, "id INT, text STRING")
+        .repartitionByRange(8, "text")
+        .sortWithinPartitions("text")
+    )
+    snapshot_write(df, path, stats_cols=("text",))
+    m = json.load(open(os.path.join(
+        path, "_manifests", f"v{1:010d}.json")))
+    for f in m["files"]:
+        rng = (f.get("stats") or {}).get("text")
+        assert rng is not None
+        assert len(rng[0]) <= 32 and len(rng[1]) <= 32
+    total = len(snapshot_read(spark, path).inputFiles())
+    # a full-length probe value still prunes through the truncated
+    # ranges — and returns exactly the matching rows
+    probe = "c" * 500
+    hit = snapshot_scan(spark, path, "text", lo=probe, hi=probe)
+    assert hit.count() == 500
+    assert len(hit.inputFiles()) < total
