@@ -494,13 +494,18 @@ class Compiler:
             self.df = pruned
 
     def _filter_bounds(self, node) -> dict:
-        """Column → (lo, hi) bounds implied by the condition —
-        conjunctions of ``col <op> literal`` comparisons and
-        ``in lo..hi`` ranges. Anything else contributes nothing
-        (never wrong bounds: unknown shapes are simply not sargable
-        for file skipping). Strict inequalities widen to inclusive
-        bounds (conservative)."""
-        out: dict[str, list] = {}
+        """Column → list of (lo, hi) INTERVALS implied by the
+        condition. Conjunctions of ``col <op> literal`` comparisons
+        and ``in lo..hi`` ranges intersect per column;
+        DISJUNCTIONS over the SAME single column union their
+        intervals (``ds == a or ds == b`` — the multi-partition
+        day query — prunes to exactly those partitions' files).
+        Anything else contributes nothing (never wrong bounds:
+        unknown shapes are simply not sargable for file skipping).
+        Strict inequalities widen to inclusive bounds
+        (conservative); widening means an EMPTY intersection is
+        empty for the original predicate too, so an empty interval
+        list legitimately prunes every file."""
         _FLIP = {"<": ">", ">": "<", ">=": "<=", "<=": ">=", "==": "=="}
 
         def litval(n):
@@ -513,21 +518,42 @@ class Compiler:
                 return str(n.value).replace(" ", "T")
             return None
 
-        def add(colname, op, v):
+        def one(colname, op, v):
+            """{col: [interval]} for a single comparison, or None."""
             flat = self.scope.get(colname)
             if flat is None or v is None:
-                return
-            lo, hi = out.get(flat, [None, None])
+                return None
+            if op in (">=", ">"):
+                return {flat: [(v, None)]}
+            if op in ("<=", "<"):
+                return {flat: [(None, v)]}
+            if op == "==":
+                return {flat: [(v, v)]}
+            return None
+
+        def isect(a, b):
+            """Intersection of two intervals, or None when empty /
+            incomparable (incomparable -> treated as empty by the
+            caller dropping the COLUMN, not the file)."""
             try:
-                if op in (">=", ">", "=="):
-                    lo = v if lo is None else max(lo, v)
-                if op in ("<=", "<", "=="):
-                    hi = v if hi is None else min(hi, v)
+                lo = a[0] if b[0] is None else (
+                    b[0] if a[0] is None else max(a[0], b[0])
+                )
+                hi = a[1] if b[1] is None else (
+                    b[1] if a[1] is None else min(a[1], b[1])
+                )
+                if lo is not None and hi is not None and lo > hi:
+                    return None
             except TypeError:
-                return  # mixed-type bounds: not sargable
-            out[flat] = [lo, hi]
+                raise _Unsargable()
+            return (lo, hi)
+
+        class _Unsargable(Exception):
+            pass
 
         def walk(n):
+            """{col: [intervals]} for the subtree, or None when the
+            subtree constrains nothing usable."""
             if isinstance(n, ExprPipeline):
                 # fold `(x | in a..b)` into FuncCall("in", [rng, x]),
                 # mirroring _expr_pipeline
@@ -536,20 +562,53 @@ class Compiler:
                     if isinstance(stp, Ident):
                         stp = FuncCall(stp.name, [], {})
                     if not isinstance(stp, FuncCall):
-                        return
+                        return None
                     cur = FuncCall(stp.name, stp.args + [cur], stp.named)
-                walk(cur)
-                return
+                return walk(cur)
             if isinstance(n, Binary) and n.op == "and":
-                walk(n.left)
-                walk(n.right)
-                return
+                left, right = walk(n.left), walk(n.right)
+                if left is None:
+                    return right
+                if right is None:
+                    return left
+                out = dict(left)
+                for col, ivs in right.items():
+                    if col not in out:
+                        out[col] = ivs
+                        continue
+                    try:
+                        merged = [
+                            m
+                            for a in out[col]
+                            for b in ivs
+                            if (m := isect(a, b)) is not None
+                        ]
+                    except _Unsargable:
+                        out.pop(col)  # incomparable: drop the column
+                        continue
+                    out[col] = merged
+                return out
+            if isinstance(n, Binary) and n.op == "or":
+                left, right = walk(n.left), walk(n.right)
+                # sound ONLY when both arms constrain the SAME single
+                # column: rows satisfying either arm lie in the
+                # union of that column's intervals. A multi-column or
+                # half-constrained OR guarantees nothing.
+                if (
+                    left is not None
+                    and right is not None
+                    and len(left) == 1
+                    and set(left) == set(right)
+                ):
+                    col = next(iter(left))
+                    return {col: left[col] + right[col]}
+                return None
             if isinstance(n, Binary) and n.op in _FLIP:
                 if isinstance(n.left, Ident):
-                    add(n.left.name, n.op, litval(n.right))
-                elif isinstance(n.right, Ident):
-                    add(n.right.name, _FLIP[n.op], litval(n.left))
-                return
+                    return one(n.left.name, n.op, litval(n.right))
+                if isinstance(n.right, Ident):
+                    return one(n.right.name, _FLIP[n.op], litval(n.left))
+                return None
             # `value | in lo..hi` parses as FuncCall("in", [range, value])
             if (
                 isinstance(n, FuncCall)
@@ -559,16 +618,20 @@ class Compiler:
                 and isinstance(n.args[1], Ident)
             ):
                 rng = n.args[0]
-                col = n.args[1].name
-                if rng.start is not None:
-                    add(col, ">=", litval(rng.start))
-                if rng.end is not None:
-                    add(col, "<=", litval(rng.end))
+                flat = self.scope.get(n.args[1].name)
+                lo = litval(rng.start) if rng.start is not None else None
+                hi = litval(rng.end) if rng.end is not None else None
+                if flat is None or (lo is None and hi is None):
+                    return None
+                return {flat: [(lo, hi)]}
+            return None
 
-        walk(node)
+        got = walk(node) or {}
         return {
-            k: (lo, hi) for k, (lo, hi) in out.items()
-            if lo is not None or hi is not None
+            col: ivs
+            for col, ivs in got.items()
+            if any(lo is not None or hi is not None for lo, hi in ivs)
+            or not ivs  # empty list = provably no match: prune all
         }
 
     # -- aggregate (top level; group-level handled in t_group)

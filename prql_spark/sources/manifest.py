@@ -1544,14 +1544,18 @@ def snapshot_pruned_read(
 ):
     """File-skipping read for PREDICATE PUSHDOWN callers (the PRQL
     catalog): keep only files whose manifest [min, max] ranges can
-    overlap EVERY bound in ``bounds`` (``{col: (lo, hi)}``, either
-    edge None). Unlike :func:`snapshot_scan` the predicate is NOT
-    applied here — the caller re-applies its exact original filter
-    on top, so pruning only has to be CONSERVATIVE: files lacking
-    stats for a bounded column are kept, and any comparison that
-    fails (type mismatch between a literal and the stored stats)
-    keeps the file. Returns ``(df, n_kept, n_total)`` so the caller
-    can decide whether pruning was worth re-planning."""
+    overlap EVERY bound in ``bounds`` — ``{col: (lo, hi)}`` or
+    ``{col: [(lo, hi), ...]}`` (a UNION of intervals, e.g. the
+    multi-partition ``ds == a or ds == b`` query; a file survives a
+    column's bound when it overlaps ANY of its intervals, and an
+    EMPTY interval list — a provably unsatisfiable conjunction —
+    prunes every file). Unlike :func:`snapshot_scan` the predicate
+    is NOT applied here — the caller re-applies its exact original
+    filter on top, so pruning only has to be CONSERVATIVE: files
+    lacking stats for a bounded column are kept, and any comparison
+    that fails (type mismatch between a literal and the stored
+    stats) keeps the file. Returns ``(df, n_kept, n_total)`` so the
+    caller can decide whether pruning was worth re-planning."""
     fs, jvm = _fs(spark, path)
     base = path.rstrip("/")
     seen = _versions(fs, jvm, base)
@@ -1567,22 +1571,34 @@ def snapshot_pruned_read(
     def overlaps(f) -> bool:
         st = f.get("stats") or {}
         pv = f.get("partition") or {}
-        for col, (lo, hi) in bounds.items():
+        for col, ivs in bounds.items():
+            if isinstance(ivs, tuple):
+                ivs = [ivs]
             # hive NULL partition: every row is NULL for col, and a
             # range/equality bound can never hold on NULL — exact skip
             if col in pv and pv[col] is None:
+                return False
+            if not ivs:
+                # empty interval union: the caller proved the
+                # conjunction unsatisfiable — nothing can match
                 return False
             rng = st.get(col)
             if rng is None:
                 continue  # no stats for this col: keep (safe)
             fmin, fmax = rng
-            try:
-                if lo is not None and fmax < _stats_enc(lo):
-                    return False
-                if hi is not None and fmin > _stats_enc(hi):
-                    return False
-            except TypeError:
-                continue  # incomparable literal vs stats: keep
+
+            def hits(lo, hi) -> bool:
+                try:
+                    if lo is not None and fmax < _stats_enc(lo):
+                        return False
+                    if hi is not None and fmin > _stats_enc(hi):
+                        return False
+                except TypeError:
+                    return True  # incomparable: keep (safe)
+                return True
+
+            if not any(hits(lo, hi) for lo, hi in ivs):
+                return False
         return True
 
     keep = [f for f in m["files"] if overlaps(f)]

@@ -1152,3 +1152,55 @@ def test_string_stats_truncate_but_prune_correctly(spark, tmp_path):
     hit = snapshot_scan(spark, path, "text", lo=probe, hi=probe)
     assert hit.count() == 500
     assert len(hit.inputFiles()) < total
+
+
+def test_prql_or_pushdown_unions_intervals(spark, tmp_path):
+    """Disjunctions over ONE column push down as a UNION of
+    intervals — the multi-partition day query (`ds == a or ds == b`)
+    opens only those partitions' files; multi-column ORs stay
+    unpruned (sound) and conjunctions with an OR arm still prune on
+    the other arm."""
+    from prql_spark import compile_prql
+    from prql_spark.sources.catalog import Catalog
+
+    df = spark.createDataFrame(
+        [(i, ["d1", "d2", "d3", "d4"][i % 4], i * 2) for i in range(400)],
+        "id INT, ds STRING, v INT",
+    )
+    snapshot_write(df, str(tmp_path / "mto"), partition_by=("ds",))
+    cat = Catalog(spark, str(tmp_path))
+    total = len(cat.load("mto").inputFiles())
+
+    out = compile_prql(
+        'from mto\nfilter ds == "d1" or ds == "d3"\nsort id', cat
+    )
+    assert [r.id for r in out.collect()] == sorted(
+        i for i in range(400) if i % 4 in (0, 2)
+    )
+    assert len(out.inputFiles()) < total
+    assert all(
+        "ds=d1" in f or "ds=d3" in f for f in out.inputFiles()
+    )
+
+    # disjoint equality conjunction: provably empty — zero files
+    out2 = compile_prql(
+        'from mto\nfilter ds == "d1" and ds == "d2"', cat
+    )
+    assert out2.count() == 0
+    assert len(out2.inputFiles()) == 0
+
+    # multi-column OR: no pruning claim, still exact
+    out3 = compile_prql(
+        'from mto\nfilter ds == "d1" or v == 6', cat
+    )
+    assert sorted(r.id for r in out3.collect()) == sorted(
+        {3} | {i for i in range(400) if i % 4 == 0}
+    )
+    assert len(out3.inputFiles()) == total
+
+    # OR arm under AND: the sargable conjunct still prunes
+    out4 = compile_prql(
+        'from mto\nfilter ds == "d2" and (v == 2 or v == 10)', cat
+    )
+    assert sorted(r.id for r in out4.collect()) == [1, 5]
+    assert all("ds=d2" in f for f in out4.inputFiles())
