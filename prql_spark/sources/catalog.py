@@ -147,7 +147,8 @@ class Catalog:
         """Manifest-table FILE-SKIPPING load for predicate pushdown:
         re-plan ``name``'s latest version keeping only files whose
         manifest [min, max] stats can overlap every bound in
-        ``bounds`` (``{col: (lo, hi)}``). Returns the pruned
+        ``bounds`` (``{col: (lo, hi)}`` or ``{col: [(lo, hi), ...]}``
+        — an interval UNION from a same-column OR). Returns the pruned
         DataFrame, or None when ``name`` is not a manifest table or
         nothing was actually pruned (caller keeps its original
         plan). The caller MUST still apply its exact predicate —
