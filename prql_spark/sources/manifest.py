@@ -57,8 +57,14 @@ an existing destination (pinned in tests), leaving only the tiny
 check-then-rename window; on S3A rename is copy+delete and two
 racing writers CAN both believe they committed the same version —
 single-writer (or externally locked) operation is required there.
-The seam to replace for object stores is :func:`_write_text_atomic`
-(a conditional-put, like Delta's LogStore or an Iceberg catalog).
+The seam to replace for object stores is :class:`CommitProtocol`
+(install with :func:`set_commit_protocol`): the default
+:class:`RenameCommitProtocol` relies on atomic rename-refuses-
+existing (HDFS/local); :class:`LockFileCommitProtocol` serializes
+publishers through an exclusive-create lock file with TTL crash
+recovery (non-atomic-rename stores); a conditional-put protocol
+(like Delta's LogStore or an Iceberg catalog) plugs into the same
+three-line interface.
 Manifests carry RELATIVE file paths — a dataset can be cloned or
 mounted elsewhere.
 
@@ -72,6 +78,7 @@ Iceberg does.
 from __future__ import annotations
 
 import json
+import re
 import uuid
 from urllib.parse import unquote
 
@@ -93,6 +100,26 @@ def _hidden_rel(rel: str) -> bool:
     return any(_hidden(c) for c in rel.split("/"))
 
 
+def _norm_ts_path(s: str) -> str:
+    """Hive-dir timestamp value → the exact string ``_stats_enc``
+    produces for the same instant. Two mismatches to normalize:
+    the separator (hive uses a space, isoformat a ``T``) and the
+    fractional seconds (Spark TRIMS trailing fraction zeros in hive
+    dirs — ``.123`` — while ``datetime.isoformat()`` always emits 6
+    digits when microsecond != 0 — ``.123000``). Without the pad, a
+    lexicographic equality compare against the query literal wrongly
+    prunes the file (e.g. ``'...00:00:00.123' != '...00:00:00.123000'``),
+    violating the "pruning is conservative, never wrong" contract."""
+    s = s.replace(" ", "T")
+    if "." in s:
+        head, _, frac = s.partition(".")
+        frac = (frac + "000000")[:6]
+        if frac == "000000":
+            return head  # isoformat omits an all-zero fraction
+        return f"{head}.{frac}"
+    return s
+
+
 # partition-path value parsers by Spark simpleString type. Types not
 # listed get NO stats entry (display-only partition value) — pruning
 # on them is simply skipped, never wrong.
@@ -106,9 +133,10 @@ _PART_PARSERS = {
     "boolean": lambda s: s.lower() == "true",
     "string": lambda s: s,
     "date": lambda s: s,  # hive path is ISO, same as _stats_enc
-    # hive path uses a space separator; stats compare isoformat
-    "timestamp": lambda s: s.replace(" ", "T"),
-    "timestamp_ntz": lambda s: s.replace(" ", "T"),
+    # hive path uses a space separator and trims fraction zeros;
+    # stats compare isoformat — normalize to isoformat's exact form
+    "timestamp": _norm_ts_path,
+    "timestamp_ntz": _norm_ts_path,
 }
 
 
@@ -152,10 +180,22 @@ def _fs(spark: SparkSession, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
-def _write_text_atomic(fs, jvm, dir_path: str, name: str, text: str) -> bool:
-    """Stage ``text`` under a dotted tmp name, then rename to
-    ``name``. Returns False when ``name`` already exists (another
-    writer won the version) — the rename is the commit point.
+class CommitProtocol:
+    """The pluggable manifest-publish seam. ``publish`` must put
+    ``text`` at ``dir_path/name`` such that concurrent publishers of
+    the SAME name see exactly one winner (return True) and everyone
+    else False — the losers re-list versions and retry on the next
+    number. Swap the protocol for stores whose rename lacks
+    conditional semantics (S3 without a catalog): the same seam
+    Delta fills with a LogStore and Iceberg with a catalog."""
+
+    def publish(self, fs, jvm, dir_path: str, name: str, text: str) -> bool:
+        raise NotImplementedError
+
+
+class RenameCommitProtocol(CommitProtocol):
+    """Default: stage under a dotted tmp name, then rename to
+    ``name`` — the rename is the commit point.
 
     Atomicity is the filesystem's: HDFS rename atomically refuses an
     existing destination, so the loser of a race always sees False.
@@ -163,21 +203,102 @@ def _write_text_atomic(fs, jvm, dir_path: str, name: str, text: str) -> bool:
     on an existing destination (behavior pinned in
     tests/test_manifest.py), leaving only the narrow window between
     the exists() probe and the rename. S3A rename is copy+delete
-    with no conditional semantics — concurrent writers on S3 need an
-    external lock or a conditional-put replacement for this seam
-    (see the module docstring)."""
-    Path = jvm.org.apache.hadoop.fs.Path
-    tmp = Path(f"{dir_path}/.{name}.{uuid.uuid4().hex[:8]}.tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
-    dst = Path(f"{dir_path}/{name}")
-    if fs.exists(dst) or not fs.rename(tmp, dst):
-        fs.delete(tmp, False)
-        return False
-    return True
+    with no conditional semantics — use
+    :class:`LockFileCommitProtocol` (or a conditional-put protocol)
+    there instead."""
+
+    def publish(self, fs, jvm, dir_path: str, name: str, text: str) -> bool:
+        Path = jvm.org.apache.hadoop.fs.Path
+        tmp = Path(f"{dir_path}/.{name}.{uuid.uuid4().hex[:8]}.tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        dst = Path(f"{dir_path}/{name}")
+        if fs.exists(dst) or not fs.rename(tmp, dst):
+            fs.delete(tmp, False)
+            return False
+        return True
+
+
+class LockFileCommitProtocol(CommitProtocol):
+    """Mutual exclusion via an exclusive-create lock file — for
+    stores whose rename is not atomic. ``fs.create(path,
+    overwrite=False)`` refuses an existing path on HDFS/local (and
+    on S3 maps to a conditional PUT with If-None-Match under recent
+    S3A); while the lock is held, the existence check + direct write
+    of the manifest cannot race. A writer that dies holding the lock
+    is healed by ``lock_ttl_s``: a lock older than the TTL is broken
+    by the next publisher (crash recovery, same posture as Delta's
+    S3 LogStore recovery). Contenders return False and re-enter the
+    caller's list-and-retry loop."""
+
+    def __init__(self, lock_ttl_s: float = 300.0):
+        self.lock_ttl_s = lock_ttl_s
+
+    def publish(self, fs, jvm, dir_path: str, name: str, text: str) -> bool:
+        import time
+
+        Path = jvm.org.apache.hadoop.fs.Path
+        lock = Path(f"{dir_path}/.commit.lock")
+        try:
+            out = fs.create(lock, False)  # exclusive create
+        except Exception:
+            # lock held: break it only when provably stale
+            try:
+                age_ms = time.time() * 1000.0 - fs.getFileStatus(
+                    lock
+                ).getModificationTime()
+                if age_ms > self.lock_ttl_s * 1000.0:
+                    fs.delete(lock, False)
+            except Exception:
+                pass  # lock vanished between probe and stat: fine
+            time.sleep(0.02)  # backoff: the caller retries immediately
+            return False
+        try:
+            out.write(bytearray(uuid.uuid4().hex.encode("utf-8")))
+            out.close()
+            dst = Path(f"{dir_path}/{name}")
+            if fs.exists(dst):
+                return False  # someone published this version earlier
+            # the exclusive create of the DESTINATION is the real
+            # commit point — defense-in-depth for stores (incl.
+            # Hadoop's local FS) whose lock create is exists+create,
+            # not O_EXCL: if two publishers both slipped past the
+            # lock, exactly one wins here and the other sees False
+            try:
+                o2 = fs.create(dst, False)
+            except Exception:
+                return False
+            try:
+                o2.write(bytearray(text.encode("utf-8")))
+            finally:
+                o2.close()
+            return True
+        finally:
+            fs.delete(lock, False)
+
+
+_COMMIT_PROTOCOL: CommitProtocol = RenameCommitProtocol()
+
+
+def set_commit_protocol(protocol: CommitProtocol) -> None:
+    """Install the manifest-publish protocol for this process (e.g.
+    ``set_commit_protocol(LockFileCommitProtocol())`` before writing
+    manifest tables on an object store)."""
+    global _COMMIT_PROTOCOL
+    _COMMIT_PROTOCOL = protocol
+
+
+def get_commit_protocol() -> CommitProtocol:
+    return _COMMIT_PROTOCOL
+
+
+def _write_text_atomic(fs, jvm, dir_path: str, name: str, text: str) -> bool:
+    """Publish via the installed :class:`CommitProtocol` (default:
+    rename-based). Every commit point in this module funnels here."""
+    return _COMMIT_PROTOCOL.publish(fs, jvm, dir_path, name, text)
 
 
 def _read_text(fs, jvm, path: str) -> str:
@@ -455,6 +576,20 @@ def snapshot_write(
         raise ValueError(
             f"snapshot_write: partition_by columns {missing} not in "
             f"dataframe columns {df.columns}"
+        )
+    # a partition column named `_x`/`.x` writes hive dirs `_x=v` that
+    # BOTH this layer's _hidden_rel and Spark's own FileIndex classify
+    # as writer metadata: staging would record zero files and publish
+    # an empty manifest while the real data sits unreferenced until
+    # vacuum deletes it — refuse loudly instead of losing data
+    bad = [c for c in partition_by if c.startswith(("_", "."))]
+    if bad:
+        raise ValueError(
+            f"snapshot_write: partition_by columns {bad} start with "
+            "'_' or '.' — hive directories named after them are "
+            "treated as hidden writer metadata (by Spark's FileIndex "
+            "and by this manifest layer) and the staged files would "
+            "be silently dropped; rename the columns"
         )
     spark = df.sparkSession
     fs, jvm = _fs(spark, path)
@@ -770,6 +905,15 @@ def compact_snapshot(
     the partition columns (so each hive dir is written by one task —
     one file per partition value) and the floor on achievable file
     count is the partition count, which the no-op check honors.
+
+    The commit is CONFLICT-VALIDATED (:func:`_commit_replacing`): a
+    concurrent append landing between this function's read of the
+    head and its manifest publish raises instead of being silently
+    dropped from the compacted version — the same lost-update guard
+    merge/delete have (a plain ``snapshot_write(mode="overwrite")``
+    would rebase the version NUMBER and re-publish only the
+    compactor's own content). A stats-only commit racing in is
+    harmless and rebases.
     """
     import math
 
@@ -792,26 +936,31 @@ def compact_snapshot(
         want = max(want, n_parts)
     if len(m["files"]) <= want:
         return {"compacted": False, "n_files": len(m["files"])}
-    df = snapshot_read(spark, path)
+    # plan from the exact manifest the commit will validate against
+    # (not "latest again" — a racing append between the two reads
+    # must surface as a conflict, not silently join the rewrite)
+    df = _plan_read(spark, base, m)
     if pby:
         df = df.repartition(want, *pby)
     else:
         df = df.coalesce(want)
-    # operation tag "compact" (extra overrides the mode label):
-    # history reads honestly, and snapshot_changes rejects crossing
-    # it just like any other rewrite
-    res = snapshot_write(
-        df,
-        path,
-        mode="overwrite",
-        partition_by=pby or None,
-        extra={"operation": "compact"},
+    # stage the repacked files, then publish through the validated
+    # commit path (keep_paths empty: a compaction replaces every
+    # file) — stats coverage is re-collected so file skipping never
+    # degrades across a compaction
+    col_types = dict(m.get("schema_ddl") or [])
+    commit_id, staged = _stage_commit(
+        df, base, fs, jvm, pby, col_types,
+        stats_cols=_table_stats_cols(m, pby),
+    )
+    res = _commit_replacing(
+        spark, path, m, set(), staged, "compact", commit_id=commit_id
     )
     return {
         "compacted": True,
         "version": res["version"],
         "n_files_before": len(m["files"]),
-        "n_files_after": res["n_files"],
+        "n_files_after": res["n_files_new"],
     }
 
 
@@ -842,7 +991,11 @@ def optimize_snapshot(
 
     Cost: one stats pass (``approxQuantile`` over the z columns) +
     one range shuffle + the write — the same stage count as a plain
-    compaction rewrite."""
+    compaction rewrite.
+
+    The commit is conflict-validated like :func:`compact_snapshot`'s:
+    a concurrent data commit between plan and publish raises (re-run
+    on the new head) rather than being silently dropped."""
     import math
 
     from prql_spark.sources.layout import zorder_expr
@@ -861,7 +1014,12 @@ def optimize_snapshot(
         1, math.ceil(total / (target_mb * 1024 * 1024))
     )
     pby = tuple(m.get("partition_by") or ())
-    df = snapshot_read(spark, path)
+    if not m["files"]:
+        raise ValueError(f"optimize_snapshot: latest version empty at {path!r}")
+    # plan from the exact manifest the commit will validate against —
+    # a concurrent append between plan and publish raises via
+    # _commit_replacing (never silently dropped; see compact_snapshot)
+    df = _plan_read(spark, base, m)
     missing = [c for c in zorder_by if c not in df.columns]
     if missing:
         raise ValueError(
@@ -876,20 +1034,20 @@ def optimize_snapshot(
         .sortWithinPartitions(*range_key)
         .drop("__z")
     )
-    res = snapshot_write(
-        out,
-        path,
-        mode="overwrite",
-        partition_by=pby or None,
+    col_types = dict(m.get("schema_ddl") or [])
+    commit_id, staged = _stage_commit(
+        out, base, fs, jvm, pby, col_types,
         stats_cols=tuple(stats_cols or zorder_by),
-        extra={"operation": "optimize"},
+    )
+    res = _commit_replacing(
+        spark, path, m, set(), staged, "optimize", commit_id=commit_id
     )
     return {
         "version": res["version"],
         "operation": "optimize",
         "zorder_by": list(zorder_by),
         "n_files_before": len(m["files"]),
-        "n_files_after": res["n_files"],
+        "n_files_after": res["n_files_new"],
     }
 
 
@@ -1102,6 +1260,265 @@ def _table_stats_cols(m: dict, partition_by: tuple) -> tuple | None:
     return tuple(cols) or None
 
 
+def _overlaps_bounds(f: dict, bounds: dict) -> bool:
+    """Can file entry ``f`` contain a row satisfying every bound in
+    ``bounds`` (``{col: (lo, hi)}`` or ``{col: [(lo, hi), ...]}``, an
+    interval UNION per column)? Conservative: files lacking stats
+    for a bounded column are kept, incomparable types keep the file.
+    Exact skips: a hive NULL partition on a bounded column (a range
+    or equality bound is never TRUE on NULL), and an empty interval
+    list (the caller proved the conjunction unsatisfiable)."""
+    st = f.get("stats") or {}
+    pv = f.get("partition") or {}
+    for col, ivs in bounds.items():
+        if isinstance(ivs, tuple):
+            ivs = [ivs]
+        if col in pv and pv[col] is None:
+            return False
+        if not ivs:
+            return False
+        rng = st.get(col)
+        if rng is None:
+            continue  # no stats for this col: keep (safe)
+        fmin, fmax = rng
+
+        def hits(lo, hi) -> bool:
+            try:
+                if lo is not None and fmax < _stats_enc(lo):
+                    return False
+                if hi is not None and fmin > _stats_enc(hi):
+                    return False
+            except TypeError:
+                return True  # incomparable: keep (safe)
+            return True
+
+        if not any(hits(lo, hi) for lo, hi in ivs):
+            return False
+    return True
+
+
+_SQL_TOKEN = re.compile(
+    r"(?:"
+    r"(?P<str>'(?:[^']|'')*')"
+    r"|(?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    r"|(?P<op><=|>=|==|!=|<>|=|<|>)"
+    r"|(?P<lp>\()|(?P<rp>\))|(?P<comma>,)"
+    r"|(?P<word>`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)"
+    r")"
+)
+
+
+def _sql_bounds(predicate: str) -> dict | None:
+    """Extract conservative per-column pruning bounds from a Spark
+    SQL boolean ``predicate`` string, in :func:`_overlaps_bounds`
+    shape — or None when nothing sargable was found.
+
+    Soundness posture (the caller ALWAYS re-applies the exact
+    predicate, so pruning only needs a SUPERSET of matching files):
+    only top-level AND conjuncts contribute; any conjunct that isn't
+    ``col <op> literal`` / ``literal <op> col`` / ``col BETWEEN a
+    AND b`` / ``col IN (...)`` is simply SKIPPED (IS NULL, NOT,
+    functions, subqueries — skipping a conjunct keeps more files,
+    never fewer). A disjunction at any group's top level makes that
+    whole group contribute nothing. Strict bounds widen to
+    inclusive. TIMESTAMP literals normalize like the partition-path
+    parser (space → T, fraction padded) so lexicographic compares
+    against isoformat stats stay exact."""
+    toks = _tok_sql(predicate)
+    if not toks:
+        return None
+    out: dict = {}
+    _bounds_walk(toks, out)
+    return out or None
+
+
+def _tok_sql(s: str) -> list | None:
+    toks: list = []
+    i, n = 0, len(s)
+    while i < n:
+        if s[i].isspace():
+            i += 1
+            continue
+        m = _SQL_TOKEN.match(s, i)
+        if not m:
+            return None  # unknown character: give up (no pruning)
+        i = m.end()
+        if m.group("str") is not None:
+            toks.append(("lit", m.group("str")[1:-1].replace("''", "'")))
+        elif m.group("num") is not None:
+            t = m.group("num")
+            toks.append(
+                ("lit", float(t) if "." in t or "e" in t.lower() else int(t))
+            )
+        elif m.group("op"):
+            toks.append(("op", m.group("op")))
+        elif m.group("lp"):
+            toks.append(("lp", "("))
+        elif m.group("rp"):
+            toks.append(("rp", ")"))
+        elif m.group("comma"):
+            toks.append(("comma", ","))
+        else:
+            toks.append(("word", m.group("word").strip("`")))
+    return toks
+
+
+def _bounds_walk(toks: list, out: dict) -> None:
+    def is_kw(t, *names):
+        return t[0] == "word" and t[1].upper() in names
+
+    # a top-level OR anywhere: this group proves nothing
+    depth = 0
+    for t in toks:
+        if t[0] == "lp":
+            depth += 1
+        elif t[0] == "rp":
+            depth -= 1
+        elif depth == 0 and is_kw(t, "OR"):
+            return
+    # split on top-level AND (BETWEEN's AND belongs to its atom)
+    segs, depth, start, between = [], 0, 0, False
+    for idx, t in enumerate(toks):
+        if t[0] == "lp":
+            depth += 1
+        elif t[0] == "rp":
+            depth -= 1
+        elif depth == 0 and t[0] == "word":
+            u = t[1].upper()
+            if u == "BETWEEN":
+                between = True
+            elif u == "AND":
+                if between:
+                    between = False
+                else:
+                    segs.append(toks[start:idx])
+                    start = idx + 1
+    segs.append(toks[start:])
+    for seg in segs:
+        if not seg:
+            continue
+        if seg[0][0] == "lp" and seg[-1][0] == "rp" and _wrapped(seg):
+            _bounds_walk(seg[1:-1], out)
+        else:
+            _bounds_atom(seg, out)
+
+
+def _wrapped(seg: list) -> bool:
+    depth = 0
+    for idx, t in enumerate(seg):
+        if t[0] == "lp":
+            depth += 1
+        elif t[0] == "rp":
+            depth -= 1
+            if depth == 0:
+                return idx == len(seg) - 1
+    return False
+
+
+def _bounds_lit(seg: list, i: int):
+    """Literal at position ``i`` → (value, next_i) or None."""
+    if i < len(seg) and seg[i][0] == "lit":
+        return seg[i][1], i + 1
+    if (
+        i + 1 < len(seg)
+        and seg[i][0] == "word"
+        and seg[i][1].upper() in ("DATE", "TIMESTAMP")
+        and seg[i + 1][0] == "lit"
+        and isinstance(seg[i + 1][1], str)
+    ):
+        v = seg[i + 1][1]
+        if seg[i][1].upper() == "TIMESTAMP":
+            v = _norm_ts_path(v)
+        return v, i + 2
+    if i < len(seg) and seg[i][0] == "word":
+        u = seg[i][1].upper()
+        if u in ("TRUE", "FALSE"):
+            return u == "TRUE", i + 1
+    return None
+
+
+_REV_OP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "==": "=="}
+
+
+def _bounds_atom(seg: list, out: dict) -> None:
+    def add_iv(col, lo, hi):
+        cur = out.get(col)
+        if cur is None:
+            out[col] = (lo, hi)
+            return
+        if isinstance(cur, list):
+            return  # an IN already bound this col; extra is skipped (safe)
+        clo, chi = cur
+        try:
+            if lo is not None:
+                clo = lo if clo is None else max(clo, lo)
+            if hi is not None:
+                chi = hi if chi is None else min(chi, hi)
+        except TypeError:
+            return  # incomparable intersection: keep the old (safe)
+        out[col] = (clo, chi)
+
+    def add_op(col, op, v):
+        if op in ("=", "=="):
+            add_iv(col, v, v)
+        elif op in ("<", "<="):
+            add_iv(col, None, v)  # strict widens to inclusive (safe)
+        elif op in (">", ">="):
+            add_iv(col, v, None)
+        # != / <> prove nothing for interval pruning: skip
+
+    n = len(seg)
+    if n >= 3 and seg[0][0] == "word":
+        col = seg[0][1]
+        if seg[1][0] == "op":
+            lit = _bounds_lit(seg, 2)
+            if lit and lit[1] == n:
+                add_op(col, seg[1][1], lit[0])
+            return
+        if seg[1][0] == "word":
+            u = seg[1][1].upper()
+            if u == "BETWEEN":
+                l1 = _bounds_lit(seg, 2)
+                if l1:
+                    j = l1[1]
+                    if (
+                        j < n
+                        and seg[j][0] == "word"
+                        and seg[j][1].upper() == "AND"
+                    ):
+                        l2 = _bounds_lit(seg, j + 1)
+                        if l2 and l2[1] == n:
+                            add_iv(col, l1[0], l2[0])
+                return
+            if u == "IN" and n >= 5 and seg[2][0] == "lp" and seg[-1][0] == "rp":
+                vals, j = [], 3
+                while j < n - 1:
+                    lit = _bounds_lit(seg, j)
+                    if not lit:
+                        return
+                    vals.append(lit[0])
+                    j = lit[1]
+                    if j < n - 1:
+                        if seg[j][0] != "comma":
+                            return
+                        j += 1
+                if vals and col not in out:
+                    out[col] = [(v, v) for v in vals]
+                return
+    # literal <op> col (reversed)
+    lit = _bounds_lit(seg, 0)
+    if (
+        lit
+        and lit[1] == n - 2
+        and seg[lit[1]][0] == "op"
+        and seg[n - 1][0] == "word"
+    ):
+        op = _REV_OP.get(seg[lit[1]][1])
+        if op:
+            add_op(seg[n - 1][1], op, lit[0])
+    # anything else: unknown conjunct — contribute nothing (safe)
+
+
 def _commit_replacing(
     spark,
     path: str,
@@ -1109,18 +1526,31 @@ def _commit_replacing(
     keep_paths: set,
     staged: list,
     operation: str,
+    commit_id: str | None = None,
 ) -> dict:
     """Publish a manifest whose file list is ``planned``'s files
     minus the replaced ones (``keep_paths`` survivors) plus
-    ``staged`` — the copy-on-write commit primitive under
-    :func:`merge_snapshot` / :func:`delete_snapshot`. If another
-    writer committed since ``planned`` was read, the commit retries
-    ONLY when the head still references exactly the same data files
-    (e.g. a ``stats`` commit landed — kept entries are then taken
-    from the head so fresher stats survive); any real data change
-    raises, because the rewrite was planned against files that are
-    no longer the table — the caller must re-run on the new head
-    (same validation posture as Iceberg's conflict detection)."""
+    ``staged`` — the conflict-validated commit primitive under every
+    rewrite: :func:`merge_snapshot` / :func:`delete_snapshot`
+    (copy-on-write) and :func:`compact_snapshot` /
+    :func:`optimize_snapshot` (full rewrite, ``keep_paths`` empty).
+    If another writer committed since ``planned`` was read, the
+    commit retries ONLY when the head still references exactly the
+    same data files (e.g. a ``stats`` commit landed — kept entries
+    are then taken from the head so fresher stats survive); any real
+    data change raises, because the rewrite was planned against
+    files that are no longer the table — the caller must re-run on
+    the new head (same validation posture as Iceberg's conflict
+    detection). A concurrent APPEND therefore can never be silently
+    dropped by a maintenance rewrite.
+
+    The manifest is rebuilt from the head's STRUCTURAL keys only
+    (schema, partitioning, merge flag, stream high-water map) —
+    never a blind spread — so ``commit`` identifies the directory
+    this version's new files actually live in (``commit_id`` from
+    :func:`_stage_commit`) and a parent's one-shot extras (e.g. a
+    streaming append's ``stream_id``/``epoch``) don't leak into an
+    unrelated rewrite's manifest."""
     fs, jvm = _fs(spark, path)
     base = path.rstrip("/")
     planned_paths = [f["path"] for f in planned["files"]]
@@ -1141,10 +1571,15 @@ def _commit_replacing(
             )
         kept = [f for f in hm["files"] if f["path"] in keep_paths]
         manifest = {
-            **hm,
             "version": head + 1,
             "parent": head,
             "operation": operation,
+            "commit": commit_id or hm.get("commit"),
+            "schema": hm.get("schema"),
+            "schema_ddl": hm.get("schema_ddl"),
+            "partition_by": hm.get("partition_by") or [],
+            "merge_schema": bool(hm.get("merge_schema")),
+            "streams": hm.get("streams") or {},
             "files": kept + staged,
         }
         if _write_text_atomic(
@@ -1167,6 +1602,7 @@ def merge_snapshot(
     path: str,
     source: DataFrame,
     on: tuple,
+    broadcast_key_limit: int = 2_000_000,
 ) -> dict:
     """Row-level UPSERT into a manifest table, copy-on-write: rows of
     ``source`` REPLACE target rows with the same ``on`` key; source
@@ -1192,7 +1628,13 @@ def merge_snapshot(
     pre-merge version readable; ``snapshot_changes`` refuses to
     cross a merge (rewritten files ≠ added rows). A concurrent data
     commit between plan and publish raises (see
-    :func:`_commit_replacing`); re-run on the new head."""
+    :func:`_commit_replacing`); re-run on the new head.
+
+    The distinct source keys are broadcast to both probe joins only
+    while they stay under ``broadcast_key_limit`` (default 2M keys —
+    comfortably driver-safe); a bulk backfill with more distinct
+    keys drops the hint and lets Spark/AQE pick the join strategy
+    instead of OOMing a forced broadcast."""
     from pyspark.sql import functions as F
 
     on = tuple(on)
@@ -1250,14 +1692,21 @@ def merge_snapshot(
     candidates = [f for f in m["files"] if overlaps(f)]
 
     # stage 2: exact touched set — semi-join candidates vs keys,
-    # one output row per file
-    keys = source.select(*on).dropDuplicates()
+    # one output row per file. Broadcast the keys only when they are
+    # actually small: the designed shape is "1 GB of updates into
+    # 100 TB", but a bulk backfill (10^8+ distinct keys) would OOM a
+    # forced broadcast — above the cap, drop the hint and let
+    # Spark/AQE pick the join strategy (shuffle join degrades
+    # gracefully; the semantics are identical)
+    keys = source.select(*on).dropDuplicates().persist()
+    n_keys = keys.count()
+    hint = F.broadcast if n_keys <= broadcast_key_limit else (lambda d: d)
     touched: set = set()
     if candidates:
         probe = (
             _plan_read(spark, base, m, candidates)
             .withColumn("__file", F.input_file_name())
-            .join(F.broadcast(keys), list(on), "left_semi")
+            .join(hint(keys), list(on), "left_semi")
             .select("__file")
             .distinct()
             .collect()
@@ -1269,19 +1718,24 @@ def merge_snapshot(
     if touched:
         touched_entries = [f for f in m["files"] if f["path"] in touched]
         survivors = _plan_read(spark, base, m, touched_entries).join(
-            F.broadcast(keys), list(on), "left_anti"
+            hint(keys), list(on), "left_anti"
         )
         new_data = survivors.unionByName(
             source.select(*survivors.columns)
         )
     else:
         new_data = source
-    _, staged = _stage_commit(
-        new_data, base, fs, jvm, partition_by, col_types,
-        stats_cols=_table_stats_cols(m, partition_by),
-    )
+    try:
+        commit_id, staged = _stage_commit(
+            new_data, base, fs, jvm, partition_by, col_types,
+            stats_cols=_table_stats_cols(m, partition_by),
+        )
+    finally:
+        keys.unpersist()
     keep = {f["path"] for f in m["files"]} - touched
-    return _commit_replacing(spark, path, m, keep, staged, "merge")
+    return _commit_replacing(
+        spark, path, m, keep, staged, "merge", commit_id=commit_id
+    )
 
 
 def delete_snapshot(
@@ -1291,14 +1745,23 @@ def delete_snapshot(
     containing at least one row matching ``predicate`` (a Spark SQL
     boolean expression) are rewritten without those rows; every
     other file is referenced verbatim in the new manifest. Touched
-    discovery is one filtered scan grouped by ``input_file_name``
-    (parquet row-group stats make the non-matching files cheap); on
-    a table with manifest stats covering the predicate's columns,
-    combine with :func:`snapshot_scan` semantics by deleting in
-    partition/key order so the rewrite set stays small. Time travel
-    keeps the pre-delete version readable — GDPR-style erasure is
-    complete only after :func:`vacuum_snapshot` reclaims the old
-    files."""
+    discovery is two-stage, like :func:`merge_snapshot`'s:
+
+    1. **Stats prune (no data read).** When the predicate is
+       sargable (:func:`_sql_bounds` — AND-conjuncts of ``col <op>
+       literal`` / BETWEEN / IN), each conjunct's bounds are compared
+       against the manifest's per-file stats and partition values —
+       on a stats-covered table a delete of one key range plans
+       tasks over the overlapping files only, not all of them. Files
+       without stats, and non-sargable predicates, keep every file
+       as a candidate (safe — the exact predicate decides below).
+    2. **Exact probe (candidates only).** One filtered scan grouped
+       by ``input_file_name`` (parquet row-group stats make the
+       non-matching candidates cheap).
+
+    Time travel keeps the pre-delete version readable — GDPR-style
+    erasure is complete only after :func:`vacuum_snapshot` reclaims
+    the old files."""
     from pyspark.sql import functions as F
 
     fs, jvm = _fs(spark, path)
@@ -1307,14 +1770,22 @@ def delete_snapshot(
     if not seen:
         raise ValueError(f"delete_snapshot: no versions at {path!r}")
     m = _load_manifest(fs, jvm, base, seen[-1])
-    probe = (
-        _plan_read(spark, base, m)
-        .where(predicate)
-        .select(F.input_file_name().alias("__file"))
-        .distinct()
-        .collect()
+    bounds = _sql_bounds(predicate)
+    candidates = (
+        [f for f in m["files"] if _overlaps_bounds(f, bounds)]
+        if bounds
+        else m["files"]
     )
-    touched = {_rel_from_uri(r["__file"]) for r in probe}
+    touched: set = set()
+    if candidates:
+        probe = (
+            _plan_read(spark, base, m, candidates)
+            .where(predicate)
+            .select(F.input_file_name().alias("__file"))
+            .distinct()
+            .collect()
+        )
+        touched = {_rel_from_uri(r["__file"]) for r in probe}
     if not touched:
         return {
             "version": m["version"],
@@ -1322,6 +1793,7 @@ def delete_snapshot(
             "n_files_rewritten": 0,
             "n_files_kept": len(m["files"]),
             "n_files_new": 0,
+            "n_candidates": len(candidates),
             "noop": True,
         }
     partition_by = tuple(m.get("partition_by") or ())
@@ -1330,12 +1802,16 @@ def delete_snapshot(
     survivors = _plan_read(spark, base, m, touched_entries).where(
         f"NOT ({predicate}) OR ({predicate}) IS NULL"
     )
-    _, staged = _stage_commit(
+    commit_id, staged = _stage_commit(
         survivors, base, fs, jvm, partition_by, col_types,
         stats_cols=_table_stats_cols(m, partition_by),
     )
     keep = {f["path"] for f in m["files"]} - touched
-    return _commit_replacing(spark, path, m, keep, staged, "delete")
+    res = _commit_replacing(
+        spark, path, m, keep, staged, "delete", commit_id=commit_id
+    )
+    res["n_candidates"] = len(candidates)
+    return res
 
 
 def _file_stats(local_path: str, cols: tuple) -> dict | None:
@@ -1567,41 +2043,7 @@ def snapshot_pruned_read(
             f"snapshot_pruned_read: version {v} not in {seen} at {path!r}"
         )
     m = _load_manifest(fs, jvm, base, v)
-
-    def overlaps(f) -> bool:
-        st = f.get("stats") or {}
-        pv = f.get("partition") or {}
-        for col, ivs in bounds.items():
-            if isinstance(ivs, tuple):
-                ivs = [ivs]
-            # hive NULL partition: every row is NULL for col, and a
-            # range/equality bound can never hold on NULL — exact skip
-            if col in pv and pv[col] is None:
-                return False
-            if not ivs:
-                # empty interval union: the caller proved the
-                # conjunction unsatisfiable — nothing can match
-                return False
-            rng = st.get(col)
-            if rng is None:
-                continue  # no stats for this col: keep (safe)
-            fmin, fmax = rng
-
-            def hits(lo, hi) -> bool:
-                try:
-                    if lo is not None and fmax < _stats_enc(lo):
-                        return False
-                    if hi is not None and fmin > _stats_enc(hi):
-                        return False
-                except TypeError:
-                    return True  # incomparable: keep (safe)
-                return True
-
-            if not any(hits(lo, hi) for lo, hi in ivs):
-                return False
-        return True
-
-    keep = [f for f in m["files"] if overlaps(f)]
+    keep = [f for f in m["files"] if _overlaps_bounds(f, bounds)]
     n_total = len(m["files"])
     if not keep:
         return snapshot_read(spark, path, v).limit(0), 0, n_total

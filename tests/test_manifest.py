@@ -273,6 +273,10 @@ _OPS = st.lists(
         st.tuples(st.just("overwrite"), st.integers(1, 30)),
         st.tuples(st.just("append"), st.integers(1, 30)),
         st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("optimize"), st.just(0)),
+        st.tuples(st.just("merge"), st.integers(1, 10)),
+        st.tuples(st.just("delete"), st.integers(1, 10)),
+        st.tuples(st.just("racing_compact"), st.integers(1, 5)),
         st.tuples(st.just("vacuum"), st.integers(1, 3)),
     ),
     min_size=1,
@@ -287,11 +291,18 @@ _OPS = st.lists(
 )
 @given(ops=_OPS)
 def test_manifest_matches_model_under_random_ops(spark, tmp_path_factory, ops):
-    """Any sequence of overwrite/append/compact/vacuum leaves every
-    RETAINED version's content exactly what a trivial Python model
-    predicts — the whole commit protocol, not one scenario."""
+    """Any sequence of overwrite/append/compact/optimize/merge/
+    delete/vacuum — including an append RACING a compaction — leaves
+    every RETAINED version's content exactly what a trivial Python
+    model predicts: the whole commit protocol, not one scenario. A
+    racing append must surface as a conflict raise (the append wins;
+    the compaction commits nothing) — never a lost update."""
+    from prql_spark.sources import manifest as mf
     from prql_spark.sources.manifest import (
         compact_snapshot,
+        delete_snapshot,
+        merge_snapshot,
+        optimize_snapshot,
         snapshot_read,
         vacuum_snapshot,
     )
@@ -332,6 +343,65 @@ def test_manifest_matches_model_under_random_ops(spark, tmp_path_factory, ops):
                 continue
             if compact_snapshot(spark, path, target_mb=1024)["compacted"]:
                 commit(latest)
+        elif op == "optimize":
+            if not model:
+                continue
+            optimize_snapshot(spark, path, zorder_by=("id",), target_files=1)
+            commit(latest)
+        elif op == "merge":
+            if not model:
+                continue
+            ids = list(range(next_id, next_id + arg))
+            next_id += arg
+            src_ids = ids + latest[:1]  # inserts + one same-row upsert
+            merge_snapshot(
+                spark, path,
+                spark.createDataFrame([(i,) for i in src_ids], "id long"),
+                on=("id",),
+            )
+            latest = sorted(set(latest) | set(ids))
+            commit(latest)
+        elif op == "delete":
+            if not model or not latest:
+                continue
+            cut = next_id - arg
+            remaining = [i for i in latest if i < cut]
+            if remaining == latest or not remaining:
+                continue  # noop or empty-table delete: skip
+            delete_snapshot(spark, path, f"id >= {cut}")
+            latest = remaining
+            commit(latest)
+        elif op == "racing_compact":
+            if not model:
+                continue
+            real = mf._stage_commit
+            raced: dict = {"ids": list(range(next_id, next_id + arg))}
+
+            def stage_then_race(df, b, f_, j, *a, **kw):
+                out = real(df, b, f_, j, *a, **kw)
+                mf._stage_commit = real
+                snapshot_write(
+                    spark.createDataFrame(
+                        [(i,) for i in raced["ids"]], "id long"
+                    ),
+                    path, mode="append",
+                )
+                raced["fired"] = True
+                return out
+
+            mf._stage_commit = stage_then_race
+            try:
+                res = compact_snapshot(spark, path, target_mb=1024)
+                # if the compactor staged, the race fired and the
+                # commit MUST have raised — reaching here means no-op
+                assert not raced.get("fired") and not res["compacted"]
+            except RuntimeError:
+                assert raced.get("fired")
+                next_id += arg
+                latest = latest + raced["ids"]
+                commit(latest)
+            finally:
+                mf._stage_commit = real
         else:  # vacuum
             if not model:
                 continue
@@ -1204,3 +1274,291 @@ def test_prql_or_pushdown_unions_intervals(spark, tmp_path):
     )
     assert sorted(r.id for r in out4.collect()) == [1, 5]
     assert all("ds=d2" in f for f in out4.inputFiles())
+
+
+def test_compact_raises_on_concurrent_append(spark, tmp_path, monkeypatch):
+    """Round-10 lost-update guard: an append that commits between a
+    compaction's plan and its publish must RAISE (never be silently
+    dropped from the new head) — the same conflict validation
+    merge/delete always had. The appended rows stay in the table."""
+    from prql_spark.sources import manifest as mf
+
+    path = str(tmp_path / "ccr")
+    snapshot_write(spark.range(1000).repartition(8), path)
+
+    real_stage = mf._stage_commit
+
+    def stage_then_race(df, base, fs, jvm, *a, **kw):
+        out = real_stage(df, base, fs, jvm, *a, **kw)
+        # a concurrent writer lands an append AFTER the compactor
+        # staged its files but BEFORE it publishes the manifest
+        monkeypatch.setattr(mf, "_stage_commit", real_stage)
+        snapshot_write(
+            spark.range(5000, 5010), path, mode="append"
+        )
+        return out
+
+    monkeypatch.setattr(mf, "_stage_commit", stage_then_race)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        compact_snapshot(spark, path, target_mb=256)
+    # nothing lost: the append is in the head; re-running compacts it
+    assert _ids(snapshot_read(spark, path)) == sorted(
+        list(range(1000)) + list(range(5000, 5010))
+    )
+    res = compact_snapshot(spark, path, target_mb=256)
+    assert res["compacted"]
+    assert _ids(snapshot_read(spark, path)) == sorted(
+        list(range(1000)) + list(range(5000, 5010))
+    )
+
+
+def test_optimize_raises_on_concurrent_append(spark, tmp_path, monkeypatch):
+    from prql_spark.sources import manifest as mf
+    from prql_spark.sources.manifest import optimize_snapshot
+
+    path = str(tmp_path / "ocr")
+    snapshot_write(
+        spark.range(1000).withColumn("v", F.col("id") * 2)
+        .repartition(4),
+        path,
+    )
+    real_stage = mf._stage_commit
+
+    def stage_then_race(df, base, fs, jvm, *a, **kw):
+        out = real_stage(df, base, fs, jvm, *a, **kw)
+        monkeypatch.setattr(mf, "_stage_commit", real_stage)
+        snapshot_write(
+            spark.range(7000, 7005).withColumn("v", F.lit(0).cast("long")),
+            path, mode="append",
+        )
+        return out
+
+    monkeypatch.setattr(mf, "_stage_commit", stage_then_race)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        optimize_snapshot(spark, path, zorder_by=("id", "v"), target_files=2)
+    assert snapshot_read(spark, path).count() == 1005  # append intact
+    res = optimize_snapshot(spark, path, zorder_by=("id", "v"), target_files=2)
+    assert res["operation"] == "optimize"
+    assert snapshot_read(spark, path).count() == 1005
+
+
+def test_compact_rebases_over_stats_only_commit(spark, tmp_path, monkeypatch):
+    """A stats-only commit racing a compaction is harmless: same file
+    set, so the compaction rebases and publishes (no spurious raise)."""
+    from prql_spark.sources import manifest as mf
+    from prql_spark.sources.manifest import attach_stats
+
+    path = str(tmp_path / "csr")
+    snapshot_write(spark.range(500).repartition(4), path)
+    real_stage = mf._stage_commit
+
+    def stage_then_stats(df, base, fs, jvm, *a, **kw):
+        out = real_stage(df, base, fs, jvm, *a, **kw)
+        monkeypatch.setattr(mf, "_stage_commit", real_stage)
+        attach_stats(spark, path, cols=("id",))
+        return out
+
+    monkeypatch.setattr(mf, "_stage_commit", stage_then_stats)
+    res = compact_snapshot(spark, path, target_mb=256)
+    assert res["compacted"] and res["version"] == 3  # after the stats commit
+    assert _ids(snapshot_read(spark, path)) == list(range(500))
+
+
+def test_rewrite_manifest_commit_field_and_extras_hygiene(spark, tmp_path):
+    """The manifest a rewrite publishes must carry the commit id of
+    the directory its NEW files live in (not the parent's), and must
+    not inherit the parent's one-shot extra keys."""
+    from prql_spark.sources.manifest import merge_snapshot
+
+    path = str(tmp_path / "hyg")
+    snapshot_write(
+        spark.range(100).withColumn("val", F.col("id")),
+        path,
+        extra={"note": "backfill-2024"},
+    )
+    merge_snapshot(
+        spark, path,
+        spark.createDataFrame([(5, -5)], "id LONG, val LONG"),
+        on=("id",),
+    )
+    m2 = json.load(open(os.path.join(
+        path, "_manifests", f"v{2:010d}.json")))
+    # every NEW file lives under data/<m2.commit>/
+    new_paths = [
+        f["path"] for f in m2["files"]
+        if f["path"].split("/")[1] != json.load(
+            open(os.path.join(path, "_manifests", f"v{1:010d}.json"))
+        )["commit"]
+    ]
+    assert new_paths, "merge must stage new files"
+    assert all(p.split("/")[1] == m2["commit"] for p in new_paths)
+    assert "note" not in m2  # parent's extra does not leak
+
+
+def test_partition_underscore_column_raises(spark, tmp_path):
+    """A partition column named `_x`/`.x` would write hive dirs the
+    hidden-path rule classifies as writer metadata — silent data
+    loss. snapshot_write refuses instead."""
+    df = spark.range(10).withColumn("_ds", F.lit("a"))
+    with pytest.raises(ValueError, match="hidden"):
+        snapshot_write(df, str(tmp_path / "hid"), partition_by=("_ds",))
+
+
+def test_timestamp_partition_pruning_exact(spark, tmp_path):
+    """Sub-second timestamp partition values: Spark trims trailing
+    fraction zeros in hive dirs ('...00:00:00.123') while query
+    literals encode isoformat ('...00:00:00.123000') — the parser
+    must normalize so equality pruning keeps the right file (the
+    'conservative, never wrong' contract)."""
+    import datetime as dt
+
+    from prql_spark.sources.manifest import snapshot_pruned_read
+
+    ts1 = dt.datetime(2024, 1, 1, 0, 0, 0, 123000)
+    ts2 = dt.datetime(2024, 1, 2, 0, 0, 0)
+    df = spark.createDataFrame(
+        [(1, ts1), (2, ts2)], "id INT, ts TIMESTAMP"
+    )
+    path = str(tmp_path / "tsp")
+    snapshot_write(df, path, partition_by=("ts",))
+    # equality on the sub-second value: its file MUST survive pruning
+    got, n_kept, n_total = snapshot_pruned_read(
+        spark, path, {"ts": (ts1, ts1)}
+    )
+    assert n_total == 2 and n_kept == 1
+    assert [r.id for r in got.collect()] == [1]
+    # and the whole-second value still prunes to its own file
+    got2, n_kept2, _ = snapshot_pruned_read(
+        spark, path, {"ts": (ts2, ts2)}
+    )
+    assert n_kept2 == 1
+    assert [r.id for r in got2.collect()] == [2]
+
+
+def test_merge_large_source_skips_broadcast(spark, tmp_path):
+    """Above broadcast_key_limit the key probe drops the broadcast
+    hint (AQE picks the strategy) — results identical either way."""
+    from prql_spark.sources.manifest import merge_snapshot
+
+    path = str(tmp_path / "mgb")
+    snapshot_write(
+        spark.range(500).withColumn("val", F.col("id") * 10), path
+    )
+    src = spark.range(100, 110).withColumn("val", F.lit(-1).cast("long"))
+    res = merge_snapshot(spark, path, src, on=("id",), broadcast_key_limit=0)
+    assert res["operation"] == "merge"
+    got = {r.id: r.val for r in snapshot_read(spark, path).collect()}
+    assert len(got) == 500
+    assert all(got[i] == -1 for i in range(100, 110))
+    assert got[99] == 990
+
+
+def test_delete_candidates_pruned_by_stats(spark, tmp_path):
+    """A sargable delete predicate on a stats-covered table probes
+    only the overlapping files — n_candidates < n_files, result
+    exact, untouched files referenced verbatim."""
+    from prql_spark.sources.manifest import delete_snapshot
+
+    path = str(tmp_path / "dlp")
+    snapshot_write(
+        spark.range(1000)
+        .withColumn("val", F.col("id") % 7)
+        .repartitionByRange(10, "id")
+        .sortWithinPartitions("id"),
+        path,
+        stats_cols=("id",),
+    )
+    res = delete_snapshot(spark, path, "id >= 950 AND id < 980")
+    assert res["n_candidates"] == 1  # only the 900-999 range file
+    assert res["n_files_rewritten"] == 1
+    assert snapshot_read(spark, path).count() == 970
+    # non-sargable predicate: every file is a candidate, still exact
+    res2 = delete_snapshot(spark, path, "pmod(id, 500) = 7")
+    assert res2["n_candidates"] == 10  # all files probed (safe)
+    assert snapshot_read(spark, path).where("id IN (7, 507)").count() == 0
+
+
+def test_sql_bounds_extractor_soundness():
+    """Driver-side sargability parser: conjuncts extract, unknown
+    conjuncts skip (conservative), disjunctions claim nothing."""
+    from prql_spark.sources.manifest import _sql_bounds
+
+    assert _sql_bounds("id >= 5 AND id < 10") == {"id": (5, 10)}
+    assert _sql_bounds("ds = '2024-01-02'") == {
+        "ds": ("2024-01-02", "2024-01-02")
+    }
+    assert _sql_bounds("ts = TIMESTAMP '2024-01-01 00:00:00.5'") == {
+        "ts": ("2024-01-01T00:00:00.500000", "2024-01-01T00:00:00.500000")
+    }
+    assert _sql_bounds("x BETWEEN 1 AND 5 AND y = 'a'") == {
+        "x": (1, 5), "y": ("a", "a")
+    }
+    assert _sql_bounds("k IN (1, 2, 3)") == {"k": [(1, 1), (2, 2), (3, 3)]}
+    assert _sql_bounds("x > 1 OR y < 2") is None
+    assert _sql_bounds("(x > 1 OR y < 2) AND z = 3") == {"z": (3, 3)}
+    assert _sql_bounds("NOT (x = 1) AND z >= 4") == {"z": (4, None)}
+    assert _sql_bounds("lower(name) = 'bob' AND id <= 9") == {"id": (None, 9)}
+    assert _sql_bounds("5 <= id") == {"id": (5, None)}
+    assert _sql_bounds("x IS NULL") is None
+    assert _sql_bounds("x != 3") is None
+    assert _sql_bounds("id >= 3 AND id >= 7") == {"id": (7, None)}
+
+
+def test_lockfile_commit_protocol_races_and_recovers(spark, tmp_path):
+    """The pluggable commit seam: under LockFileCommitProtocol two
+    racing writers serialize onto distinct versions (no lost
+    commit), a HELD lock makes publishers lose (and retry onto the
+    next attempt), and a STALE lock (dead writer) is broken by TTL."""
+    import threading
+
+    from prql_spark.sources.manifest import (
+        LockFileCommitProtocol,
+        RenameCommitProtocol,
+        set_commit_protocol,
+    )
+
+    path = str(tmp_path / "lk")
+    set_commit_protocol(LockFileCommitProtocol())
+    try:
+        snapshot_write(spark.range(10), path)
+
+        # two concurrent appenders: both must commit, versions 2+3
+        errs: list = []
+
+        def appender(lo):
+            try:
+                snapshot_write(
+                    spark.range(lo, lo + 5), path, mode="append"
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        t1 = threading.Thread(target=appender, args=(100,))
+        t2 = threading.Thread(target=appender, args=(200,))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert not errs
+        assert _ids(snapshot_read(spark, path)) == sorted(
+            list(range(10)) + list(range(100, 105)) + list(range(200, 205))
+        )
+        hist = snapshot_history(spark, path)
+        assert hist.count() == 3
+
+        # a fresh (held) lock: the publisher loses every attempt
+        lock = os.path.join(path, "_manifests", ".commit.lock")
+        with open(lock, "w") as f:
+            f.write("held")
+        with pytest.raises(RuntimeError, match="lost .* commit races"):
+            snapshot_write(
+                spark.range(3), path, mode="append", max_commit_attempts=2
+            )
+        os.remove(lock)
+
+        # a stale lock (dead writer) is broken by the TTL
+        set_commit_protocol(LockFileCommitProtocol(lock_ttl_s=0.0))
+        with open(lock, "w") as f:
+            f.write("stale")
+        res = snapshot_write(spark.range(300, 305), path, mode="append")
+        assert res["version"] == 4
+        assert not os.path.exists(lock)
+    finally:
+        set_commit_protocol(RenameCommitProtocol())
