@@ -295,17 +295,6 @@ ORDER BY total_spent DESC, c_custkey
 LIMIT 25
 """
 
-DISTINCT_SEGMENTS = """
-from customer
-select [c_mktsegment]
-group [c_mktsegment] (take 1)
-sort [c_mktsegment]
-"""
-
-DISTINCT_SEGMENTS_SQL = """
-SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
-"""
-
 RUNNING_TOTAL = """
 from orders
 group [o_custkey] (
@@ -421,53 +410,48 @@ WINDOW wc AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
 ORDER BY o_orderkey
 """
 
-TAKE_RANGE = """
-from orders
-sort [-o_totalprice, o_orderkey]
-take 11..30
-select [o_orderkey, o_totalprice]
-"""
-
-TAKE_RANGE_SQL = """
-SELECT o_orderkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 10
-"""
-
-NULL_HANDLING = """
-from events
+# round-10 consolidation (rotation pressure, VERDICT r9 item 6): the
+# former take_range + null_handling + fstring_cast + distinct_idiom
+# single-feature entries merged into ONE suite exercising all four
+# language features in one pipeline — the distinct idiom as a CTE
+# (`group cols (take 1)` → dropDuplicates fast path) re-joined USING,
+# null coalesce (`??`) and `== null`, the `as` cast and f-string
+# interpolation, and a sorted `take a..b` range (offset+limit) — four
+# rotation slots freed, coverage preserved (asserted by the value
+# oracle over the same events frame).
+LANG_FEATURES = """
+table distinct_types = (
+  from events
+  select [event_type]
+  group [event_type] (take 1)
+)
+from e=events
+join t=distinct_types [event_type]
 derive [
   v = value ?? -1.0,
   missing = value == null,
+  uid_str = (user_id | as string),
 ]
-group [event_type, missing] (
+derive [tag = f"{event_type}:{uid_str}"]
+group [tag, missing] (
   aggregate [n = count, total_v = round (sum v) 2]
 )
-sort [event_type, missing]
+sort [-n, tag, missing]
+take 11..40
 """
 
-NULL_HANDLING_SQL = """
-SELECT event_type, value IS NULL AS missing, count(*) AS n,
-  round(sum(coalesce(value, -1.0)), 2) AS total_v
-FROM events
-GROUP BY event_type, missing
-ORDER BY event_type, missing
-"""
-
-FSTRING_CAST = """
-from nation
-join region [r_regionkey == n_regionkey]
-select [
-  nation_tag = f"{n_name}-{r_name}",
-  key_str = (n_nationkey | as string),
-]
-sort [nation_tag]
-"""
-
-FSTRING_CAST_SQL = """
-SELECT concat(n_name, '-', r_name) AS nation_tag,
-  CAST(n_nationkey AS VARCHAR) AS key_str
-FROM nation JOIN region ON r_regionkey = n_regionkey
-ORDER BY nation_tag
+LANG_FEATURES_SQL = """
+WITH distinct_types AS (SELECT DISTINCT event_type FROM events),
+enriched AS (
+  SELECT concat(e.event_type, ':', CAST(e.user_id AS VARCHAR)) AS tag,
+         e.value IS NULL AS missing,
+         coalesce(e.value, -1.0) AS v
+  FROM events e JOIN distinct_types t USING (event_type))
+SELECT tag, missing, count(*) AS n, round(sum(v), 2) AS total_v
+FROM enriched
+GROUP BY tag, missing
+ORDER BY n DESC, tag, missing
+LIMIT 30 OFFSET 10
 """
 
 USER_FUNC_CTE = """
@@ -1009,16 +993,12 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
     "q20_excess_suppliers": (Q20_EXCESS_SUPPLIERS, Q20_SQL),
     "q21_waiting_supplier": (Q21_WAITING_SUPPLIER, Q21_SQL),
     "top_customers_left_join": (TOP_CUSTOMERS, TOP_CUSTOMERS_SQL),
-    "distinct_idiom": (DISTINCT_SEGMENTS, DISTINCT_SEGMENTS_SQL),
     "window_running_total": (RUNNING_TOTAL, RUNNING_TOTAL_SQL),
     "window_moving_average": (MOVING_AVERAGE, MOVING_AVERAGE_SQL),
     "group_topk": (GROUP_TOPK, GROUP_TOPK_SQL),
     "window_functions_suite": (WINDOW_SUITE, WINDOW_SUITE_SQL),
-    "take_range": (TAKE_RANGE, TAKE_RANGE_SQL),
-    "null_handling": (NULL_HANDLING, NULL_HANDLING_SQL),
-    "fstring_cast": (FSTRING_CAST, FSTRING_CAST_SQL),
+    "language_features_suite": (LANG_FEATURES, LANG_FEATURES_SQL),
     "user_func_cte": (USER_FUNC_CTE, USER_FUNC_CTE_SQL),
-    "events_daily_rollup": (EVENTS_SESSIONS, EVENTS_SESSIONS_SQL),
     "agg_stddev_minmax": (RANK_STATS, RANK_STATS_SQL),
     "window_interval_range": (TRAILING_7D, TRAILING_7D_SQL),
 }
@@ -1048,9 +1028,11 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
 # slots and 10 pinned, non-core entries rotate through the remaining
 # 40 slots, so their worst-case driver-evidence age rises from 1 to
 # ~2 rounds (the session mimic still re-verifies every entry every
-# round). Round 9: 2 new entries (partitioned snapshots, row-level
-# merge/delete) + the 34 oldest (r6-evidence) entries + the core +
-# 4 r7-evidence entries fill the window.
+# round). Round 10: 1 new entry (the language-features consolidation
+# suite) + the 31 surviving r7-evidence spill entries + the core +
+# 8 code-changed/oldest-r8 entries fill the window; consolidation
+# retired 5 thin entries (121 total, down from 125), easing rotation
+# pressure for the first time since round 4.
 _DRIVER_WINDOW = 50
 
 _CORE = [
@@ -1066,26 +1048,128 @@ _CORE = [
     "sources_warc_read",
 ]
 
-# never driver-checked: the round-9 lakehouse features that are
-# query-shaped — partition specs (partitioned commits + partition
-# pruning) and row-level MERGE/DELETE (copy-on-write) — each get an
-# entry; the rest of the round (write-time stats, PRQL pushdown,
-# manifest-race fixes) is pytest-verified and rides the same code
-# paths these entries exercise.
+# never driver-checked: round 10's consolidation suite (the former
+# take_range + null_handling + fstring_cast + distinct_idiom entries
+# merged — four rotation slots freed, coverage preserved; the
+# events_daily_rollup twin also retired, its date-cast/count_distinct
+# shapes live on in q1/q16 and events_hourly_rollup). The round's
+# other work (conflict-validated compact/optimize, delete stats
+# pruning, commit protocols, timestamp partitions) is pytest-verified
+# and rides the fronted lakehouse entries' code paths.
 _NEW_THIS_ROUND: list[str] = [
-    "sources_snapshot_partitioned",
-    "sources_snapshot_merge",
+    "language_features_suite",
 ]
 
 # reserved for new entries that outgrow the window (empty this round)
 _NEW_BEHIND: list[str] = []
 
-# Oldest driver evidence first: the 34 r6-evidence entries round 8
-# spilled (test-asserted to open THIS window — honored here), then
-# the pinned _CORE (r8 evidence, always in-window by policy), then
-# the 6 oldest r7-evidence entries that fit.
+# Oldest driver evidence first: the 31 surviving r7-evidence entries
+# round 9 spilled (test-asserted to open THIS window — honored here,
+# minus the 5 retired by consolidation), then the pinned _CORE, then
+# 8 slots for code-changed + oldest-r8 entries: the four lakehouse
+# entries whose code round 10 touched (merge broadcast guard + commit
+# hygiene; partition timestamp normalization; the snapshot_scan
+# overlap-check refactor; plus timetravel/changes riding the same
+# manifest), dedup_minhash_clusters (DISK_ONLY checkpoints + fused
+# first round — needs fresh driver evidence for the variance fix),
+# semdedup_prune (its r8 perf-watch partner), and sketch_top_items.
 _STALE_PREV = [
-    # --- the r8 _STALE_SPILL 34 (driver evidence age: round 6) ---
+    # --- the r9 _STALE_SPILL survivors (driver evidence: round 7) ---
+    "splits_near_leakage",
+    "text_normalize",
+    "text_url_blocklist",
+    "window_running_total",
+    "window_moving_average",
+    "agg_stddev_minmax",
+    "text_doc_frequency",
+    "multimodal_metadata",
+    "text_quantile_buckets",
+    "text_html_to_text",
+    "ann_assign_hier",
+    "dedup_paragraphs",
+    "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_share",
+    "q16_supplier_counts",
+    "text_quality_score",
+    "text_lang_id",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dups",
+    "multimodal_decode",
+    "asof_join_attribution",
+    "docs_clean_pipeline",
+    "sketch_distinct_users",
+    "sketch_value_median",
+    # --- _CORE: pinned every round (see policy above) ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "top_customers_left_join",
+    "group_topk",
+    "dedup_exact",
+    "dedup_against_near",
+    "text_token_count",
+    "sources_warc_read",
+    # --- code-changed this round + oldest r8 fits ---
+    "dedup_minhash_clusters",
+    "semdedup_prune",
+    "sources_snapshot_merge",
+    "sources_snapshot_partitioned",
+    "sources_snapshot_timetravel",
+    "sources_snapshot_changes",
+    "sources_snapshot_scan",
+    "sketch_top_items",
+]
+
+# r8-evidence entries the round-10 window cannot fit (33). All
+# mimic-green every session; oldest driver evidence in the repo from
+# here on: these MUST open round 11's window.
+_STALE_SPILL = [
+    "splits_shuffle_deterministic",
+    "profile_orders",
+    "sources_upsert_merge",
+    "sources_zorder_roundtrip",
+    "kafka_json_roundtrip",
+    "text_bm25_rank",
+    "text_contamination",
+    "text_gopher_flags",
+    "text_repetition_flags",
+    "pack_sequences",
+    "stratified_sample",
+    "split_by_hash",
+    "sample_by_hash",
+    "text_redact_pii",
+    "text_strip_boilerplate",
+    "events_sessionize",
+    "events_dedup_within_watermark",
+    "events_interval_join",
+    "skew_salted_aggregate",
+    "multimodal_resize",
+    "sources_csv_roundtrip",
+    "text_unigram_logprob",
+    "dedup_incremental",
+    "sample_per_group",
+    "text_collocations",
+    "skew_salted_join",
+    "sources_diff_snapshots",
+    "dedup_lines",
+    "text_url_features",
+    "q20_excess_suppliers",
+    "dedup_window_fraction",
+    "dedup_remove_windows",
+    "dedup_remove_sentences",
+]
+
+# checked in round 9 (freshest driver evidence; _CORE members sit in
+# the window instead) — behind the spill
+_FRESH_PREV = [
     "sources_bucketed_join",
     "splits_leakage_audit",
     "multimodal_image_ahash",
@@ -1120,112 +1204,10 @@ _STALE_PREV = [
     "multimodal_video_neardups",
     "multimodal_frame_sample",
     "asof_forward_tolerance",
-    # --- _CORE: pinned every round (see policy above) ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "top_customers_left_join",
-    "group_topk",
-    "dedup_exact",
-    "dedup_against_near",
-    "text_token_count",
-    "sources_warc_read",
-    # --- 3 of the 40 r7-evidence entries (the rest spill; two
-    # slots went to this round's new entries) ---
     "text_token_count_bpe",
     "multimodal_image_neardups",
     "multimodal_audio_neardups",
-    # re-oracled this round (the r8 literals encoded BLAS kernel
-    # noise — see SQL_IMAGE_PHASH): needs fresh driver evidence
     "multimodal_image_phash",
-]
-
-# r7-evidence entries the round-9 window cannot fit (34 — the r7
-# block is 40 wide and the r6 spill + core take 44 of the 50 slots).
-# All mimic-green every session; oldest driver evidence in the repo
-# from here on: these MUST open round 10's window.
-_STALE_SPILL = [
-    "splits_near_leakage",
-    "text_normalize",
-    "text_url_blocklist",
-    "window_running_total",
-    "window_moving_average",
-    "take_range",
-    "null_handling",
-    "fstring_cast",
-    "distinct_idiom",
-    "events_daily_rollup",
-    "agg_stddev_minmax",
-    "text_doc_frequency",
-    "multimodal_metadata",
-    "text_quantile_buckets",
-    "text_html_to_text",
-    "ann_assign_hier",
-    "dedup_paragraphs",
-    "q21_waiting_supplier",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_share",
-    "q16_supplier_counts",
-    "text_quality_score",
-    "text_lang_id",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_near_dups",
-    "multimodal_decode",
-    "asof_join_attribution",
-    "docs_clean_pipeline",
-    "sketch_distinct_users",
-    "sketch_value_median",
-]
-
-# checked in round 8 (freshest driver evidence; _CORE members sit in
-# the window instead) — behind the spill
-_FRESH_PREV = [
-    "sources_snapshot_timetravel",
-    "sources_snapshot_changes",
-    "sources_snapshot_scan",
-    "sketch_top_items",
-    "splits_shuffle_deterministic",
-    "profile_orders",
-    "sources_upsert_merge",
-    "sources_zorder_roundtrip",
-    "kafka_json_roundtrip",
-    "text_bm25_rank",
-    "text_contamination",
-    "text_gopher_flags",
-    "text_repetition_flags",
-    "pack_sequences",
-    "stratified_sample",
-    "split_by_hash",
-    "sample_by_hash",
-    "text_redact_pii",
-    "text_strip_boilerplate",
-    "events_sessionize",
-    "events_dedup_within_watermark",
-    "events_interval_join",
-    "skew_salted_aggregate",
-    "multimodal_resize",
-    "sources_csv_roundtrip",
-    "dedup_minhash_clusters",
-    "semdedup_prune",
-    "text_unigram_logprob",
-    "dedup_incremental",
-    "sample_per_group",
-    "text_collocations",
-    "skew_salted_join",
-    "sources_diff_snapshots",
-    "dedup_lines",
-    "text_url_features",
-    "q20_excess_suppliers",
-    "dedup_window_fraction",
-    "dedup_remove_windows",
-    "dedup_remove_sentences",
 ]
 
 _DRIVER_ORDER = (

@@ -120,6 +120,10 @@ HEADLINE = {
     "sources_snapshot_changes": "collect",
     "sources_snapshot_partitioned": "collect",
     "sources_snapshot_merge": "collect",
+    # round-10: the language-features consolidation suite (distinct
+    # CTE + USING join + null coalesce + cast/f-string + offset-limit
+    # in one pipeline — replaces four retired thin entries)
+    "language_features_suite": "collect",
 }
 
 

@@ -67,17 +67,40 @@ def connected_components(
     # localCheckpoint materializes the (possibly expensive) upstream
     # pair computation ONCE — every iteration re-reads the cached
     # blocks instead of re-running minhash/LSH per round.
+    #
+    # DISK_ONLY checkpoints, deliberately: the default MEMORY_AND_DISK
+    # blocks of superseded rounds linger in storage memory until the
+    # JVM's ContextCleaner gets a GC cycle, so an iterative op's wall
+    # time swung 2-8 s at sf0.1 with the HEAP state of the session
+    # (measured across rounds 6-9 on identical code). Slim (node,
+    # component) blocks read back from local disk in milliseconds;
+    # pinning them off-heap makes the op's cost a function of the
+    # DATA again, not of allocator history — and at 100 TB the edge
+    # list never competes with shuffle memory either.
+    from pyspark.storagelevel import StorageLevel
+
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
+    # Fused first round: initial label = min(self, neighbors), which
+    # IS round 1 of min-propagation from identity labels — computed
+    # inside the same aggregation that enumerates the nodes. On the
+    # short-diameter graphs star-capped emitters produce, this saves
+    # one full round (edge join + checkpoint + convergence job) of a
+    # 2-3 round run, and one fewer per-round plan for Janino to
+    # compile (whole-stage codegen compilation was a measured chunk
+    # of the op's session-to-session wall-time variance).
     labels = (
-        e.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=False)
+        e.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("mv")).alias("component"),
+        )
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     # Monotone convergence metric: components only ever shrink toward
     # the min, so an unchanged sum IS the fixpoint (one scalar agg per
@@ -135,8 +158,11 @@ def connected_components(
             # round and Janino compile cost would dominate by round
             # ~8). LAZY: the convergence aggregate right below is the
             # round's single action — it materializes the checkpoint
-            # and reads the sum in ONE job instead of two.
-            .localCheckpoint(eager=False)
+            # and reads the sum in ONE job instead of two. DISK_ONLY:
+            # see the edge checkpoint above.
+            .localCheckpoint(
+                eager=False, storageLevel=StorageLevel.DISK_ONLY
+            )
         )
         if numeric_ids:
             cur_sum = _sum(labels)
