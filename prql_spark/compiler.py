@@ -311,6 +311,12 @@ class Compiler:
         if not isinstance(step, FuncCall):
             raise PrqlCompileError(f"pipeline step is not a transform: {step}")
         name = step.name
+        if (
+            name == "aggregate"
+            and self._manifest_from is not None
+            and self._metadata_count_aggregate(step)
+        ):
+            return
         if name != "filter":
             # any transform other than a filter consumes the pristine
             # manifest scan (columns may be renamed/derived past it);
@@ -473,6 +479,53 @@ class Compiler:
         if self._manifest_from is not None:
             self._manifest_pushdown(step.args[0])
         self.r_filter(ce.sql)
+
+    def _metadata_count_aggregate(self, step: FuncCall) -> bool:
+        """The 100 TB ``SELECT count(*)`` that doesn't scan 100 TB:
+        ``from tbl | aggregate [n = count]`` straight after a
+        manifest-table ``from`` is answered from the manifest's
+        per-file row counts (catalog.metadata_count →
+        snapshot_count) — ZERO Spark tasks when write-time/footer
+        coverage is complete, one plain count() job otherwise (same
+        result either way). Only the bare-COUNT global aggregate
+        qualifies; any other shape (count x, extra aggregates, a
+        group context) falls through to the normal plan. Returns
+        True when the fast path replaced the plan."""
+        items = self._items(step)
+        if len(items) != 1:
+            return False
+        try:
+            name, node = self._named_item(items[0])
+        except PrqlCompileError:
+            return False
+        bare_count = (
+            isinstance(node, Ident) and node.name == "count"
+        ) or (
+            isinstance(node, FuncCall)
+            and node.name == "count"
+            and not node.args
+            and not node.named
+        )
+        if not bare_count:
+            return False
+        n = getattr(self.catalog, "metadata_count", lambda _t: None)(
+            self._manifest_from
+        )
+        if n is None:
+            return False
+        spark = self.df.sparkSession
+        # a VALUES inline table IS a LocalRelation, so collect()
+        # launches ZERO jobs (a bare literal SELECT plans over
+        # OneRowRelation — one trivial job; createDataFrame would
+        # parallelize an RDD — also one)
+        self.df = spark.sql(
+            f"SELECT * FROM VALUES (CAST({int(n)} AS BIGINT)) "
+            f"AS t(`{name}`)"
+        )
+        self._manifest_from = None
+        self.scope = {name: name}
+        self.sort = []
+        return True
 
     def _manifest_pushdown(self, cond) -> None:
         """Route a sargable filter straight after ``from`` on a

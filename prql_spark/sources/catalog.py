@@ -162,3 +162,18 @@ class Catalog:
             self.spark, path, bounds
         )
         return df if n_kept < n_total else None
+
+    def metadata_count(self, name: str) -> int | None:
+        """Row count of a manifest table's latest version for the
+        PRQL count fast path, or None when ``name`` isn't a manifest
+        table. Answered from the manifest alone (ZERO Spark tasks)
+        when every file carries a write-time/footer row count;
+        otherwise snapshot_count falls back to one real count() job
+        — same result either way, so the compiler may always route
+        through here."""
+        path = self._manifest_paths.get(name)
+        if path is None:
+            return None
+        from prql_spark.sources.manifest import snapshot_count
+
+        return snapshot_count(self.spark, path)

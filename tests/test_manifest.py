@@ -1562,3 +1562,48 @@ def test_lockfile_commit_protocol_races_and_recovers(spark, tmp_path):
         assert not os.path.exists(lock)
     finally:
         set_commit_protocol(RenameCommitProtocol())
+
+
+def test_prql_count_fast_path_zero_jobs(spark, tmp_path):
+    """`from tbl | aggregate [n = count]` on a manifest table routes
+    through snapshot_count — zero Spark jobs when write-time n_rows
+    coverage is complete (the compiler's metadata-count fast path),
+    and the value matches a real count. Any other aggregate shape
+    falls through to the normal plan."""
+    from prql_spark import compile_prql
+    from prql_spark.sources.catalog import Catalog
+
+    df = spark.range(4321).withColumn("v", F.col("id") % 5)
+    snapshot_write(df, str(tmp_path / "fct"), stats_cols=("id",))
+    cat = Catalog(spark, str(tmp_path))
+    cat.load("fct")  # resolve through the manifest (arms the path)
+
+    # compile first: planning the (immediately discarded) from-scan
+    # reads one parquet footer for the schema — O(1) driver work;
+    # EXECUTING the count must launch zero jobs and scan zero files
+    out = compile_prql("from fct\naggregate [n = count]", cat)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    rows = out.collect()
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert rows[0].n == 4321
+    assert after == before, "metadata count must launch zero jobs"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "LocalTableScan" in plan
+    assert [f.name for f in out.schema.fields] == ["n"]
+    assert out.schema["n"].dataType.simpleString() == "bigint"
+
+    # non-bare count shapes keep the normal plan (and stay correct)
+    out2 = compile_prql(
+        "from fct\naggregate [n = count, s = sum v]", cat
+    )
+    r2 = out2.collect()[0]
+    assert r2.n == 4321 and r2.s == sum(i % 5 for i in range(4321))
+    # a filter first: the count is no longer table-wide — normal plan
+    out3 = compile_prql(
+        "from fct\nfilter id < 100\naggregate [n = count]", cat
+    )
+    assert out3.collect()[0].n == 100
+    # `count x` (non-null counting) is NOT the fast path
+    out4 = compile_prql("from fct\naggregate [n = count id]", cat)
+    assert out4.collect()[0].n == 4321
