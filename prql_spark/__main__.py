@@ -84,6 +84,18 @@ def _table_mode(args) -> int:
                 zorder_by=tuple(c.strip() for c in cols.split(",")),
                 target_mb=args.target_mb,
             )))
+        if args.restore:
+            from prql_spark.sources.manifest import snapshot_restore
+
+            path, version = args.restore
+            print(json.dumps(snapshot_restore(spark, path, int(version))))
+        if args.count:
+            from prql_spark.sources.manifest import snapshot_count
+
+            print(json.dumps(
+                {"path": args.count,
+                 "n_rows": snapshot_count(spark, args.count)}
+            ))
     except (ValueError, IOError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -228,12 +240,24 @@ def main(argv: list[str] | None = None) -> int:
         "this are kept (a concurrent writer's staged commit); 0 "
         "deletes all unreferenced files (default 3600)",
     )
+    tbl.add_argument(
+        "--restore", nargs=2, metavar=("PATH", "VERSION"),
+        help="roll a manifest-committed dataset back: commit VERSION's "
+        "exact file list as the new latest version (nothing copied "
+        "or deleted; the bad version stays inspectable)",
+    )
+    tbl.add_argument(
+        "--count", metavar="PATH",
+        help="row count of a manifest-committed dataset's latest "
+        "version — metadata-only (zero Spark tasks) when every file "
+        "carries a recorded row count",
+    )
     args = ap.parse_args(argv)
 
     if (
         args.layout or args.compact or args.history or args.vacuum
         or args.fsck or args.partitions or args.delete_where
-        or args.optimize
+        or args.optimize or args.restore or args.count
     ):
         return _table_mode(args)
 

@@ -544,6 +544,111 @@ def media_scale(n_images: int):
     spark.stop()
 
 
+def rowlevel_scale(n_copies: int):
+    """Round-10 scale rows for the round-9 lakehouse newcomers
+    (r9 VERDICT #7): at ~500k docs,
+
+    1. merge_snapshot — prove the probe + rewrite cost tracks the
+       SOURCE (touched files), not the table: a 1k-row update whose
+       keys land in ONE range file vs the same 1k rows spread
+       uniformly across every file;
+    2. optimize_snapshot — the z-order rewrite's full cost
+       (approxQuantile pass + range shuffle + write + stats) on the
+       corpus, then the pruned-scan payoff (files opened on a
+       selective range);
+    3. partitioned snapshot_write at 10k partition values — the
+       driver-side staging cost (hive path listing + parsing) that
+       grows with partition-dir count, plus metadata-only
+       snapshot_partitions and a one-partition pruned read.
+    """
+    _assert_no_concurrent_jvms()
+    from prql_spark.sources import manifest as mf
+
+    spark = build_spark("scale-exp-rowlevel")
+    spark.sparkContext.setLogLevel("ERROR")
+    dpath = os.path.join(SCRATCH, f"docs_x{n_copies}")
+    if not os.path.exists(dpath):
+        synthesize(spark, n_copies)
+    docs = spark.read.parquet(dpath).select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    n_docs = docs.count()
+    hi = docs.agg(F.max("doc_id")).first()[0]
+
+    out: dict = {"mode": "rowlevel_scale", "n_docs": n_docs}
+
+    # --- 1. merge: narrow vs spread source, same table -------------
+    tbl = os.path.join(SCRATCH, "rl_tbl")
+    shutil.rmtree(tbl, ignore_errors=True)
+    mf.snapshot_write(
+        docs.repartitionByRange(64, "doc_id")
+        .sortWithinPartitions("doc_id"),
+        tbl,
+        stats_cols=("doc_id",),
+    )
+    narrow = docs.where(F.col("doc_id") < hi // 640).limit(1000).withColumn(
+        "text", F.lit("UPDATED")
+    )
+    spread = docs.where(F.col("doc_id") % (n_docs // 1000) == 0).withColumn(
+        "text", F.lit("UPDATED")
+    )
+    for label, src in (("merge_narrow", narrow), ("merge_spread", spread)):
+        spark._jvm.System.gc()
+        t = time.time()
+        res = mf.merge_snapshot(spark, tbl, src, on=("doc_id",))
+        out[label] = {
+            "sec": round(time.time() - t, 2),
+            "n_files_rewritten": res["n_files_rewritten"],
+            "n_files_kept": res["n_files_kept"],
+        }
+
+    # --- 2. optimize: full z-order rewrite + pruning payoff --------
+    spark._jvm.System.gc()
+    t = time.time()
+    ores = mf.optimize_snapshot(
+        spark, tbl, zorder_by=("doc_id", "n_chars"), target_files=64
+    )
+    opt_sec = round(time.time() - t, 2)
+    pruned = mf.snapshot_scan(
+        spark, tbl, "n_chars", lo=0, hi=200
+    )
+    n_open = len(pruned.inputFiles())
+    out["optimize"] = {
+        "sec": opt_sec,
+        "n_files_after": ores["n_files_after"],
+        "range_scan_files_opened": n_open,
+        "range_scan_rows": pruned.count(),
+    }
+
+    # --- 3. 10k-partition commit: driver-side staging cost ---------
+    ptbl = os.path.join(SCRATCH, "rl_ptbl")
+    shutil.rmtree(ptbl, ignore_errors=True)
+    pdocs = docs.withColumn(
+        "bucket", (F.col("doc_id") % 10000).cast("int")
+    ).repartition(10000, "bucket")
+    spark._jvm.System.gc()
+    t = time.time()
+    mf.snapshot_write(pdocs, ptbl, partition_by=("bucket",))
+    out["partitioned_write_10k"] = {"sec": round(time.time() - t, 2)}
+    t = time.time()
+    nparts = mf.snapshot_partitions(spark, ptbl).count()
+    out["partitioned_write_10k"]["show_partitions_sec"] = round(
+        time.time() - t, 2
+    )
+    out["partitioned_write_10k"]["n_partitions"] = nparts
+    one, kept, total = mf.snapshot_pruned_read(
+        spark, ptbl, {"bucket": (77, 77)}
+    )
+    t = time.time()
+    out["partitioned_write_10k"]["one_partition_rows"] = one.count()
+    out["partitioned_write_10k"]["one_partition_read_sec"] = round(
+        time.time() - t, 2
+    )
+    out["partitioned_write_10k"]["files_kept_of"] = [kept, total]
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main():
     raw = sys.argv[1:]
     skip = {
@@ -565,6 +670,9 @@ def main():
         return
     if "--snapshot-scale" in sys.argv:
         snapshot_scale(n_copies)
+        return
+    if "--rowlevel-scale" in sys.argv:
+        rowlevel_scale(n_copies)
         return
     if "--media-scale" in sys.argv:
         media_scale(n_copies * 5000)  # default 100 -> 500k images

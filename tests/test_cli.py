@@ -226,3 +226,23 @@ def test_cli_optimize_mode(tmp_path, spark):
     rep = _json.loads(r.stdout)
     assert rep["operation"] == "optimize" and rep["version"] == 2
     assert rep["zorder_by"] == ["id", "k"]
+
+
+def test_cli_restore_and_count(tmp_path, spark):
+    import json as _json
+
+    from prql_spark.sources.manifest import snapshot_read, snapshot_write
+
+    snap = str(tmp_path / "rst")
+    snapshot_write(spark.range(100), snap, stats_cols=("id",))
+    snapshot_write(spark.range(5), snap, stats_cols=("id",))  # bad overwrite
+    r = _cli("--restore", snap, "1")
+    assert r.returncode == 0, r.stderr
+    rep = _json.loads(r.stdout)
+    assert rep["restored_from"] == 1 and rep["version"] == 3
+    assert snapshot_read(spark, snap).count() == 100
+
+    r2 = _cli("--count", snap)
+    assert r2.returncode == 0, r2.stderr
+    rep2 = _json.loads(r2.stdout)
+    assert rep2["n_rows"] == 100
