@@ -209,8 +209,8 @@ class Compiler:
     # overrides them to build SQL text, mirroring the reference's
     # resolve-then-translate split (prql-compiler/src/translator.rs).
 
-    def r_from(self, tname: str):
-        self.df = self._load(tname)
+    def r_from(self, tname: str, version: int | None = None):
+        self.df = self._load(tname, version=version)
 
     def r_with_columns(self, items: list[tuple[str, str]]):
         self.df = self.df.withColumns({n: F.expr(s) for n, s in items})
@@ -376,7 +376,19 @@ class Compiler:
     # -- from
     def t_from(self, step: FuncCall):
         alias, tname = self._table_ref(step)
-        self.r_from(tname)
+        version = None
+        vnode = step.named.get("version")
+        if vnode is not None:
+            # time travel from the query language: `from tbl
+            # version:3` reads that committed version of a manifest
+            # table (errors on plain parquet / registered frames)
+            if not (isinstance(vnode, Lit) and vnode.kind == "int"):
+                raise PrqlCompileError(
+                    "from: version must be an integer literal "
+                    "(e.g. `from tbl version:3`)"
+                )
+            version = vnode.value
+        self.r_from(tname, version=version)
         self.scope = {}
         for c in self.df.columns:
             self.scope[c] = c
@@ -384,10 +396,15 @@ class Compiler:
             if alias != tname:
                 self.scope[f"{tname}.{c}"] = c
         # arm manifest file-skipping pushdown: only for the DataFrame
-        # engine (the SQL-text backend just emits text) and only for
-        # tables the catalog resolved through a manifest
-        if isinstance(self.df, DataFrame) and tname in getattr(
-            self.catalog, "_manifest_paths", {}
+        # engine (the SQL-text backend just emits text), only for
+        # tables the catalog resolved through a manifest, and only at
+        # the LATEST version (load_pruned and metadata_count answer
+        # from the latest manifest — a time-traveled read must not
+        # prune or count against a newer file list)
+        if (
+            version is None
+            and isinstance(self.df, DataFrame)
+            and tname in getattr(self.catalog, "_manifest_paths", {})
         ):
             self._manifest_from = tname
 
@@ -403,8 +420,13 @@ class Compiler:
         t = step.args[0].name
         return t, t
 
-    def _load(self, name: str) -> DataFrame:
+    def _load(self, name: str, version: int | None = None) -> DataFrame:
         if name in self.local_tables:
+            if version is not None:
+                raise PrqlCompileError(
+                    f"from {name}: version: applies to manifest "
+                    "tables in the catalog, not pipeline tables"
+                )
             return self.local_tables[name]
         if name.startswith("{{"):
             # reference parity: a jinja block parses as an Ident of
@@ -416,9 +438,11 @@ class Compiler:
                 "unrendered template"
             )
         try:
-            return self.catalog.load(name)
+            return self.catalog.load(name, version)
         except KeyError as e:
             raise PrqlCompileError(f"unknown table {name!r}: {e}") from None
+        except ValueError as e:
+            raise PrqlCompileError(str(e)) from None
 
     # -- derive
     def t_derive(self, step: FuncCall):

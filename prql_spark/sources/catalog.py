@@ -61,6 +61,11 @@ class Catalog:
 
     def load(self, name: str, version: int | None = None) -> DataFrame:
         if name in self._registered:
+            if version is not None:
+                raise ValueError(
+                    f"table {name!r}: version= only applies to "
+                    "manifest-committed tables, not registered frames"
+                )
             return self._registered[name]
         if self.data_dir is None:
             raise KeyError(f"table {name!r} not registered and no data_dir set")

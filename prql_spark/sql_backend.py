@@ -162,7 +162,13 @@ class SqlCompiler(Compiler):
             raise PrqlCompileError(f"unknown table {tname!r}: {e}") from None
         return tname, list(probe.columns)
 
-    def r_from(self, tname: str):
+    def r_from(self, tname: str, version: int | None = None):
+        if version is not None:
+            raise PrqlCompileError(
+                "from: version: (time travel) requires the DataFrame "
+                "engine on a manifest table — SQL text has no way to "
+                "address a committed version"
+            )
         src, cols = self._source_rel(tname)
         self.df = _SqlRel([_Layer(src=src, base_cols=list(cols))], cols)
 

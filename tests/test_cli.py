@@ -10,6 +10,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _cli(*args, stdin=None):
+    # the CLI subprocess starts its OWN JVM while the pytest session's
+    # JVM is alive — cap its heap (queries here are tiny) so two local
+    # JVMs don't contend for the session-sized default heap (the full
+    # suite saw rare nonzero exits from exactly that contention)
+    env = {**os.environ, "SPARK_DRIVER_MEM": "4g", "SPARK_GRAFT_CPUS": "4"}
     return subprocess.run(
         [sys.executable, "-m", "prql_spark", *args],
         cwd=REPO,
@@ -17,6 +22,7 @@ def _cli(*args, stdin=None):
         capture_output=True,
         text=True,
         timeout=180,
+        env=env,
     )
 
 

@@ -1607,3 +1607,38 @@ def test_prql_count_fast_path_zero_jobs(spark, tmp_path):
     # `count x` (non-null counting) is NOT the fast path
     out4 = compile_prql("from fct\naggregate [n = count id]", cat)
     assert out4.collect()[0].n == 4321
+
+
+def test_prql_time_travel_version_arg(spark, tmp_path):
+    """`from tbl version:N` reads that committed version of a
+    manifest table from the query language; the pinned read never
+    prunes/counts against the newer manifest, plain tables and the
+    SQL backend reject the arg with clear errors."""
+    from prql_spark import compile_prql, to_sql
+    from prql_spark.compiler import PrqlCompileError
+    from prql_spark.sources.catalog import Catalog
+
+    path = str(tmp_path / "ttq")
+    snapshot_write(spark.range(100), path, stats_cols=("id",))
+    snapshot_write(spark.range(100, 130), path, mode="append",
+                   stats_cols=("id",))
+    cat = Catalog(spark, str(tmp_path))
+
+    assert compile_prql("from ttq version:1\naggregate [n = count]",
+                        cat).collect()[0].n == 100
+    assert compile_prql("from ttq\naggregate [n = count]",
+                        cat).collect()[0].n == 130
+    # a filter on the pinned version stays on version 1's rows
+    out = compile_prql("from ttq version:1\nfilter id >= 90\nsort [id]",
+                       cat)
+    assert [r.id for r in out.collect()] == list(range(90, 100))
+
+    with pytest.raises(PrqlCompileError, match="integer literal"):
+        compile_prql('from ttq version:"x"', cat)
+    with pytest.raises(Exception, match="not in"):
+        compile_prql("from ttq version:9\ntake 1", cat)
+    with pytest.raises(PrqlCompileError, match="manifest-committed"):
+        compile_prql("from orders version:1\ntake 1",
+                     Catalog(spark, "/root/testdata/sf0.001"))
+    with pytest.raises(PrqlCompileError, match="SQL text"):
+        to_sql("from ttq version:1\ntake 1", cat)
