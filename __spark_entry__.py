@@ -1028,11 +1028,12 @@ _PRQL_QUERIES: dict[str, tuple[str, str]] = {
 # slots and 10 pinned, non-core entries rotate through the remaining
 # 40 slots, so their worst-case driver-evidence age rises from 1 to
 # ~2 rounds (the session mimic still re-verifies every entry every
-# round). Round 10: 1 new entry (the language-features consolidation
-# suite) + the 31 surviving r7-evidence spill entries + the core +
-# 8 code-changed/oldest-r8 entries fill the window; consolidation
-# retired 5 thin entries (121 total, down from 125), easing rotation
-# pressure for the first time since round 4.
+# round). Round 10: 2 new entries (the language-features
+# consolidation suite; bloom-prefiltered decontamination) + the 31
+# surviving r7-evidence spill entries + the core + 7 code-changed
+# entries fill the window; consolidation retired 5 thin entries
+# (122 total, down from 125), easing rotation pressure for the
+# first time since round 4.
 _DRIVER_WINDOW = 50
 
 _CORE = [
@@ -1058,6 +1059,10 @@ _CORE = [
 # and rides the fronted lakehouse entries' code paths.
 _NEW_THIS_ROUND: list[str] = [
     "language_features_suite",
+    # bloom-prefiltered decontamination (dedup_against_bloom): only
+    # filter-positive rows enter the anti-join exchange — the
+    # batch-vs-10B-doc-reference shape where neither side broadcasts
+    "dedup_incremental_bloom",
 ]
 
 # reserved for new entries that outgrow the window (empty this round)
@@ -1066,13 +1071,13 @@ _NEW_BEHIND: list[str] = []
 # Oldest driver evidence first: the 31 surviving r7-evidence entries
 # round 9 spilled (test-asserted to open THIS window — honored here,
 # minus the 5 retired by consolidation), then the pinned _CORE, then
-# 8 slots for code-changed + oldest-r8 entries: the four lakehouse
-# entries whose code round 10 touched (merge broadcast guard + commit
-# hygiene; partition timestamp normalization; the snapshot_scan
-# overlap-check refactor; plus timetravel/changes riding the same
-# manifest), dedup_minhash_clusters (DISK_ONLY checkpoints + fused
-# first round — needs fresh driver evidence for the variance fix),
-# semdedup_prune (its r8 perf-watch partner), and sketch_top_items.
+# 7 slots for code-changed entries: the lakehouse entries whose code
+# round 10 touched (merge broadcast guard + commit hygiene; partition
+# timestamp normalization; the snapshot_scan overlap-check refactor;
+# plus timetravel/changes riding the same manifest),
+# dedup_minhash_clusters (DISK_ONLY checkpoints + fused first round —
+# needs fresh driver evidence for the variance fix), and
+# semdedup_prune (its r8 perf-watch partner).
 _STALE_PREV = [
     # --- the r9 _STALE_SPILL survivors (driver evidence: round 7) ---
     "splits_near_leakage",
@@ -1125,13 +1130,13 @@ _STALE_PREV = [
     "sources_snapshot_timetravel",
     "sources_snapshot_changes",
     "sources_snapshot_scan",
-    "sketch_top_items",
 ]
 
-# r8-evidence entries the round-10 window cannot fit (33). All
+# r8-evidence entries the round-10 window cannot fit (34). All
 # mimic-green every session; oldest driver evidence in the repo from
 # here on: these MUST open round 11's window.
 _STALE_SPILL = [
+    "sketch_top_items",
     "splits_shuffle_deterministic",
     "profile_orders",
     "sources_upsert_merge",

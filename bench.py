@@ -122,8 +122,12 @@ HEADLINE = {
     "sources_snapshot_merge": "collect",
     # round-10: the language-features consolidation suite (distinct
     # CTE + USING join + null coalesce + cast/f-string + offset-limit
-    # in one pipeline — replaces four retired thin entries)
+    # in one pipeline — replaces four retired thin entries) and the
+    # bloom-prefiltered decontamination (vectorized-UDF probe +
+    # refinement anti-join — a UDF or filter-routing regression must
+    # be driver-visible)
     "language_features_suite": "collect",
+    "dedup_incremental_bloom": "count",
 }
 
 

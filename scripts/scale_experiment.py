@@ -227,6 +227,26 @@ def fresh_op(op: str, n_copies: int):
             group_by="grp",
             k=10,
         ),
+        # round-10: bloom decontamination A/B — same batch (docs with
+        # doc_id % 5 != 0 + re-crawls of the ref fifth), plain exact
+        # anti-join vs bloom-prefiltered; identical results, only the
+        # exchanged row count differs
+        "dedup_against": lambda: dedup.dedup_against(
+            docs().where("doc_id % 5 != 0").unionByName(
+                docs().where("doc_id % 5 = 0").withColumn(
+                    "doc_id", F.expr("doc_id + 10000000")
+                )
+            ),
+            docs().where("doc_id % 5 = 0"),
+        ),
+        "dedup_against_bloom": lambda: dedup.dedup_against_bloom(
+            docs().where("doc_id % 5 != 0").unionByName(
+                docs().where("doc_id % 5 = 0").withColumn(
+                    "doc_id", F.expr("doc_id + 10000000")
+                )
+            ),
+            docs().where("doc_id % 5 = 0"),
+        ),
     }
     # train_bpe_merges returns a merges LIST (driver-dict loop), not
     # a DataFrame — time the whole call; "rows" = merges learned.
