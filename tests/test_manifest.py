@@ -1642,3 +1642,63 @@ def test_prql_time_travel_version_arg(spark, tmp_path):
                      Catalog(spark, "/root/testdata/sf0.001"))
     with pytest.raises(PrqlCompileError, match="SQL text"):
         to_sql("from ttq version:1\ntake 1", cat)
+
+
+def test_process_increment_exactly_once(spark, tmp_path):
+    """Batch-incremental processing: each appended source slice is
+    transformed into the destination exactly once — across no-op
+    reruns, a crash-before-commit retry, and a vacuum of the source's
+    old manifests; a source rewrite surfaces as a refusal."""
+    from prql_spark.sources.incremental import process_increment
+    from prql_spark.sources.manifest import (
+        compact_snapshot,
+        vacuum_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snapshot_write(spark.range(100), src, stats_cols=("id",))
+
+    double = lambda df: df.withColumn("v", F.col("id") * 2)  # noqa: E731
+    r1 = process_increment(spark, src, dst, double)
+    assert r1["processed"] and r1["n_rows_in"] == 100
+    assert snapshot_read(spark, dst).count() == 100
+
+    # no new source version: rerun is a no-op
+    assert process_increment(spark, src, dst, double)["processed"] is False
+
+    # two appends, one increment run: both slices, once each
+    snapshot_write(spark.range(100, 150), src, mode="append",
+                   stats_cols=("id",))
+    snapshot_write(spark.range(150, 170), src, mode="append",
+                   stats_cols=("id",))
+    r2 = process_increment(spark, src, dst, double)
+    assert r2["processed"] and r2["n_rows_in"] == 70
+    got = {r.id: r.v for r in snapshot_read(spark, dst).collect()}
+    assert len(got) == 170 and got[160] == 320
+
+    # crash-before-commit: a transform that dies commits NOTHING;
+    # the retry reprocesses the same increment exactly once
+    snapshot_write(spark.range(170, 180), src, mode="append",
+                   stats_cols=("id",))
+
+    def boom(df):
+        return df.withColumn("v", F.expr("assert_true(id < 175)"))
+
+    with pytest.raises(Exception):
+        process_increment(spark, src, dst, boom)
+    assert snapshot_read(spark, dst).count() == 170  # nothing landed
+    r3 = process_increment(spark, src, dst, double)
+    assert r3["processed"] and r3["n_rows_in"] == 10
+    assert snapshot_read(spark, dst).count() == 180
+
+    # the bookmark survives vacuuming the source's old manifests
+    vacuum_snapshot(spark, src, keep_versions=1, min_age_s=0)
+    assert process_increment(spark, src, dst, double)["processed"] is False
+
+    # a source rewrite (compaction) breaks "added files == added
+    # rows": the increment read REFUSES rather than misreading
+    snapshot_write(spark.range(180, 300), src, mode="append")
+    compact_snapshot(spark, src, target_mb=1024)
+    with pytest.raises(ValueError, match="not append"):
+        process_increment(spark, src, dst, double)
