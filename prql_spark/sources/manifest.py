@@ -1738,14 +1738,116 @@ def merge_snapshot(
     )
 
 
+def _pure_partition_verdicts(
+    spark, m: dict, predicate: str
+) -> dict | None:
+    """Per-file True/False verdict of ``predicate`` evaluated on the
+    file's PARTITION VALUES alone — or None whenever the fast path
+    cannot be PROVEN sound: unpartitioned table, predicate resolves
+    without referencing any real column (literal/rand()-only —
+    row-level semantics must hold), predicate references data
+    columns, predicate is non-deterministic, a file lacks recorded
+    partition values, or a stored partition value fails to cast back
+    to the column's type (the verdict would silently become NULL).
+    When a dict IS returned, each file's rows ALL share its partition
+    values, so the verdict decides every row of the file at once."""
+    from pyspark.sql import functions as F
+
+    pby = tuple(m.get("partition_by") or ())
+    if not pby:
+        return None
+    col_types = dict(m.get("schema_ddl") or [])
+    try:
+        # resolves against a decoy schema ⇒ references no real column
+        spark.createDataFrame([(1,)], "`__prql_decoy` INT").select(
+            F.expr(predicate)
+        )
+        return None
+    except Exception:
+        pass  # good: the predicate references actual columns
+    # one verdict per DISTINCT partition tuple (≤ #files), evaluated
+    # over a VALUES inline table — a LocalRelation, so the collect
+    # launches ZERO jobs (createDataFrame would parallelize an RDD
+    # and cost one)
+    by_tuple: dict = {}
+    file_tuple: list = []
+    for f in m["files"]:
+        pv = f.get("partition")
+        if pv is None or set(pv) < set(pby):
+            return None  # no recorded values: cannot prove anything
+        key = tuple(pv.get(c) for c in pby)
+        by_tuple.setdefault(key, len(by_tuple))
+        file_tuple.append(key)
+    if not by_tuple:
+        return {}
+
+    def lit(v):
+        if v is None:
+            return "CAST(NULL AS STRING)"
+        return "'" + str(v).replace("'", "''") + "'"
+
+    values = ",".join(
+        f"({j},{','.join(lit(v) for v in key)})"
+        for key, j in by_tuple.items()
+    )
+    names = ", ".join(f"`{c}`" for c in pby)
+    casts = ", ".join(
+        f"CAST(`{c}` AS {col_types.get(c, 'string')}) AS `{c}`"
+        for c in pby
+    )
+    nulls = ", ".join(
+        f"(`{c}` IS NULL) AS `__n_{c}`" for c in pby
+    )
+    q = (
+        f"SELECT `__j`, ({predicate}) AS `__m`, {nulls} FROM ("
+        f"SELECT `__j`, {casts} FROM VALUES {values} "
+        f"AS t(`__j`, {names}))"
+    )
+    try:
+        evald = spark.sql(q)
+        exprs = evald._jdf.queryExecution().analyzed().expressions()
+        for j in range(exprs.size()):
+            if not exprs.apply(j).deterministic():
+                return None  # rand()-style: each row must decide
+        got = evald.collect()
+    except Exception:
+        return None  # references data columns / malformed: row-level
+    raw_by_j = {j: key for key, j in by_tuple.items()}
+    verdict_by_j: dict = {}
+    for r in got:
+        key = raw_by_j[r["__j"]]
+        for ci, c in enumerate(pby):
+            # a non-NULL stored value that casts to NULL would turn
+            # the verdict into a silent "keep" — bail to row-level
+            if r[f"__n_{c}"] and key[ci] is not None:
+                return None
+        verdict_by_j[r["__j"]] = r["__m"] is True
+    return {
+        i: verdict_by_j[by_tuple[key]]
+        for i, key in enumerate(file_tuple)
+    }
+
+
 def delete_snapshot(
     spark: SparkSession, path: str, predicate: str
 ) -> dict:
     """Row-level DELETE from a manifest table, copy-on-write: files
     containing at least one row matching ``predicate`` (a Spark SQL
     boolean expression) are rewritten without those rows; every
-    other file is referenced verbatim in the new manifest. Touched
-    discovery is two-stage, like :func:`merge_snapshot`'s:
+    other file is referenced verbatim in the new manifest.
+
+    **Partition fast path (transactional DROP PARTITION):** when the
+    predicate provably depends ONLY on partition columns (it
+    resolves against a frame holding just those columns, is
+    deterministic, and every file carries cast-faithful partition
+    values — :func:`_pure_partition_verdicts`), each file's verdict
+    is constant across its rows, so matching files are DROPPED from
+    the manifest and the rest referenced verbatim — ZERO Spark
+    tasks, no data file opened, one manifest write. The 100 TB
+    retention delete (``ds < '2024-01-01'``) is pure metadata.
+    Anything not provable falls through to the row-level path:
+
+    Touched discovery is two-stage, like :func:`merge_snapshot`'s:
 
     1. **Stats prune (no data read).** When the predicate is
        sargable (:func:`_sql_bounds` — AND-conjuncts of ``col <op>
@@ -1770,6 +1872,29 @@ def delete_snapshot(
     if not seen:
         raise ValueError(f"delete_snapshot: no versions at {path!r}")
     m = _load_manifest(fs, jvm, base, seen[-1])
+    verdicts = _pure_partition_verdicts(spark, m, predicate)
+    if verdicts is not None:
+        doomed = {
+            f["path"]
+            for i, f in enumerate(m["files"])
+            if verdicts.get(i)
+        }
+        if not doomed:
+            return {
+                "version": m["version"],
+                "operation": "delete",
+                "n_files_rewritten": 0,
+                "n_files_kept": len(m["files"]),
+                "n_files_new": 0,
+                "n_candidates": 0,
+                "partition_only": True,
+                "noop": True,
+            }
+        keep = {f["path"] for f in m["files"]} - doomed
+        res = _commit_replacing(spark, path, m, keep, [], "delete")
+        res["n_candidates"] = 0
+        res["partition_only"] = True
+        return res
     bounds = _sql_bounds(predicate)
     candidates = (
         [f for f in m["files"] if _overlaps_bounds(f, bounds)]

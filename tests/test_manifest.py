@@ -1702,3 +1702,56 @@ def test_process_increment_exactly_once(spark, tmp_path):
     compact_snapshot(spark, src, target_mb=1024)
     with pytest.raises(ValueError, match="not append"):
         process_increment(spark, src, dst, double)
+
+
+def test_delete_partition_fast_path_zero_tasks(spark, tmp_path):
+    """A delete whose predicate provably depends only on partition
+    columns drops whole files from the manifest — zero Spark jobs,
+    no data file opened (transactional DROP PARTITION); anything not
+    provable falls through to the row-level path."""
+    from prql_spark.sources.manifest import delete_snapshot
+
+    path = str(tmp_path / "dp")
+    df = spark.createDataFrame(
+        [(i, None if i % 5 == 4 else i % 4, i * 10) for i in range(200)],
+        "id INT, bucket INT, v INT",
+    )
+    snapshot_write(df, path, partition_by=("bucket",))
+    m1 = json.load(open(os.path.join(
+        path, "_manifests", f"v{1:010d}.json")))
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    res = delete_snapshot(spark, path, "bucket = 2")
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert res["partition_only"] is True and res["n_files_new"] == 0
+    assert after == before, "partition delete must launch zero jobs"
+    m2 = json.load(open(os.path.join(
+        path, "_manifests", f"v{2:010d}.json")))
+    # survivors are referenced verbatim; the dropped partition's
+    # files are simply absent (reclaimed later by vacuum)
+    assert {f["path"] for f in m2["files"]} < {
+        f["path"] for f in m1["files"]
+    }
+    got = snapshot_read(spark, path)
+    assert got.where("bucket = 2").count() == 0
+    assert got.count() == 200 - sum(
+        1 for i in range(200) if i % 5 != 4 and i % 4 == 2
+    )
+    assert snapshot_read(spark, path, 1).count() == 200  # time travel
+
+    # NULL partition drops wholesale too (IS NULL is partition-pure)
+    res2 = delete_snapshot(spark, path, "bucket IS NULL")
+    assert res2["partition_only"] is True
+    assert snapshot_read(spark, path).where("bucket IS NULL").count() == 0
+
+    # mixed predicate (data column involved): row-level path
+    res3 = delete_snapshot(spark, path, "bucket = 1 AND v >= 1900")
+    assert "partition_only" not in res3
+    left = snapshot_read(spark, path)
+    assert left.where("bucket = 1 AND v >= 1900").count() == 0
+    assert left.where("bucket = 1").count() > 0
+
+    # no-column predicate: row-level semantics preserved
+    res4 = delete_snapshot(spark, path, "1 = 0")
+    assert "partition_only" not in res4 and res4.get("noop") is True
