@@ -1527,6 +1527,9 @@ def _commit_replacing(
     staged: list,
     operation: str,
     commit_id: str | None = None,
+    schema_sig: list | None = None,
+    schema_ddl: list | None = None,
+    merge_schema: bool | None = None,
 ) -> dict:
     """Publish a manifest whose file list is ``planned``'s files
     minus the replaced ones (``keep_paths`` survivors) plus
@@ -1575,10 +1578,16 @@ def _commit_replacing(
             "parent": head,
             "operation": operation,
             "commit": commit_id or hm.get("commit"),
-            "schema": hm.get("schema"),
-            "schema_ddl": hm.get("schema_ddl"),
+            # schema overrides serve merge's opt-in evolution: the
+            # published version's schema is the SOURCE's superset and
+            # reads merge-fill the untouched files' missing columns
+            "schema": schema_sig if schema_sig is not None
+            else hm.get("schema"),
+            "schema_ddl": schema_ddl if schema_ddl is not None
+            else hm.get("schema_ddl"),
             "partition_by": hm.get("partition_by") or [],
-            "merge_schema": bool(hm.get("merge_schema")),
+            "merge_schema": bool(hm.get("merge_schema"))
+            if merge_schema is None else bool(merge_schema),
             "streams": hm.get("streams") or {},
             "files": kept + staged,
         }
@@ -1603,6 +1612,7 @@ def merge_snapshot(
     source: DataFrame,
     on: tuple,
     broadcast_key_limit: int = 2_000_000,
+    allow_new_columns: bool = False,
 ) -> dict:
     """Row-level UPSERT into a manifest table, copy-on-write: rows of
     ``source`` REPLACE target rows with the same ``on`` key; source
@@ -1624,10 +1634,15 @@ def merge_snapshot(
 
     Whole-row replace semantics: the source schema must equal the
     table schema; duplicate keys WITHIN the source all land (the
-    matched target row is removed once). Time travel keeps the
-    pre-merge version readable; ``snapshot_changes`` refuses to
-    cross a merge (rewritten files ≠ added rows). A concurrent data
-    commit between plan and publish raises (see
+    matched target row is removed once). Schema EVOLUTION is opt-in
+    like append's: ``allow_new_columns=True`` accepts a source whose
+    schema is a SUPERSET of the table's (add columns; never drop or
+    retype) — the new version's schema becomes the source's,
+    survivors and untouched files null-fill the added columns at
+    read (the version is flagged ``merge_schema``). Time travel
+    keeps the pre-merge version readable; ``snapshot_changes``
+    refuses to cross a merge (rewritten files ≠ added rows). A
+    concurrent data commit between plan and publish raises (see
     :func:`_commit_replacing`); re-run on the new head.
 
     The distinct source keys are broadcast to both probe joins only
@@ -1648,12 +1663,17 @@ def merge_snapshot(
         (f.name, f.dataType.simpleString()) for f in source.schema.fields
     )
     tbl_sig = [tuple(p) for p in m.get("schema", [])]
+    evolve = False
     if tbl_sig and src_sig != tbl_sig:
-        raise ValueError(
-            f"merge_snapshot: source schema {src_sig} != table schema "
-            f"{tbl_sig} — merge is whole-row replace; align the "
-            "source first"
-        )
+        superset = allow_new_columns and set(tbl_sig) < set(src_sig)
+        if not superset:
+            raise ValueError(
+                f"merge_snapshot: source schema {src_sig} != table "
+                f"schema {tbl_sig} — merge is whole-row replace; "
+                "align the source first (adding columns needs "
+                "allow_new_columns=True)"
+            )
+        evolve = True
     missing = [c for c in on if c not in source.columns]
     if missing:
         raise ValueError(
@@ -1714,15 +1734,25 @@ def merge_snapshot(
         touched = {_rel_from_uri(r["__file"]) for r in probe}
 
     partition_by = tuple(m.get("partition_by") or ())
-    col_types = dict(m.get("schema_ddl") or [])
+    src_ddl = [
+        (f.name, f.dataType.simpleString()) for f in source.schema.fields
+    ]
+    col_types = dict(src_ddl if evolve else (m.get("schema_ddl") or []))
     if touched:
         touched_entries = [f for f in m["files"] if f["path"] in touched]
         survivors = _plan_read(spark, base, m, touched_entries).join(
             hint(keys), list(on), "left_anti"
         )
-        new_data = survivors.unionByName(
-            source.select(*survivors.columns)
-        )
+        if evolve:
+            # survivors (old schema) null-fill the source's added
+            # columns; the rewritten files carry the full new schema
+            new_data = survivors.unionByName(
+                source, allowMissingColumns=True
+            ).select(*source.columns)
+        else:
+            new_data = survivors.unionByName(
+                source.select(*survivors.columns)
+            )
     else:
         new_data = source
     try:
@@ -1734,7 +1764,10 @@ def merge_snapshot(
         keys.unpersist()
     keep = {f["path"] for f in m["files"]} - touched
     return _commit_replacing(
-        spark, path, m, keep, staged, "merge", commit_id=commit_id
+        spark, path, m, keep, staged, "merge", commit_id=commit_id,
+        schema_sig=src_sig if evolve else None,
+        schema_ddl=src_ddl if evolve else None,
+        merge_schema=True if evolve else None,
     )
 
 

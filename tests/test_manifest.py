@@ -1755,3 +1755,40 @@ def test_delete_partition_fast_path_zero_tasks(spark, tmp_path):
     # no-column predicate: row-level semantics preserved
     res4 = delete_snapshot(spark, path, "1 = 0")
     assert "partition_only" not in res4 and res4.get("noop") is True
+
+
+def test_merge_schema_evolution_add_column(spark, tmp_path):
+    """Opt-in merge evolution (mirrors append's): a source with an
+    ADDED column upserts; untouched files and survivors null-fill
+    the new column at read; without the flag the mismatch raises."""
+    from prql_spark.sources.manifest import merge_snapshot
+
+    path = str(tmp_path / "mgev")
+    snapshot_write(
+        spark.range(100).withColumn("val", F.col("id") * 10)
+        .repartitionByRange(4, "id").sortWithinPartitions("id"),
+        path, stats_cols=("id",),
+    )
+    src = spark.createDataFrame(
+        [(5, -5, "new"), (200, 1, "ins")],
+        "id LONG, val LONG, note STRING",
+    )
+    with pytest.raises(ValueError, match="allow_new_columns"):
+        merge_snapshot(spark, path, src, on=("id",))
+    res = merge_snapshot(
+        spark, path, src, on=("id",), allow_new_columns=True
+    )
+    assert res["operation"] == "merge"
+    got = {r.id: (r.val, r.note) for r in snapshot_read(spark, path).collect()}
+    assert len(got) == 101
+    assert got[5] == (-5, "new") and got[200] == (1, "ins")
+    assert got[6] == (60, None)   # survivor in the touched file
+    assert got[99] == (990, None)  # untouched file, null-filled
+    # time travel reads the OLD schema
+    assert "note" not in snapshot_read(spark, path, 1).columns
+    # a second plain merge against the evolved schema works
+    src2 = spark.createDataFrame(
+        [(6, -6, "again")], "id LONG, val LONG, note STRING"
+    )
+    merge_snapshot(spark, path, src2, on=("id",))
+    assert snapshot_read(spark, path).where("id = 6").collect()[0].note == "again"
