@@ -893,7 +893,10 @@ def snapshot_partitions(
 
 
 def compact_snapshot(
-    spark: SparkSession, path: str, target_mb: int = 256
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 256,
+    max_replan: int = 0,
 ) -> dict:
     """Commit a compacted version: the latest version's rows repacked
     into ``ceil(total_bytes / target_mb)`` files. Rows are untouched;
@@ -913,55 +916,67 @@ def compact_snapshot(
     merge/delete have (a plain ``snapshot_write(mode="overwrite")``
     would rebase the version NUMBER and re-publish only the
     compactor's own content). A stats-only commit racing in is
-    harmless and rebases.
+    harmless and rebases. ``max_replan`` opts a maintenance job into
+    automatic re-planning: on a conflict the compaction re-reads the
+    new head and retries up to that many times (each retry compacts
+    the CURRENT content, racing appends included); the default 0
+    keeps the raise-and-let-the-caller-decide contract.
     """
     import math
 
     fs, jvm = _fs(spark, path)
     base = path.rstrip("/")
-    seen = _versions(fs, jvm, base)
-    if not seen:
-        raise ValueError(f"compact_snapshot: no versions at {path!r}")
-    m = _load_manifest(fs, jvm, base, seen[-1])
-    total = sum(f["bytes"] for f in m["files"])
-    want = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
-    pby = tuple(m.get("partition_by") or ())
-    if pby:
-        n_parts = len(
-            {
-                tuple(sorted((f.get("partition") or {}).items()))
-                for f in m["files"]
-            }
+    for attempt in range(max_replan + 1):
+        seen = _versions(fs, jvm, base)
+        if not seen:
+            raise ValueError(f"compact_snapshot: no versions at {path!r}")
+        m = _load_manifest(fs, jvm, base, seen[-1])
+        total = sum(f["bytes"] for f in m["files"])
+        want = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+        pby = tuple(m.get("partition_by") or ())
+        if pby:
+            n_parts = len(
+                {
+                    tuple(sorted((f.get("partition") or {}).items()))
+                    for f in m["files"]
+                }
+            )
+            want = max(want, n_parts)
+        if len(m["files"]) <= want:
+            return {"compacted": False, "n_files": len(m["files"])}
+        # plan from the exact manifest the commit will validate
+        # against (not "latest again" — a racing append between the
+        # two reads must surface as a conflict, not silently join
+        # the rewrite)
+        df = _plan_read(spark, base, m)
+        if pby:
+            df = df.repartition(want, *pby)
+        else:
+            df = df.coalesce(want)
+        # stage the repacked files, then publish through the
+        # validated commit path (keep_paths empty: a compaction
+        # replaces every file) — stats coverage is re-collected so
+        # file skipping never degrades across a compaction
+        col_types = dict(m.get("schema_ddl") or [])
+        commit_id, staged = _stage_commit(
+            df, base, fs, jvm, pby, col_types,
+            stats_cols=_table_stats_cols(m, pby),
         )
-        want = max(want, n_parts)
-    if len(m["files"]) <= want:
-        return {"compacted": False, "n_files": len(m["files"])}
-    # plan from the exact manifest the commit will validate against
-    # (not "latest again" — a racing append between the two reads
-    # must surface as a conflict, not silently join the rewrite)
-    df = _plan_read(spark, base, m)
-    if pby:
-        df = df.repartition(want, *pby)
-    else:
-        df = df.coalesce(want)
-    # stage the repacked files, then publish through the validated
-    # commit path (keep_paths empty: a compaction replaces every
-    # file) — stats coverage is re-collected so file skipping never
-    # degrades across a compaction
-    col_types = dict(m.get("schema_ddl") or [])
-    commit_id, staged = _stage_commit(
-        df, base, fs, jvm, pby, col_types,
-        stats_cols=_table_stats_cols(m, pby),
-    )
-    res = _commit_replacing(
-        spark, path, m, set(), staged, "compact", commit_id=commit_id
-    )
-    return {
-        "compacted": True,
-        "version": res["version"],
-        "n_files_before": len(m["files"]),
-        "n_files_after": res["n_files_new"],
-    }
+        try:
+            res = _commit_replacing(
+                spark, path, m, set(), staged, "compact",
+                commit_id=commit_id,
+            )
+        except RuntimeError:
+            if attempt >= max_replan:
+                raise
+            continue  # conflict: re-plan against the new head
+        return {
+            "compacted": True,
+            "version": res["version"],
+            "n_files_before": len(m["files"]),
+            "n_files_after": res["n_files_new"],
+        }
 
 
 def optimize_snapshot(
@@ -971,6 +986,7 @@ def optimize_snapshot(
     target_mb: int = 256,
     stats_cols: tuple | None = None,
     target_files: int | None = None,
+    max_replan: int = 0,
 ) -> dict:
     """OPTIMIZE for manifest tables: rewrite the latest version
     CLUSTERED by z-order over ``zorder_by`` (multi-column layout —
@@ -995,7 +1011,9 @@ def optimize_snapshot(
 
     The commit is conflict-validated like :func:`compact_snapshot`'s:
     a concurrent data commit between plan and publish raises (re-run
-    on the new head) rather than being silently dropped."""
+    on the new head) rather than being silently dropped; ``max_replan``
+    opts into automatic re-planning against the new head, same as
+    compaction's."""
     import math
 
     from prql_spark.sources.layout import zorder_expr
@@ -1003,52 +1021,61 @@ def optimize_snapshot(
 
     fs, jvm = _fs(spark, path)
     base = path.rstrip("/")
-    seen = _versions(fs, jvm, base)
-    if not seen:
-        raise ValueError(f"optimize_snapshot: no versions at {path!r}")
-    m = _load_manifest(fs, jvm, base, seen[-1])
-    total = sum(f["bytes"] for f in m["files"])
-    # target_files pins the output file count directly (small tables,
-    # tests); otherwise size to target_mb
-    want = target_files or max(
-        1, math.ceil(total / (target_mb * 1024 * 1024))
-    )
-    pby = tuple(m.get("partition_by") or ())
-    if not m["files"]:
-        raise ValueError(f"optimize_snapshot: latest version empty at {path!r}")
-    # plan from the exact manifest the commit will validate against —
-    # a concurrent append between plan and publish raises via
-    # _commit_replacing (never silently dropped; see compact_snapshot)
-    df = _plan_read(spark, base, m)
-    missing = [c for c in zorder_by if c not in df.columns]
-    if missing:
-        raise ValueError(
-            f"optimize_snapshot: zorder_by columns {missing} not in "
-            f"table columns {df.columns}"
+    for attempt in range(max_replan + 1):
+        seen = _versions(fs, jvm, base)
+        if not seen:
+            raise ValueError(f"optimize_snapshot: no versions at {path!r}")
+        m = _load_manifest(fs, jvm, base, seen[-1])
+        total = sum(f["bytes"] for f in m["files"])
+        # target_files pins the output file count directly (small
+        # tables, tests); otherwise size to target_mb
+        want = target_files or max(
+            1, math.ceil(total / (target_mb * 1024 * 1024))
         )
-    z = zorder_expr(df, list(zorder_by))
-    keyed = df.withColumn("__z", F.expr(z))
-    range_key = [*pby, "__z"]
-    out = (
-        keyed.repartitionByRange(want, *range_key)
-        .sortWithinPartitions(*range_key)
-        .drop("__z")
-    )
-    col_types = dict(m.get("schema_ddl") or [])
-    commit_id, staged = _stage_commit(
-        out, base, fs, jvm, pby, col_types,
-        stats_cols=tuple(stats_cols or zorder_by),
-    )
-    res = _commit_replacing(
-        spark, path, m, set(), staged, "optimize", commit_id=commit_id
-    )
-    return {
-        "version": res["version"],
-        "operation": "optimize",
-        "zorder_by": list(zorder_by),
-        "n_files_before": len(m["files"]),
-        "n_files_after": res["n_files_new"],
-    }
+        pby = tuple(m.get("partition_by") or ())
+        if not m["files"]:
+            raise ValueError(
+                f"optimize_snapshot: latest version empty at {path!r}"
+            )
+        # plan from the exact manifest the commit will validate
+        # against — a concurrent append between plan and publish
+        # raises via _commit_replacing (never silently dropped)
+        df = _plan_read(spark, base, m)
+        missing = [c for c in zorder_by if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"optimize_snapshot: zorder_by columns {missing} not in "
+                f"table columns {df.columns}"
+            )
+        z = zorder_expr(df, list(zorder_by))
+        keyed = df.withColumn("__z", F.expr(z))
+        range_key = [*pby, "__z"]
+        out = (
+            keyed.repartitionByRange(want, *range_key)
+            .sortWithinPartitions(*range_key)
+            .drop("__z")
+        )
+        col_types = dict(m.get("schema_ddl") or [])
+        commit_id, staged = _stage_commit(
+            out, base, fs, jvm, pby, col_types,
+            stats_cols=tuple(stats_cols or zorder_by),
+        )
+        try:
+            res = _commit_replacing(
+                spark, path, m, set(), staged, "optimize",
+                commit_id=commit_id,
+            )
+        except RuntimeError:
+            if attempt >= max_replan:
+                raise
+            continue  # conflict: re-plan against the new head
+        return {
+            "version": res["version"],
+            "operation": "optimize",
+            "zorder_by": list(zorder_by),
+            "n_files_before": len(m["files"]),
+            "n_files_after": res["n_files_new"],
+        }
 
 
 def vacuum_snapshot(

@@ -1792,3 +1792,27 @@ def test_merge_schema_evolution_add_column(spark, tmp_path):
     )
     merge_snapshot(spark, path, src2, on=("id",))
     assert snapshot_read(spark, path).where("id = 6").collect()[0].note == "again"
+
+
+def test_compact_max_replan_retries_onto_new_head(spark, tmp_path, monkeypatch):
+    """max_replan opts a maintenance job into automatic re-planning:
+    the raced attempt conflicts, the retry compacts the NEW head
+    (racing append included) — nothing lost, no raise."""
+    from prql_spark.sources import manifest as mf
+
+    path = str(tmp_path / "crp")
+    snapshot_write(spark.range(1000).repartition(8), path)
+    real_stage = mf._stage_commit
+
+    def stage_then_race(df, base, fs, jvm, *a, **kw):
+        out = real_stage(df, base, fs, jvm, *a, **kw)
+        monkeypatch.setattr(mf, "_stage_commit", real_stage)
+        snapshot_write(spark.range(5000, 5020), path, mode="append")
+        return out
+
+    monkeypatch.setattr(mf, "_stage_commit", stage_then_race)
+    res = compact_snapshot(spark, path, target_mb=256, max_replan=2)
+    assert res["compacted"]
+    assert _ids(snapshot_read(spark, path)) == sorted(
+        list(range(1000)) + list(range(5000, 5020))
+    )
