@@ -892,11 +892,35 @@ def snapshot_partitions(
     )
 
 
+def _maintenance_subset(
+    spark, m: dict, where: str | None, op: str
+) -> tuple[list, list]:
+    """Split a manifest's files into (subset to rewrite, rest kept
+    verbatim) for a partition-scoped maintenance op. ``where`` must
+    PROVABLY depend only on partition columns (same machinery as the
+    metadata-only delete) — at 100 TB nobody rewrites the whole
+    table; maintenance runs per partition range."""
+    if where is None:
+        return m["files"], []
+    verdicts = _pure_partition_verdicts(spark, m, where)
+    if verdicts is None:
+        raise ValueError(
+            f"{op}: where={where!r} must provably depend only on "
+            "partition columns (resolvable against them alone, "
+            "deterministic, cast-faithful recorded values) — "
+            "row-level scoping of a rewrite is not meaningful"
+        )
+    subset = [f for i, f in enumerate(m["files"]) if verdicts.get(i)]
+    rest = [f for i, f in enumerate(m["files"]) if not verdicts.get(i)]
+    return subset, rest
+
+
 def compact_snapshot(
     spark: SparkSession,
     path: str,
     target_mb: int = 256,
     max_replan: int = 0,
+    where: str | None = None,
 ) -> dict:
     """Commit a compacted version: the latest version's rows repacked
     into ``ceil(total_bytes / target_mb)`` files. Rows are untouched;
@@ -921,6 +945,12 @@ def compact_snapshot(
     new head and retries up to that many times (each retry compacts
     the CURRENT content, racing appends included); the default 0
     keeps the raise-and-let-the-caller-decide contract.
+
+    ``where`` SCOPES the compaction to the files of matching
+    partitions (predicate provably over partition columns only, like
+    the metadata-only delete); everything else is referenced
+    verbatim — the way maintenance actually runs at 100 TB: compact
+    yesterday's partition, not the table.
     """
     import math
 
@@ -931,32 +961,35 @@ def compact_snapshot(
         if not seen:
             raise ValueError(f"compact_snapshot: no versions at {path!r}")
         m = _load_manifest(fs, jvm, base, seen[-1])
-        total = sum(f["bytes"] for f in m["files"])
+        subset, rest = _maintenance_subset(
+            spark, m, where, "compact_snapshot"
+        )
+        total = sum(f["bytes"] for f in subset)
         want = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
         pby = tuple(m.get("partition_by") or ())
         if pby:
             n_parts = len(
                 {
                     tuple(sorted((f.get("partition") or {}).items()))
-                    for f in m["files"]
+                    for f in subset
                 }
             )
             want = max(want, n_parts)
-        if len(m["files"]) <= want:
+        if len(subset) <= want:
             return {"compacted": False, "n_files": len(m["files"])}
         # plan from the exact manifest the commit will validate
         # against (not "latest again" — a racing append between the
         # two reads must surface as a conflict, not silently join
         # the rewrite)
-        df = _plan_read(spark, base, m)
+        df = _plan_read(spark, base, m, subset)
         if pby:
             df = df.repartition(want, *pby)
         else:
             df = df.coalesce(want)
         # stage the repacked files, then publish through the
-        # validated commit path (keep_paths empty: a compaction
-        # replaces every file) — stats coverage is re-collected so
-        # file skipping never degrades across a compaction
+        # validated commit path (kept: only out-of-scope files) —
+        # stats coverage is re-collected so file skipping never
+        # degrades across a compaction
         col_types = dict(m.get("schema_ddl") or [])
         commit_id, staged = _stage_commit(
             df, base, fs, jvm, pby, col_types,
@@ -964,8 +997,8 @@ def compact_snapshot(
         )
         try:
             res = _commit_replacing(
-                spark, path, m, set(), staged, "compact",
-                commit_id=commit_id,
+                spark, path, m, {f["path"] for f in rest}, staged,
+                "compact", commit_id=commit_id,
             )
         except RuntimeError:
             if attempt >= max_replan:
@@ -974,8 +1007,9 @@ def compact_snapshot(
         return {
             "compacted": True,
             "version": res["version"],
-            "n_files_before": len(m["files"]),
+            "n_files_before": len(subset),
             "n_files_after": res["n_files_new"],
+            "n_files_kept": res["n_files_kept"],
         }
 
 
@@ -987,6 +1021,7 @@ def optimize_snapshot(
     stats_cols: tuple | None = None,
     target_files: int | None = None,
     max_replan: int = 0,
+    where: str | None = None,
 ) -> dict:
     """OPTIMIZE for manifest tables: rewrite the latest version
     CLUSTERED by z-order over ``zorder_by`` (multi-column layout —
@@ -1012,8 +1047,9 @@ def optimize_snapshot(
     The commit is conflict-validated like :func:`compact_snapshot`'s:
     a concurrent data commit between plan and publish raises (re-run
     on the new head) rather than being silently dropped; ``max_replan``
-    opts into automatic re-planning against the new head, same as
-    compaction's."""
+    opts into automatic re-planning against the new head and
+    ``where`` scopes the rewrite to matching partitions' files, both
+    exactly as in :func:`compact_snapshot`."""
     import math
 
     from prql_spark.sources.layout import zorder_expr
@@ -1026,21 +1062,25 @@ def optimize_snapshot(
         if not seen:
             raise ValueError(f"optimize_snapshot: no versions at {path!r}")
         m = _load_manifest(fs, jvm, base, seen[-1])
-        total = sum(f["bytes"] for f in m["files"])
+        subset, rest = _maintenance_subset(
+            spark, m, where, "optimize_snapshot"
+        )
+        total = sum(f["bytes"] for f in subset)
         # target_files pins the output file count directly (small
         # tables, tests); otherwise size to target_mb
         want = target_files or max(
             1, math.ceil(total / (target_mb * 1024 * 1024))
         )
         pby = tuple(m.get("partition_by") or ())
-        if not m["files"]:
+        if not subset:
             raise ValueError(
-                f"optimize_snapshot: latest version empty at {path!r}"
+                f"optimize_snapshot: nothing to optimize at {path!r}"
+                + (f" under where={where!r}" if where else "")
             )
         # plan from the exact manifest the commit will validate
         # against — a concurrent append between plan and publish
         # raises via _commit_replacing (never silently dropped)
-        df = _plan_read(spark, base, m)
+        df = _plan_read(spark, base, m, subset)
         missing = [c for c in zorder_by if c not in df.columns]
         if missing:
             raise ValueError(
@@ -1062,8 +1102,8 @@ def optimize_snapshot(
         )
         try:
             res = _commit_replacing(
-                spark, path, m, set(), staged, "optimize",
-                commit_id=commit_id,
+                spark, path, m, {f["path"] for f in rest}, staged,
+                "optimize", commit_id=commit_id,
             )
         except RuntimeError:
             if attempt >= max_replan:
@@ -1073,8 +1113,9 @@ def optimize_snapshot(
             "version": res["version"],
             "operation": "optimize",
             "zorder_by": list(zorder_by),
-            "n_files_before": len(m["files"]),
+            "n_files_before": len(subset),
             "n_files_after": res["n_files_new"],
+            "n_files_kept": res["n_files_kept"],
         }
 
 

@@ -1816,3 +1816,54 @@ def test_compact_max_replan_retries_onto_new_head(spark, tmp_path, monkeypatch):
     assert _ids(snapshot_read(spark, path)) == sorted(
         list(range(1000)) + list(range(5000, 5020))
     )
+
+
+def test_partition_scoped_compact_and_optimize(spark, tmp_path):
+    """where= scopes a maintenance rewrite to matching partitions'
+    files — everything else referenced verbatim (the 100 TB shape:
+    compact yesterday's partition, not the table); a non-partition
+    predicate is rejected."""
+    from prql_spark.sources.manifest import optimize_snapshot
+
+    path = str(tmp_path / "scoped")
+    df = spark.range(2000).withColumn(
+        "ds", F.expr("IF(id % 2 = 0, 'day1', 'day2')")
+    ).withColumn("v", F.col("id") % 7).repartition(6)
+    snapshot_write(df, path, partition_by=("ds",))
+    m1 = json.load(open(os.path.join(
+        path, "_manifests", f"v{1:010d}.json")))
+    day2_before = {
+        f["path"] for f in m1["files"]
+        if (f.get("partition") or {}).get("ds") == "day2"
+    }
+
+    res = compact_snapshot(spark, path, target_mb=1024, where="ds = 'day1'")
+    assert res["compacted"] and res["n_files_after"] == 1
+    m2 = json.load(open(os.path.join(
+        path, "_manifests", f"v{2:010d}.json")))
+    # day2's files are byte-identical references
+    assert day2_before <= {f["path"] for f in m2["files"]}
+    assert snapshot_read(spark, path).count() == 2000
+
+    res2 = optimize_snapshot(
+        spark, path, zorder_by=("id",), target_files=2,
+        where="ds = 'day2'",
+    )
+    assert res2["operation"] == "optimize" and res2["n_files_after"] == 2
+    m3 = json.load(open(os.path.join(
+        path, "_manifests", f"v{3:010d}.json")))
+    # day1's compacted file is untouched by the day2 optimize
+    day1_after = {
+        f["path"] for f in m2["files"]
+        if (f.get("partition") or {}).get("ds") == "day1"
+    }
+    assert day1_after <= {f["path"] for f in m3["files"]}
+    assert snapshot_read(spark, path).count() == 2000
+    # per-file id stats exist on the optimized day2 files
+    new_files = [f for f in m3["files"] if f["path"] not in
+                 {g["path"] for g in m2["files"]}]
+    assert new_files and all("id" in (f.get("stats") or {}) for f in new_files)
+
+    # a data-column where is rejected (rewrites are partition-scoped)
+    with pytest.raises(ValueError, match="partition columns"):
+        compact_snapshot(spark, path, where="v = 3")
