@@ -83,6 +83,8 @@ def _table_mode(args) -> int:
                 spark, path,
                 zorder_by=tuple(c.strip() for c in cols.split(",")),
                 target_mb=args.target_mb,
+                max_replan=args.max_replan,
+                where=args.where,
             )))
         if args.restore:
             from prql_spark.sources.manifest import snapshot_restore
@@ -239,6 +241,17 @@ def main(argv: list[str] | None = None) -> int:
         help="--vacuum grace window: unreferenced files younger than "
         "this are kept (a concurrent writer's staged commit); 0 "
         "deletes all unreferenced files (default 3600)",
+    )
+    tbl.add_argument(
+        "--where", default=None, metavar="PREDICATE",
+        help="scope --optimize to matching partitions' files (the "
+        "predicate must depend only on partition columns); "
+        "everything else is referenced verbatim",
+    )
+    tbl.add_argument(
+        "--max-replan", type=int, default=0,
+        help="--optimize: auto re-plan against the new head up to N "
+        "times on a commit conflict (default 0: raise)",
     )
     tbl.add_argument(
         "--restore", nargs=2, metavar=("PATH", "VERSION"),

@@ -252,3 +252,26 @@ def test_cli_restore_and_count(tmp_path, spark):
     assert r2.returncode == 0, r2.stderr
     rep2 = _json.loads(r2.stdout)
     assert rep2["n_rows"] == 100
+
+
+def test_cli_optimize_scoped(tmp_path, spark):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from prql_spark.sources.manifest import snapshot_write
+
+    snap = str(tmp_path / "optw")
+    snapshot_write(
+        spark.range(1000).withColumn(
+            "ds", F.expr("IF(id % 2 = 0, 'a', 'b')")
+        ).repartition(4),
+        snap, partition_by=("ds",),
+    )
+    r = _cli("--optimize", snap, "id", "--where", "ds = 'a'")
+    assert r.returncode == 0, r.stderr
+    rep = _json.loads(r.stdout)
+    assert rep["operation"] == "optimize" and rep["n_files_kept"] > 0
+    # a data-column --where fails cleanly
+    r2 = _cli("--optimize", snap, "id", "--where", "id > 3")
+    assert r2.returncode == 1 and "partition columns" in r2.stderr
