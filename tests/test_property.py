@@ -314,3 +314,72 @@ def test_random_expression_format_roundtrip(e, cond):
     prql = f"from lineitem\nderive [x = {e.prql}]\nfilter {cond.prql}"
     q0 = parse(prql)
     assert parse(format_prql(prql)) == q0, format_prql(prql)
+
+
+# ---------------------------------------------------------------
+# Pruning soundness: a file the delete/scan stats pruner skips can
+# NEVER contain a matching row. _sql_bounds extracts conservative
+# bounds from a random SQL predicate; _overlaps_bounds decides from
+# the file's true [min, max]; DuckDB evaluates ground truth on the
+# file's actual rows. The "conservative, never wrong" contract as a
+# property, not a scenario list.
+
+_PL = st.integers(-5, 15)
+_PC = st.sampled_from(["a", "b"])
+
+_ATOM = st.one_of(
+    st.tuples(
+        _PC, st.sampled_from(["=", "<", "<=", ">", ">=", "!="]), _PL
+    ).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+    st.tuples(_PC, _PL, _PL).map(
+        lambda t: f"{t[0]} BETWEEN {min(t[1], t[2])} AND {max(t[1], t[2])}"
+    ),
+    st.tuples(_PC, st.lists(_PL, min_size=1, max_size=4)).map(
+        lambda t: f"{t[0]} IN ({', '.join(str(v) for v in t[1])})"
+    ),
+    # a non-sargable atom the extractor must SKIP, never misread
+    st.tuples(_PC, _PL).map(lambda t: f"{t[0]} % 3 = {t[1] % 3}"),
+)
+
+_PRED = st.recursive(
+    _ATOM,
+    lambda inner: st.one_of(
+        st.tuples(inner, inner).map(lambda t: f"({t[0]}) AND ({t[1]})"),
+        st.tuples(inner, inner).map(lambda t: f"({t[0]}) OR ({t[1]})"),
+        inner.map(lambda p: f"NOT ({p})"),
+    ),
+    max_leaves=4,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    pred=_PRED,
+    rows=st.lists(
+        st.tuples(_PL, _PL), min_size=1, max_size=6
+    ),
+    stat_a=st.booleans(),
+    stat_b=st.booleans(),
+)
+def test_stats_pruning_never_wrong(oracle, pred, rows, stat_a, stat_b):
+    from prql_spark.sources.manifest import _overlaps_bounds, _sql_bounds
+
+    bounds = _sql_bounds(pred)
+    if not bounds:
+        return  # nothing extracted: nothing pruned, trivially sound
+    stats = {}
+    if stat_a:
+        stats["a"] = [min(r[0] for r in rows), max(r[0] for r in rows)]
+    if stat_b:
+        stats["b"] = [min(r[1] for r in rows), max(r[1] for r in rows)]
+    f = {"stats": stats}
+    if _overlaps_bounds(f, bounds):
+        return  # kept: the exact predicate decides — always sound
+    values = ", ".join(f"({a}, {b})" for a, b in rows)
+    n = oracle.execute(
+        f"SELECT count(*) FROM (VALUES {values}) t(a, b) WHERE {pred}"
+    ).fetchone()[0]
+    assert n == 0, (
+        f"pruned a file with {n} matching rows: pred={pred!r} "
+        f"bounds={bounds!r} stats={stats!r} rows={rows!r}"
+    )
