@@ -56,7 +56,7 @@ def _table_mode(args) -> int:
 
             print(json.dumps(vacuum_snapshot(
                 spark, args.vacuum, keep_versions=args.keep_versions,
-                min_age_s=args.min_age_s,
+                min_age_s=args.min_age_s, dry_run=args.dry_run,
             )))
         if args.fsck:
             from prql_spark.sources.manifest import validate_snapshot
@@ -241,6 +241,10 @@ def main(argv: list[str] | None = None) -> int:
         help="--vacuum grace window: unreferenced files younger than "
         "this are kept (a concurrent writer's staged commit); 0 "
         "deletes all unreferenced files (default 3600)",
+    )
+    tbl.add_argument(
+        "--dry-run", action="store_true",
+        help="--vacuum: report what would be reclaimed, delete nothing",
     )
     tbl.add_argument(
         "--where", default=None, metavar="PREDICATE",

@@ -1124,6 +1124,7 @@ def vacuum_snapshot(
     path: str,
     keep_versions: int = 2,
     min_age_s: float = 3600.0,
+    dry_run: bool = False,
 ) -> dict:
     """Reclaim space: drop all but the newest ``keep_versions``
     manifests, then delete every data file no retained manifest
@@ -1140,7 +1141,10 @@ def vacuum_snapshot(
     writers whose stage→commit gap is shorter than the grace window;
     ``min_age_s=0`` restores pure unreferenced-set semantics for
     quiesced tables (and tests). Old behavior otherwise unchanged:
-    only files no retained manifest references are ever deleted."""
+    only files no retained manifest references are ever deleted.
+    ``dry_run=True`` deletes NOTHING and reports what a real run
+    would reclaim (including the relative paths) — run it before
+    the first vacuum of a table you didn't create."""
     import time
 
     if keep_versions < 1:
@@ -1177,6 +1181,22 @@ def vacuum_snapshot(
                     skipped_young += 1  # possibly a commit in flight
                     continue
                 doomed.append(st.getPath())
+        if dry_run:
+            return {
+                "dry_run": True,
+                "dropped_files": len(doomed),
+                "skipped_young_files": skipped_young,
+                "dropped_manifests": len(
+                    [v for v in seen if v not in keep]
+                ),
+                "kept_versions": keep,
+                "would_delete": sorted(
+                    p.toUri().getPath()[
+                        len(Path(base).toUri().getPath()):
+                    ].lstrip("/")
+                    for p in doomed
+                ),
+            }
         for p in doomed:
             fs.delete(p, False)
             dropped_files += 1
@@ -1198,6 +1218,15 @@ def vacuum_snapshot(
                     break
             if empty:
                 fs.delete(st.getPath(), True)
+    elif dry_run:
+        return {
+            "dry_run": True,
+            "dropped_files": 0,
+            "skipped_young_files": 0,
+            "dropped_manifests": len([v for v in seen if v not in keep]),
+            "kept_versions": keep,
+            "would_delete": [],
+        }
     dropped_manifests = 0
     for v in seen:
         if v not in keep:

@@ -1867,3 +1867,24 @@ def test_partition_scoped_compact_and_optimize(spark, tmp_path):
     # a data-column where is rejected (rewrites are partition-scoped)
     with pytest.raises(ValueError, match="partition columns"):
         compact_snapshot(spark, path, where="v = 3")
+
+
+def test_vacuum_dry_run_deletes_nothing(spark, tmp_path):
+    from prql_spark.sources.manifest import vacuum_snapshot
+
+    path = str(tmp_path / "vdr")
+    snapshot_write(spark.range(500).repartition(4), path)
+    compact_snapshot(spark, path, target_mb=1024)  # v2
+    rep = vacuum_snapshot(
+        spark, path, keep_versions=1, min_age_s=0, dry_run=True
+    )
+    assert rep["dry_run"] is True
+    assert rep["dropped_files"] == 4 and rep["dropped_manifests"] == 1
+    assert len(rep["would_delete"]) == 4
+    # nothing actually deleted: v1 still reads
+    assert snapshot_read(spark, path, 1).count() == 500
+    # the real run reclaims exactly what the dry run reported
+    rep2 = vacuum_snapshot(spark, path, keep_versions=1, min_age_s=0)
+    assert rep2["dropped_files"] == 4 and rep2["dropped_manifests"] == 1
+    with pytest.raises(ValueError):
+        snapshot_read(spark, path, 1)
