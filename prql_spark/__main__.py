@@ -98,6 +98,10 @@ def _table_mode(args) -> int:
                 {"path": args.count,
                  "n_rows": snapshot_count(spark, args.count)}
             ))
+        if args.describe:
+            from prql_spark.sources.manifest import snapshot_describe
+
+            print(json.dumps(snapshot_describe(spark, args.describe)))
     except (ValueError, IOError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
@@ -269,12 +273,18 @@ def main(argv: list[str] | None = None) -> int:
         "version — metadata-only (zero Spark tasks) when every file "
         "carries a recorded row count",
     )
+    tbl.add_argument(
+        "--describe", metavar="PATH",
+        help="metadata-only summary of a manifest-committed dataset: "
+        "schema, partitioning, totals, stream high-waters, per-column "
+        "stats coverage (whether predicates will skip files)",
+    )
     args = ap.parse_args(argv)
 
     if (
         args.layout or args.compact or args.history or args.vacuum
         or args.fsck or args.partitions or args.delete_where
-        or args.optimize or args.restore or args.count
+        or args.optimize or args.restore or args.count or args.describe
     ):
         return _table_mode(args)
 

@@ -2351,6 +2351,61 @@ def snapshot_restore(
     raise RuntimeError(f"snapshot_restore: lost commit races at {path!r}")
 
 
+def snapshot_describe(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict:
+    """Metadata-only table summary (the DESCRIBE EXTENDED of
+    manifest tables — one JSON read, zero Spark jobs): version,
+    operation, schema, partitioning, file/byte/row totals, the
+    per-stream exactly-once high-water map, and per-column STATS
+    COVERAGE — how many files carry [min, max] for each column plus
+    the global bounds — so an operator can see at a glance whether a
+    predicate on a column will actually skip files before relying on
+    it at 100 TB."""
+    fs, jvm = _fs(spark, path)
+    base = path.rstrip("/")
+    seen = _versions(fs, jvm, base)
+    if not seen:
+        raise ValueError(f"snapshot_describe: no versions at {path!r}")
+    v = seen[-1] if version is None else version
+    if v not in seen:
+        raise ValueError(
+            f"snapshot_describe: version {v} not in {seen} at {path!r}"
+        )
+    m = _load_manifest(fs, jvm, base, v)
+    counts = [f.get("n_rows") for f in m["files"]]
+    cov: dict = {}
+    for f in m["files"]:
+        for c, (lo, hi) in (f.get("stats") or {}).items():
+            slot = cov.setdefault(
+                c, {"files_with_stats": 0, "min": lo, "max": hi}
+            )
+            slot["files_with_stats"] += 1
+            try:
+                if lo < slot["min"]:
+                    slot["min"] = lo
+                if hi > slot["max"]:
+                    slot["max"] = hi
+            except TypeError:
+                pass  # mixed types across files: keep first-seen bounds
+    return {
+        "version": v,
+        "versions_retained": seen,
+        "operation": m.get("operation"),
+        "parent": m.get("parent"),
+        "schema": [list(p) for p in (m.get("schema_ddl") or [])],
+        "partition_by": list(m.get("partition_by") or ()),
+        "merge_schema": bool(m.get("merge_schema")),
+        "n_files": len(m["files"]),
+        "total_bytes": sum(f["bytes"] for f in m["files"]),
+        "n_rows": sum(counts)
+        if counts and all(c is not None for c in counts)
+        else None,
+        "streams": dict(m.get("streams") or {}),
+        "stats_coverage": cov,
+    }
+
+
 def validate_snapshot(spark: SparkSession, path: str) -> dict:
     """Integrity check (fsck) for a manifest table: every file the
     LATEST manifest references must exist with its recorded size,

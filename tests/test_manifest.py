@@ -1888,3 +1888,41 @@ def test_vacuum_dry_run_deletes_nothing(spark, tmp_path):
     assert rep2["dropped_files"] == 4 and rep2["dropped_manifests"] == 1
     with pytest.raises(ValueError):
         snapshot_read(spark, path, 1)
+
+
+def test_snapshot_describe_metadata_only(spark, tmp_path):
+    """DESCRIBE for manifest tables: schema, partitioning, totals,
+    stream high-waters, and per-column stats coverage — from one
+    manifest read, zero Spark jobs."""
+    from prql_spark.sources.manifest import snapshot_describe
+
+    path = str(tmp_path / "dsc")
+    df = spark.range(300).withColumn(
+        "grp", (F.col("id") % 3).cast("int")
+    ).withColumn("note", F.lit("x"))
+    snapshot_write(df, path, partition_by=("grp",), stats_cols=("id",))
+    snapshot_write(
+        spark.range(300, 350).withColumn(
+            "grp", F.lit(9).cast("int")
+        ).withColumn("note", F.lit("y")),
+        path, mode="append", stats_cols=("id",),
+        partition_by=("grp",),
+        extra={"stream_id": "s1", "epoch": 4},
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    d = snapshot_describe(spark, path)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before  # metadata only
+    assert d["version"] == 2 and d["operation"] == "append"
+    assert d["partition_by"] == ["grp"]
+    assert [c for c, _t in d["schema"]] == ["id", "grp", "note"]
+    assert d["n_rows"] == 350
+    assert d["streams"] == {"s1": 4}
+    cov = d["stats_coverage"]
+    assert cov["id"]["files_with_stats"] == d["n_files"]
+    assert cov["id"]["min"] == 0 and cov["id"]["max"] == 349
+    assert cov["grp"]["min"] == 0 and cov["grp"]["max"] == 9
+    assert "note" not in cov  # never collected: visible at a glance
+    # time travel describes the old version
+    assert snapshot_describe(spark, path, version=1)["n_rows"] == 300
