@@ -488,6 +488,14 @@ class Compiler:
     def t_filter(self, step: FuncCall):
         if not step.args:
             raise PrqlCompileError("filter needs a condition")
+        # ANY filter — sargable or not, QUALIFY or plain — consumes
+        # the pristine manifest scan: (a) the metadata-count fast
+        # path must never answer past a predicate with the full-table
+        # manifest count, and (b) _manifest_pushdown replaces self.df
+        # with a re-planned base scan, which is only sound while
+        # self.df IS the bare scan (a later filter re-planning would
+        # silently drop this filter's predicate from the result).
+        manifest_from, self._manifest_from = self._manifest_from, None
         ce = self.expr(step.args[0])
         if ce.kind == "win":
             # QUALIFY-style lowering: SQL forbids window functions in
@@ -500,8 +508,8 @@ class Compiler:
             keep = [c for c in self.df.columns if c != tmp]
             self.r_select([(c, self._qi(c)) for c in keep])
             return
-        if self._manifest_from is not None:
-            self._manifest_pushdown(step.args[0])
+        if manifest_from is not None:
+            self._manifest_pushdown(manifest_from, step.args[0])
         self.r_filter(ce.sql)
 
     def _metadata_count_aggregate(self, step: FuncCall) -> bool:
@@ -551,7 +559,7 @@ class Compiler:
         self.sort = []
         return True
 
-    def _manifest_pushdown(self, cond) -> None:
+    def _manifest_pushdown(self, tname: str, cond) -> None:
         """Route a sargable filter straight after ``from`` on a
         manifest table through manifest file-skipping: extract
         conservative [lo, hi] bounds per column from the condition's
@@ -565,8 +573,7 @@ class Compiler:
         bounds = self._filter_bounds(cond)
         if not bounds:
             return
-        pruned = self.catalog.load_pruned(self._manifest_from, bounds)
-        self._manifest_from = None  # one re-plan per source
+        pruned = self.catalog.load_pruned(tname, bounds)
         if pruned is not None:
             self.df = pruned
 

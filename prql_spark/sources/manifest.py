@@ -1357,6 +1357,28 @@ def _table_stats_cols(m: dict, partition_by: tuple) -> tuple | None:
     return tuple(cols) or None
 
 
+_DT_SHAPE = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}")
+
+
+def _lt_for_prune(a, b) -> bool:
+    """``a < b`` strictly enough to justify PRUNING. For plain
+    strings where either side is datetime-shaped, the true ordering
+    depends on the column's type, which the bound extractor cannot
+    see: a timestamp column's stats are isoformat (``T`` separator,
+    zero-trimmed fraction handled by :func:`_norm_ts_path`) while a
+    query literal is often space-separated (``ts <= '2024-01-01
+    23:59:59'``) — raw lexicographic compare would mis-prune
+    (``'T' > ' '``); conversely a STRING column holding
+    datetime-shaped text really does compare raw. Pruning is only
+    sound when BOTH orderings agree, so require both; disagreement
+    keeps the file (conservative, never wrong)."""
+    if isinstance(a, str) and isinstance(b, str) and (
+        _DT_SHAPE.match(a) or _DT_SHAPE.match(b)
+    ):
+        return a < b and _norm_ts_path(a) < _norm_ts_path(b)
+    return a < b
+
+
 def _overlaps_bounds(f: dict, bounds: dict) -> bool:
     """Can file entry ``f`` contain a row satisfying every bound in
     ``bounds`` (``{col: (lo, hi)}`` or ``{col: [(lo, hi), ...]}``, an
@@ -1381,9 +1403,9 @@ def _overlaps_bounds(f: dict, bounds: dict) -> bool:
 
         def hits(lo, hi) -> bool:
             try:
-                if lo is not None and fmax < _stats_enc(lo):
+                if lo is not None and _lt_for_prune(fmax, _stats_enc(lo)):
                     return False
-                if hi is not None and fmin > _stats_enc(hi):
+                if hi is not None and _lt_for_prune(_stats_enc(hi), fmin):
                     return False
             except TypeError:
                 return True  # incomparable: keep (safe)

@@ -1926,3 +1926,83 @@ def test_snapshot_describe_metadata_only(spark, tmp_path):
     assert "note" not in cov  # never collected: visible at a glance
     # time travel describes the old version
     assert snapshot_describe(spark, path, version=1)["n_rows"] == 300
+
+
+def test_delete_timestamp_string_literal_forms(spark, tmp_path):
+    """r10 ADVICE: a plain space-separated timestamp literal
+    (``ts <= '2024-01-01 04:59:59'``, the natural Spark form) must
+    not mis-prune against isoformat stats ('T' > ' ' raw-lex), and
+    an un-padded fraction equality (``.123`` vs stats ``.123000``)
+    must still find its file. Pruning may only drop a file when the
+    raw AND ts-normalized orderings agree (_lt_for_prune)."""
+    import datetime
+
+    from prql_spark.sources.manifest import delete_snapshot
+
+    path = str(tmp_path / "dts")
+    rows = [(i, datetime.datetime(2024, 1, 1, i)) for i in range(24)]
+    snapshot_write(
+        spark.createDataFrame(rows, "id int, ts timestamp")
+        .repartitionByRange(4, "ts").sortWithinPartitions("ts"),
+        path, stats_cols=("ts",),
+    )
+    res = delete_snapshot(spark, path, "ts <= '2024-01-01 04:59:59'")
+    assert res.get("n_files_rewritten", 0) >= 1, f"mis-pruned: {res}"
+    assert snapshot_read(spark, path).count() == 19
+
+    # fraction zero-trim: equality on '.123' vs stats '...123000'
+    path2 = str(tmp_path / "dts2")
+    rows2 = [
+        (i, datetime.datetime(2024, 1, 1, 0, 0, 0, 123000 + i))
+        for i in range(5)
+    ]
+    snapshot_write(
+        spark.createDataFrame(rows2, "id int, ts timestamp"),
+        path2, stats_cols=("ts",),
+    )
+    delete_snapshot(
+        spark, path2, "ts = TIMESTAMP '2024-01-01 00:00:00.123'"
+    )
+    assert snapshot_read(spark, path2).count() == 4
+
+    # a STRING column holding datetime-shaped text keeps raw-lex
+    # correctness: deleting the space-form rows works, and stats
+    # pruning on the T-form bound never drops a matching file
+    path3 = str(tmp_path / "dts3")
+    svals = [(i, f"2024-01-01 {i:02d}:00:00") for i in range(10)]
+    snapshot_write(
+        spark.createDataFrame(svals, "id int, s string"),
+        path3, stats_cols=("s",),
+    )
+    delete_snapshot(spark, path3, "s <= '2024-01-01 03:59:59'")
+    assert snapshot_read(spark, path3).count() == 6
+
+
+def test_prql_count_fast_path_respects_non_sargable_filter(spark, tmp_path):
+    """r10 ADVICE: the metadata-count fast path must NOT fire past a
+    filter that didn't prune (non-sargable predicates), and a second
+    filter's pushdown must never re-plan the scan over an
+    already-filtered DataFrame (that would drop the first filter)."""
+    from prql_spark import compile_prql
+    from prql_spark.sources.catalog import Catalog
+
+    df = spark.range(1000).withColumn("v", F.col("id") % 5)
+    snapshot_write(df, str(tmp_path / "fnc"), stats_cols=("id",))
+    cat = Catalog(spark, str(tmp_path))
+    cat.load("fnc")
+
+    q = "from fnc\nfilter v != 2\naggregate [n = count]"
+    assert compile_prql(q, cat).collect()[0].n == 800
+    q = "from fnc\nfilter id % 5 == 2\naggregate [n = count]"
+    assert compile_prql(q, cat).collect()[0].n == 200
+    # QUALIFY-shaped filter (window fn) also consumes the fast path
+    q = ("from fnc\nfilter id < (avg id)\n"
+         "aggregate [n = count]")
+    assert compile_prql(q, cat).collect()[0].n == 500
+    # two filters: the second (sargable) must not clobber the first
+    q = ("from fnc\nfilter v != 2\nfilter id < 100\n"
+         "aggregate [n = count]")
+    assert compile_prql(q, cat).collect()[0].n == 80
+    # pushdown itself still fires on the FIRST filter after from
+    out = compile_prql("from fnc\nfilter id < 1\nselect [id]", cat)
+    assert [r.id for r in out.collect()] == [0]
