@@ -42,6 +42,7 @@ def process_increment(
     dest_path: str,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     source_name: str | None = None,
+    stats_cols: tuple | None = None,
 ) -> dict:
     """Apply ``transform`` to the rows of the manifest table at
     ``source_path`` added since the last processed version and append
@@ -50,14 +51,26 @@ def process_increment(
     The first run (no destination, or no bookmark for this source)
     processes the FULL current source version and creates/overwrites
     the destination. Later runs read only the increment. Returns
-    ``{"processed", "source_version", "since_version", "n_rows_in"}``
-    (``processed=False`` when the source has nothing new).
+    ``{"processed", "source_version", "since_version", "n_rows_out"}``
+    (``processed=False`` when the source has nothing new;
+    ``n_rows_out`` is the destination rows this run committed, read
+    from the commit's manifest — exact when ``stats_cols`` is given,
+    which records write-time per-file counts, else ``None``).
+
+    The increment read is PINNED to the source version captured
+    here (``end_version``): a live appender landing a new source
+    version between this function's listing and the read would
+    otherwise be processed under a bookmark that doesn't cover it —
+    the next run would silently duplicate those rows. Pinning makes
+    the raced append simply the next run's increment.
 
     ``source_name`` keys the bookmark (default: derived from
     ``source_path``) — one destination can track several sources.
-    A source OVERWRITE/compaction/merge between runs surfaces as
-    ``snapshot_changes``'s refusal (process the full version or
-    re-derive the destination); it is never silently misread.
+    ``stats_cols`` forwards to the destination commit (derived
+    tables want file-skipping stats too). A source OVERWRITE/
+    compaction/merge between runs surfaces as ``snapshot_changes``'s
+    refusal (process the full version or re-derive the destination);
+    it is never silently misread.
     """
     fs, jvm = mf._fs(spark, source_path)
     src_base = source_path.rstrip("/")
@@ -70,7 +83,8 @@ def process_increment(
     sname = source_name or f"incr:{src_base}"
 
     dfs, djvm = mf._fs(spark, dest_path)
-    dest_exists = bool(mf._versions(dfs, djvm, dest_path.rstrip("/")))
+    dst_base = dest_path.rstrip("/")
+    dest_exists = bool(mf._versions(dfs, djvm, dst_base))
     done = (
         mf.stream_high_water(spark, dest_path, sname)
         if dest_exists
@@ -81,19 +95,23 @@ def process_increment(
             "processed": False,
             "source_version": latest,
             "since_version": done,
-            "n_rows_in": 0,
+            "n_rows_out": 0,
         }
     if done == -1:
         inc = mf.snapshot_read(spark, source_path, latest)
     else:
-        # raises if a rewrite landed since `done` — never misreads
-        inc = mf.snapshot_changes(spark, source_path, since_version=done)
+        # raises if a rewrite landed in (done, latest] — never
+        # misreads; end_version pins the read to the version the
+        # bookmark below records (exactly-once vs a racing appender)
+        inc = mf.snapshot_changes(
+            spark, source_path, since_version=done, end_version=latest
+        )
     out = transform(inc) if transform is not None else inc
-    n_in = inc.count()
-    mf.snapshot_write(
+    res = mf.snapshot_write(
         out,
         dest_path,
         mode="append" if dest_exists else "overwrite",
+        stats_cols=stats_cols,
         # the bookmark rides the SAME commit as the data (atomic);
         # source versions are monotonic, so the high-water replay
         # check gives exactly-once across crashes and retries
@@ -103,5 +121,26 @@ def process_increment(
         "processed": True,
         "source_version": latest,
         "since_version": done,
-        "n_rows_in": n_in,
+        "n_rows_out": _commit_rows(spark, dst_base, res["version"]),
     }
+
+
+def _commit_rows(spark: SparkSession, base: str, version: int):
+    """Rows ADDED by ``version``'s commit, from the manifest's
+    write-time per-file counts — zero Spark jobs, ``None`` when any
+    added file lacks a count (no ``stats_cols`` on the write)."""
+    fs, jvm = mf._fs(spark, base)
+    m = mf._load_manifest(fs, jvm, base, version)
+    seen = mf._versions(fs, jvm, base)
+    before = [v for v in seen if v < version]
+    prev = (
+        {f["path"] for f in mf._load_manifest(fs, jvm, base,
+                                              before[-1])["files"]}
+        if before
+        else set()
+    )
+    added = [f for f in m["files"] if f["path"] not in prev]
+    counts = [f.get("n_rows") for f in added]
+    if any(c is None for c in counts):
+        return None
+    return int(sum(counts))

@@ -1288,19 +1288,30 @@ def stream_high_water(
 
 
 def snapshot_changes(
-    spark: SparkSession, path: str, since_version: int
+    spark: SparkSession, path: str, since_version: int,
+    end_version: int | None = None,
 ) -> DataFrame:
     """Incremental read: the rows ADDED after ``since_version`` —
-    exactly the files referenced by the latest manifest but not by
+    exactly the files referenced by ``end_version``'s manifest
+    (default: the latest version AT CALL TIME) but not by
     ``since_version``'s. The training-pipeline primitive for
     incremental processing: score/dedup/decontaminate ONLY the new
     slice (e.g. feed ``dedup.dedup_against`` with the reference
     corpus), never rescanning the 100 TB already processed.
 
-    Only valid across append-only history: if any version after
-    ``since_version`` was an overwrite (or a compaction, which
-    rewrites files), "added files" no longer means "added rows" and
-    this raises instead of silently returning rewritten data.
+    Callers that BOOKMARK their progress must pass the version they
+    will record as ``end_version``: with a live appender on the
+    source, "latest" can advance between the caller's own version
+    listing and this one, and an unpinned read would include rows
+    the bookmark doesn't cover — the next run would process them
+    twice (see :func:`~prql_spark.sources.incremental
+    .process_increment`, which pins it).
+
+    Only valid across append-only history: if any version in
+    ``(since_version, end_version]`` was an overwrite (or a
+    compaction, which rewrites files), "added files" no longer means
+    "added rows" and this raises instead of silently returning
+    rewritten data.
     """
     fs, jvm = _fs(spark, path)
     base = path.rstrip("/")
@@ -1310,9 +1321,20 @@ def snapshot_changes(
             f"snapshot_changes: version {since_version} not in {seen} "
             f"at {path!r}"
         )
-    latest = seen[-1]
+    if end_version is None:
+        end_version = seen[-1]
+    elif end_version not in seen:
+        raise ValueError(
+            f"snapshot_changes: end version {end_version} not in "
+            f"{seen} at {path!r}"
+        )
+    if end_version < since_version:
+        raise ValueError(
+            f"snapshot_changes: end version {end_version} < since "
+            f"version {since_version}"
+        )
     for v in seen:
-        if v > since_version:
+        if since_version < v <= end_version:
             op = _load_manifest(fs, jvm, base, v).get("operation")
             # "stats" commits change no files — safe to cross
             if op not in ("append", "stats"):
@@ -1325,11 +1347,11 @@ def snapshot_changes(
         f["path"]
         for f in _load_manifest(fs, jvm, base, since_version)["files"]
     }
-    lm = _load_manifest(fs, jvm, base, latest)
-    new_files = [f for f in lm["files"] if f["path"] not in old]
+    em = _load_manifest(fs, jvm, base, end_version)
+    new_files = [f for f in em["files"] if f["path"] not in old]
     if not new_files:
-        return snapshot_read(spark, path, latest).limit(0)
-    return _plan_read(spark, base, lm, new_files)
+        return snapshot_read(spark, path, end_version).limit(0)
+    return _plan_read(spark, base, em, new_files)
 
 
 def _rel_from_uri(uri: str) -> str:

@@ -1660,8 +1660,8 @@ def test_process_increment_exactly_once(spark, tmp_path):
     snapshot_write(spark.range(100), src, stats_cols=("id",))
 
     double = lambda df: df.withColumn("v", F.col("id") * 2)  # noqa: E731
-    r1 = process_increment(spark, src, dst, double)
-    assert r1["processed"] and r1["n_rows_in"] == 100
+    r1 = process_increment(spark, src, dst, double, stats_cols=("id",))
+    assert r1["processed"] and r1["n_rows_out"] == 100
     assert snapshot_read(spark, dst).count() == 100
 
     # no new source version: rerun is a no-op
@@ -1672,8 +1672,8 @@ def test_process_increment_exactly_once(spark, tmp_path):
                    stats_cols=("id",))
     snapshot_write(spark.range(150, 170), src, mode="append",
                    stats_cols=("id",))
-    r2 = process_increment(spark, src, dst, double)
-    assert r2["processed"] and r2["n_rows_in"] == 70
+    r2 = process_increment(spark, src, dst, double, stats_cols=("id",))
+    assert r2["processed"] and r2["n_rows_out"] == 70
     got = {r.id: r.v for r in snapshot_read(spark, dst).collect()}
     assert len(got) == 170 and got[160] == 320
 
@@ -1689,7 +1689,7 @@ def test_process_increment_exactly_once(spark, tmp_path):
         process_increment(spark, src, dst, boom)
     assert snapshot_read(spark, dst).count() == 170  # nothing landed
     r3 = process_increment(spark, src, dst, double)
-    assert r3["processed"] and r3["n_rows_in"] == 10
+    assert r3["processed"] and r3["n_rows_out"] is None  # no stats_cols
     assert snapshot_read(spark, dst).count() == 180
 
     # the bookmark survives vacuuming the source's old manifests
@@ -2006,3 +2006,153 @@ def test_prql_count_fast_path_respects_non_sargable_filter(spark, tmp_path):
     # pushdown itself still fires on the FIRST filter after from
     out = compile_prql("from fnc\nfilter id < 1\nselect [id]", cat)
     assert [r.id for r in out.collect()] == [0]
+
+
+def test_process_increment_pins_end_version_vs_racing_append(
+    spark, tmp_path, monkeypatch
+):
+    """r10 VERDICT #1: a source append landing BETWEEN
+    process_increment's version listing and snapshot_changes' own
+    re-listing must not be processed under a bookmark that doesn't
+    cover it (the next run would duplicate it). The increment read
+    is pinned to the captured end version, so the raced append is
+    simply the NEXT run's increment — zero duplicates."""
+    from prql_spark.sources import manifest as mfmod
+    from prql_spark.sources.incremental import process_increment
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snapshot_write(spark.range(100), src, stats_cols=("id",))
+    process_increment(spark, src, dst, stats_cols=("id",))
+    snapshot_write(spark.range(100, 150), src, mode="append",
+                   stats_cols=("id",))
+
+    # inject the race: the moment the bookmark is read (after the
+    # source version listing, before snapshot_changes), a concurrent
+    # appender lands version 3
+    real_hw = mfmod.stream_high_water
+    fired = {"n": 0}
+
+    def racing_hw(sp, path, name):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            snapshot_write(spark.range(150, 180), src, mode="append",
+                           stats_cols=("id",))
+        return real_hw(sp, path, name)
+
+    monkeypatch.setattr(mfmod, "stream_high_water", racing_hw)
+    r = process_increment(spark, src, dst, stats_cols=("id",))
+    monkeypatch.setattr(mfmod, "stream_high_water", real_hw)
+    # only the increment visible at listing time was processed
+    assert r["processed"] and r["n_rows_out"] == 50
+    assert snapshot_read(spark, dst).count() == 150
+
+    # the raced append is the next run's increment — once, not twice
+    r2 = process_increment(spark, src, dst, stats_cols=("id",))
+    assert r2["processed"] and r2["n_rows_out"] == 30
+    got = [r.id for r in snapshot_read(spark, dst).collect()]
+    assert len(got) == 180 and len(set(got)) == 180  # zero duplicates
+    assert process_increment(spark, src, dst)["processed"] is False
+
+
+def test_snapshot_changes_end_version_validation(spark, tmp_path):
+    """end_version must be a committed version >= since_version; the
+    rewrite refusal only inspects (since, end] — a compaction AFTER
+    the pinned end does not block reading an older increment."""
+    from prql_spark.sources.manifest import (
+        compact_snapshot,
+        snapshot_changes,
+    )
+
+    p = str(tmp_path / "t")
+    snapshot_write(spark.range(10).repartition(4), p)
+    snapshot_write(spark.range(10, 30).repartition(4), p, mode="append")
+    assert snapshot_changes(spark, p, 1, end_version=2).count() == 20
+    assert snapshot_changes(spark, p, 1, end_version=1).count() == 0
+    with pytest.raises(ValueError, match="not in"):
+        snapshot_changes(spark, p, 1, end_version=9)
+    with pytest.raises(ValueError, match="< since"):
+        snapshot_changes(spark, p, 2, end_version=1)
+    # a compaction at v3: unpinned read refuses, pinned-at-2 still works
+    compact_snapshot(spark, p, target_mb=1024)
+    with pytest.raises(ValueError, match="not append"):
+        snapshot_changes(spark, p, 1)
+    assert snapshot_changes(spark, p, 1, end_version=2).count() == 20
+
+
+_INC_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(1, 20)),
+        st.tuples(st.just("run"), st.just(0)),
+        st.tuples(st.just("run_racing_append"), st.integers(1, 20)),
+        st.tuples(st.just("crash_run"), st.just(0)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_INC_OPS)
+def test_process_increment_model_under_interleavings(
+    spark, tmp_path_factory, ops
+):
+    """Protocol model for the batch-incremental layer: any
+    interleaving of source appends, increment runs, runs with a
+    CONCURRENT appender landing inside the run's race window, and
+    crash-before-commit runs ends — after one final clean run — with
+    the destination holding every source row EXACTLY once."""
+    from prql_spark.sources import manifest as mfmod
+    from prql_spark.sources.incremental import process_increment
+
+    base = tmp_path_factory.mktemp("incmodel")
+    src, dst = str(base / "src"), str(base / "dst")
+    next_id = 0
+
+    def append(n):
+        nonlocal next_id
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        snapshot_write(
+            spark.createDataFrame([(i,) for i in ids], "id long"),
+            src,
+            mode="append" if mfmod._versions(
+                *mfmod._fs(spark, src), src) else "overwrite",
+        )
+
+    append(5)  # the table must exist before the first run
+    real_hw = mfmod.stream_high_water
+    for op, arg in ops:
+        if op == "append":
+            append(arg)
+        elif op == "run":
+            process_increment(spark, src, dst)
+        elif op == "run_racing_append":
+            state = {"fired": False}
+
+            def racing_hw(sp, path, name, _n=arg, _s=state):
+                if not _s["fired"]:
+                    _s["fired"] = True
+                    append(_n)
+                return real_hw(sp, path, name)
+
+            mfmod.stream_high_water = racing_hw
+            try:
+                process_increment(spark, src, dst)
+            finally:
+                mfmod.stream_high_water = real_hw
+        else:  # crash_run: transform dies — nothing may land
+            def boom(df):
+                raise RuntimeError("injected crash")
+
+            try:
+                process_increment(spark, src, dst, boom)
+            except RuntimeError:
+                pass
+    process_increment(spark, src, dst)  # drain
+    got = [r.id for r in snapshot_read(spark, dst).collect()]
+    assert sorted(got) == list(range(next_id)), ops
