@@ -227,8 +227,11 @@ class LockFileCommitProtocol(CommitProtocol):
     stores whose rename is not atomic. ``fs.create(path,
     overwrite=False)`` refuses an existing path on HDFS/local (and
     on S3 maps to a conditional PUT with If-None-Match under recent
-    S3A); while the lock is held, the existence check + direct write
-    of the manifest cannot race. A writer that dies holding the lock
+    S3A); while the lock is held, the existence check, full staging
+    of the manifest under a hidden tmp name, and the rename that
+    publishes it cannot race — and a crash at any point leaves
+    either no head or the previous head, never a truncated one. A
+    writer that dies holding the lock
     is healed by ``lock_ttl_s``: a lock older than the TTL is broken
     by the next publisher (crash recovery, same posture as Delta's
     S3 LogStore recovery). Contenders return False and re-enter the
@@ -262,19 +265,34 @@ class LockFileCommitProtocol(CommitProtocol):
             dst = Path(f"{dir_path}/{name}")
             if fs.exists(dst):
                 return False  # someone published this version earlier
-            # the exclusive create of the DESTINATION is the real
-            # commit point — defense-in-depth for stores (incl.
-            # Hadoop's local FS) whose lock create is exists+create,
-            # not O_EXCL: if two publishers both slipped past the
-            # lock, exactly one wins here and the other sees False
-            try:
-                o2 = fs.create(dst, False)
-            except Exception:
-                return False
+            # stage the FULL content under a dotted tmp name first —
+            # a writer crashing mid-write leaves only a hidden tmp
+            # (readers ignore dotted names), never a truncated head
+            # that _versions would list as committed. The rename
+            # under the lock is then the commit point: an atomic
+            # metadata op on HDFS/local, and a single server-side
+            # atomic PUT on S3A's copy — the head appears fully
+            # formed or not at all.
+            tmp = Path(f"{dir_path}/.{name}.{uuid.uuid4().hex[:8]}.tmp")
+            o2 = fs.create(tmp, True)
+            staged = False
             try:
                 o2.write(bytearray(text.encode("utf-8")))
+                staged = True
             finally:
                 o2.close()
+                if not staged:
+                    fs.delete(tmp, False)
+            if not fs.rename(tmp, dst):
+                # double-slip defense for stores whose lock create is
+                # exists+create rather than O_EXCL (Hadoop local FS):
+                # rename refuses an existing destination there, so if
+                # two publishers both passed the lock, exactly one
+                # wins and the other sees False. (On S3 the lock
+                # create IS a conditional PUT, so a double-slip
+                # cannot happen in the first place.)
+                fs.delete(tmp, False)
+                return False
             return True
         finally:
             fs.delete(lock, False)

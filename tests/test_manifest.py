@@ -2156,3 +2156,53 @@ def test_process_increment_model_under_interleavings(
     process_increment(spark, src, dst)  # drain
     got = [r.id for r in snapshot_read(spark, dst).collect()]
     assert sorted(got) == list(range(next_id)), ops
+
+
+def test_lockfile_protocol_crash_leaves_no_truncated_head(spark, tmp_path):
+    """r10 ADVICE: LockFileCommitProtocol must never expose a
+    partially written manifest as a committed version. The content
+    is staged fully under a hidden tmp name and RENAMED into place —
+    so the debris of a writer that died mid-write (stale lock +
+    partial dotted tmp) is invisible to readers, is never listed by
+    _versions, and does not block the next publisher."""
+    import os
+
+    from prql_spark.sources.manifest import (
+        LockFileCommitProtocol,
+        RenameCommitProtocol,
+        set_commit_protocol,
+    )
+
+    path = str(tmp_path / "t")
+    set_commit_protocol(LockFileCommitProtocol(lock_ttl_s=0.0))
+    try:
+        snapshot_write(spark.range(10), path)
+        mdir = os.path.join(path, "_manifests")
+        # simulate a writer that died holding the lock, mid-stage:
+        # stale lock + truncated dotted tmp of the NEXT version
+        with open(os.path.join(mdir, ".commit.lock"), "w") as f:
+            f.write("dead")
+        with open(
+            os.path.join(mdir, ".v0000000002.json.dead0000.tmp"), "w"
+        ) as f:
+            f.write('{"version": 2, "files": [')  # truncated JSON
+        # readers: only the committed head is visible and it parses
+        assert snapshot_read(spark, path).count() == 10
+        hist = snapshot_history(spark, path)
+        assert hist.count() == 1
+        # the next publisher breaks the stale lock and wins cleanly
+        res = snapshot_write(spark.range(10, 15), path, mode="append")
+        assert res["version"] == 2
+        assert snapshot_read(spark, path).count() == 15
+        # a pre-existing fully-committed head is never overwritten
+        # (double-slip defense): direct publish of v2 returns False
+        from prql_spark.sources.manifest import _fs, get_commit_protocol
+        fs, jvm = _fs(spark, path)
+        before = open(os.path.join(mdir, "v0000000002.json")).read()
+        ok = get_commit_protocol().publish(
+            fs, jvm, mdir, "v0000000002.json", '{"evil": true}'
+        )
+        assert ok is False
+        assert open(os.path.join(mdir, "v0000000002.json")).read() == before
+    finally:
+        set_commit_protocol(RenameCommitProtocol())
