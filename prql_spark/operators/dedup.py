@@ -473,14 +473,25 @@ def dedup_against_bloom(
     # kilobyte documents (the first cut did exactly that and paid
     # the normalization four times over)
     # the slim key set is used three times (sizing count, filter
-    # build, refinement anti-join) — persist it so the reference's
+    # build, refinement anti-join) — pin it so the reference's
     # normalize+md5 scan happens ONCE, not three times (16-byte keys:
-    # a 10B-doc reference persists ~300 GB across a cluster, small
-    # next to re-scanning the corpus twice more)
+    # a 10B-doc reference stores ~300 GB across a cluster, small
+    # next to re-scanning the corpus twice more). A lazy DISK_ONLY
+    # localCheckpoint, NOT persist(): CacheManager entries live until
+    # an explicit unpersist that no caller can place (the refinement
+    # join consumes the keys lazily, after this function returns), so
+    # a long session accumulated cached reference key sets in storage
+    # memory. Checkpoint blocks sit on local disk (zero heap
+    # pressure) and the ContextCleaner reclaims them as soon as the
+    # consuming plan is garbage-collected — the lifecycle the CC
+    # variance fix (round 10) established. Not fault-tolerant, like
+    # every localCheckpoint here.
+    from pyspark.storagelevel import StorageLevel
+
     ref_keys = (
         reference.select(F.expr(norm.format(t=rt)).alias("__key"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     ref_hashes = ref_keys.select(
         F.xxhash64("__key").alias("h1"),
@@ -508,11 +519,32 @@ def dedup_against_bloom(
                 )
         yield pd.DataFrame({"bf": [bits.tobytes()]})
 
-    partials = ref_hashes.mapInPandas(build, "bf BINARY").collect()
-    bits = np.zeros(nbytes, dtype=np.uint8)
-    for r in partials:
-        bits |= np.frombuffer(r["bf"], dtype=np.uint8)
-    bf_b = spark.sparkContext.broadcast(bits.tobytes())
+    # OR the per-partition partial filters in a TREE (treeAggregate),
+    # not a collect-all: collecting one m/8-byte partial PER
+    # REFERENCE PARTITION materializes O(partitions × m/8) on the
+    # driver at once (at 10B keys ≈ 1.4 GB × partitions — a driver
+    # OOM at the op's own documented scale); the tree folds partials
+    # executor-side and the driver receives only the top fan-in.
+    # Identical bits — OR is associative/commutative.
+    def _or_row(acc, row):
+        return (
+            np.frombuffer(acc, dtype=np.uint8)
+            | np.frombuffer(row["bf"], dtype=np.uint8)
+        ).tobytes()
+
+    def _or_bytes(a, b):
+        return (
+            np.frombuffer(a, dtype=np.uint8)
+            | np.frombuffer(b, dtype=np.uint8)
+        ).tobytes()
+
+    merged = ref_hashes.mapInPandas(build, "bf BINARY").rdd.treeAggregate(
+        np.zeros(nbytes, dtype=np.uint8).tobytes(),
+        _or_row,
+        _or_bytes,
+        depth=2,
+    )
+    bf_b = spark.sparkContext.broadcast(merged)
 
     def _might_contain_fn(h1, h2):
         arr = np.frombuffer(bf_b.value, dtype=np.uint8)
@@ -989,14 +1021,25 @@ def _dedup_spans(
         .withColumn("__pk", F.expr("unhex(md5(__pn))"))
         .drop("__pn")
     )
-    cand = paras.where(F.col("__pl") >= min_chars)
-    winners = cand.groupBy("__pk").agg(
-        F.expr(
-            f"min(named_struct('d', {id_col}, 'i', __pi))"
-        ).alias("__w")
-    )
+    # Winner selection via ONE window over the hashed span key, not
+    # agg + re-join (round 11): the join's probe side re-ran the
+    # whole split/normalize/md5 explode chain (the plan held the
+    # paras subtree twice, 2 corpus scans) and both sides exchanged
+    # on __pk anyway for the sort-merge join — the window pays that
+    # same single paras exchange once and the explode runs once.
+    # min() ignores NULLs, so folding the min_chars candidacy into an
+    # IF reproduces the left join exactly: a key whose every
+    # occurrence is below min_chars has a NULL winner and keeps all
+    # its spans (the former `__w IS NULL` branch).
     kept = (
-        paras.join(winners, "__pk", "left")
+        paras.withColumn(
+            "__w",
+            F.expr(
+                f"min(IF(__pl >= {min_chars}, "
+                f"named_struct('d', {id_col}, 'i', __pi), NULL)) "
+                "OVER (PARTITION BY __pk)"
+            ),
+        )
         .where(
             F.expr(
                 f"__w IS NULL OR (__w.d = {id_col} AND __w.i = __pi)"
@@ -1055,9 +1098,20 @@ def duplicated_window_fraction(
         .where(F.expr("gram != ''"))
         .select(id_col, F.expr("unhex(md5(gram))").alias("__gk"))
     )
-    counts = grams.groupBy("__gk").agg(F.count(F.lit(1)).alias("__c"))
+    # occurrence counts via ONE window over the hashed gram key, not
+    # agg + self-join: the join's two sides each re-run the gram
+    # explode chain (split + zip_with n-gram + md5 — the expensive
+    # part), and the join itself is a second corpus-gram exchange (at
+    # sf0.1 the planner even broadcast the full (id, gram-key) stream
+    # — a shape that cannot exist at 100 TB). The window exchanges
+    # the slim (id, 16-byte key) stream ONCE, the explode runs once,
+    # and the count is identical. Same trick as dedup_exact's
+    # min-over-window (round 1) applied to counts.
+    counted = grams.withColumn(
+        "__c", F.expr("count(*) OVER (PARTITION BY __gk)")
+    )
     return (
-        grams.join(counts, "__gk")
+        counted
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
@@ -1155,9 +1209,14 @@ def remove_duplicated_sentences(
             id_col, "__wi", F.expr("unhex(md5(__wk))").alias("__hk")
         )
     )
-    counts = wins.groupBy("__hk").agg(F.count(F.lit(1)).alias("__c"))
+    # window-count + checkpointed covered/affected — see
+    # remove_duplicated_windows (same shape, sentence granularity)
+    from pyspark.storagelevel import StorageLevel
+
     covered = (
-        wins.join(counts, "__hk")
+        wins.withColumn(
+            "__c", F.expr("count(*) OVER (PARTITION BY __hk)")
+        )
         .where(F.col("__c") >= min_count)
         .select(
             F.col(id_col),
@@ -1166,12 +1225,17 @@ def remove_duplicated_sentences(
             ).alias("__si"),
         )
         .distinct()
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     # clean-doc pruning (same shape as remove_duplicated_windows):
     # only documents with a marked window pay the explode/anti-join/
     # reassembly; clean docs take a narrow projection whose output
     # is byte-identical (non-empty sentences joined by one space)
-    affected = covered.select(id_col).distinct()
+    affected = (
+        covered.select(id_col)
+        .distinct()
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
     staged = df.select(F.col(id_col), F.expr(sents).alias("__sa"))
     clean = (
         staged.join(affected, id_col, "left_anti")
@@ -1294,9 +1358,26 @@ def remove_duplicated_windows(
         .where(F.expr("__g != ''"))
         .select(id_col, "__wi", F.expr("unhex(md5(__g))").alias("__gk"))
     )
-    counts = grams.groupBy("__gk").agg(F.count(F.lit(1)).alias("__c"))
+    # Occurrence counts via ONE window over the hashed gram key (the
+    # duplicated_window_fraction trick, round 11): agg + join re-ran
+    # the gram explode chain on both join sides and exchanged the
+    # gram stream twice; the window exchanges the slim (id, wi, key)
+    # stream once and the explode runs once. `covered` and `affected`
+    # then feed THREE downstream consumers (the clean-branch
+    # anti-join, the dirty-branch inner join, and the word-level anti
+    # join) — each reference re-executed the whole mark subtree (the
+    # before-plan shows the counts subtree three times and 8 corpus
+    # scans), so both are pinned as lazy DISK_ONLY localCheckpoints:
+    # slim int pairs / ids, computed once, read back per consumer.
+    # (DISK_ONLY for the same reason as connected_components': the
+    # blocks must not squat in storage memory. Not fault-tolerant —
+    # acceptable for derived intermediates, as elsewhere.)
+    from pyspark.storagelevel import StorageLevel
+
     covered = (
-        grams.join(counts, "__gk")
+        grams.withColumn(
+            "__c", F.expr("count(*) OVER (PARTITION BY __gk)")
+        )
         .where(F.col("__c") >= min_count)
         .select(
             F.col(id_col),
@@ -1305,8 +1386,13 @@ def remove_duplicated_windows(
             ).alias("__j"),
         )
         .distinct()
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
-    affected = covered.select(id_col).distinct()
+    affected = (
+        covered.select(id_col)
+        .distinct()
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
     # clean docs: byte-identical output (words rejoined with single
     # spaces) from a narrow projection — no explode, no reassembly
     clean = (

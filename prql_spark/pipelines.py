@@ -211,18 +211,40 @@ def prepare_training_corpus(
     )
     if min_lm_logprob is not None:
         keep += f" AND lm_logprob >= {min_lm_logprob}"
-    filtered = scored.where(F.expr(keep))
     if checkpoint_filtered:
-        # `filtered` is consumed TWICE — the signature branch and the
-        # anti-join left side — so lazy evaluation replays the whole
-        # regex-heavy scoring chain. A lazy localCheckpoint computes
-        # it once and serves both consumers from executor block
-        # storage: measured 11.7 → 10.4 s median at sf0.1 (4
-        # alternated GC'd reps, identical output). Trade-off:
-        # localCheckpoint is NOT fault-tolerant — a lost executor
-        # cannot recompute its blocks — so set False on preemptible
-        # clusters and let lineage replay instead.
-        filtered = filtered.localCheckpoint(eager=False)
+        # Checkpoint BEFORE the keep-filter, filter on the stored
+        # columns (round 11): `scored` is consumed by the filter
+        # predicate AND by the projection that outputs the score
+        # columns, and `filtered` is then consumed TWICE more (the
+        # signature branch and the anti-join left side). Filtering
+        # first pushed the giant scoring expressions into the Filter
+        # node below the projection, so every surviving row paid the
+        # regex/fold chain TWICE (filter + project — whole-stage
+        # codegen does not share subexpressions across operators);
+        # checkpointing the scored frame makes the keep predicate a
+        # plain column-reference filter over stored blocks and the
+        # scoring chain executes exactly ONCE for all consumers.
+        # Measured at sf0.1 (steady, GC'd): the materialize+CC phase
+        # 15.9 → ~8 s with identical output. Trade-off: the
+        # checkpoint holds the PRE-filter corpus (scored rows that
+        # the keep-filter drops are stored too) and localCheckpoint
+        # is NOT fault-tolerant — a lost executor cannot recompute
+        # its blocks — so set False on preemptible clusters and let
+        # lineage replay (then the filter evaluates scoring twice;
+        # correctness is unaffected).
+        # DISK_ONLY, deliberately: default MEMORY_AND_DISK blocks of
+        # the wide scored rows squat in storage memory until the
+        # ContextCleaner's next GC cycle and the phase wall time
+        # swung 8-16 s at sf0.1 with heap state (the exact mechanism
+        # the round-10 CC variance fix evicted); slim reads from
+        # local disk are milliseconds and the cost becomes a
+        # function of the data again.
+        from pyspark.storagelevel import StorageLevel
+
+        scored = scored.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.DISK_ONLY
+        )
+    filtered = scored.where(F.expr(keep))
     if collect_stats:
         stats.after_quality = filtered.count()
 

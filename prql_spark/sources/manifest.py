@@ -78,6 +78,7 @@ Iceberg does.
 from __future__ import annotations
 
 import json
+import os
 import re
 import uuid
 from urllib.parse import unquote
@@ -475,6 +476,59 @@ def _staged_stats(
     return n_ok
 
 
+def _staged_stats_footers(
+    data_dir: str, staged: list, cols: tuple, partition_by: tuple,
+    max_files: int = 256,
+) -> bool:
+    """Write-time stats fast path (round 11): the files this commit
+    just wrote already carry exact per-column min/max and row counts
+    in their parquet FOOTERS, so on a local filesystem the stats can
+    be read driver-side (metadata only, no data pages, no Spark job)
+    instead of re-scanning the staged files executor-side. Returns
+    True when every staged file yielded usable stats for every
+    requested data column (rows + stats attached in place) — the
+    caller then skips :func:`_staged_stats`; False falls back to the
+    distributed scan unchanged (object-store paths, a footer lacking
+    min/max, or a commit wider than ``max_files``, where one
+    distributed job beats thousands of serial driver reads).
+    Partition columns never live in footers — their exact [v, v]
+    stats are already parsed from the staged paths. Footer values
+    feed the same :func:`_bound_stat` encoding `attach_stats` uses,
+    so pruning semantics are identical."""
+    from urllib.parse import urlparse
+
+    if len(staged) > max_files:
+        return False
+    u = urlparse(data_dir)
+    if u.scheme not in ("", "file"):
+        return False
+    local_dir = u.path if u.scheme == "file" else data_dir
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return False
+    data_cols = tuple(c for c in cols if c not in partition_by)
+    results = []
+    for f in staged:
+        rel = f["path"].split("/", 2)[2]  # after data/<commit>/
+        p = os.path.join(local_dir, rel)
+        try:
+            n_rows = pq.read_metadata(p).num_rows
+        except Exception:
+            return False
+        st: dict | None = {}
+        if data_cols and n_rows > 0:
+            st = _file_stats(p, data_cols)
+            if st is None:
+                return False  # a footer lacks min/max — exact scan
+        results.append((f, n_rows, st))
+    for f, n_rows, st in results:
+        f["n_rows"] = int(n_rows)
+        if st:
+            f["stats"] = {**f.get("stats", {}), **st}
+    return True
+
+
 def _stage_commit(
     df: DataFrame,
     base: str,
@@ -530,7 +584,9 @@ def _stage_commit(
                 entry["stats"] = stats
         staged.append(entry)
 
-    if stats_cols:
+    if stats_cols and not _staged_stats_footers(
+        data_dir, staged, tuple(stats_cols), partition_by
+    ):
         _staged_stats(
             spark,
             data_dir,
@@ -1839,11 +1895,19 @@ def merge_snapshot(
             f"merge_snapshot: key columns {missing} not in source"
         )
 
-    # stage 1: prune candidates by manifest stats vs source key range
-    krow = source.agg(
+    # stage 1: prune candidates by manifest stats vs source key range.
+    # The bounds agg, the key-count (broadcast gate) and the two probe
+    # joins all consume the same distinct key set, so it is computed
+    # ONCE here: one job returns min/max/count over the persisted
+    # keys (min/max over distinct keys == min/max over the source —
+    # one fewer full source scan than a separate source-side agg).
+    keys = source.select(*on).dropDuplicates().persist()
+    krow = keys.agg(
+        F.count(F.lit(1)).alias("__n"),
         *[F.min(c).alias(f"mn_{c}") for c in on],
         *[F.max(c).alias(f"mx_{c}") for c in on],
     ).collect()[0]
+    n_keys = krow["__n"]
     bounds = {
         c: (krow[f"mn_{c}"], krow[f"mx_{c}"])
         for c in on
@@ -1877,8 +1941,6 @@ def merge_snapshot(
     # forced broadcast — above the cap, drop the hint and let
     # Spark/AQE pick the join strategy (shuffle join degrades
     # gracefully; the semantics are identical)
-    keys = source.select(*on).dropDuplicates().persist()
-    n_keys = keys.count()
     hint = F.broadcast if n_keys <= broadcast_key_limit else (lambda d: d)
     touched: set = set()
     if candidates:

@@ -71,7 +71,9 @@ def test_connected_components_max_iter_guard(spark):
     # 60-node chain is far beyond 2 rounds; the guard must fire
     chain = [(i, i + 1) for i in range(60)]
     with pytest.raises(RuntimeError, match="no convergence"):
-        graph.connected_components(_edges(spark, chain), max_iter=2)
+        graph.connected_components(
+            _edges(spark, chain), max_iter=2, local_threshold=0
+        )
 
 
 def test_connected_components_long_chain_log_rounds(spark):
@@ -81,7 +83,7 @@ def test_connected_components_long_chain_log_rounds(spark):
     comps = {
         r.node: r.component
         for r in graph.connected_components(
-            _edges(spark, chain), max_iter=8
+            _edges(spark, chain), max_iter=8, local_threshold=0
         ).collect()
     }
     assert set(comps.values()) == {0} and len(comps) == 41
@@ -115,13 +117,17 @@ def test_connected_components_matches_union_find(spark):
         for a, b in edges:
             for x in (a, b):
                 want[x] = find(x)
-        got = {
-            r.node: r.component
-            for r in graph.connected_components(
-                _edges(spark, edges)
-            ).collect()
-        }
-        assert got == want, f"trial {trial}"
+        # both paths must agree with the reference: the bounded
+        # driver union-find (round 11, default threshold) and the
+        # distributed min-propagation (local_threshold=0)
+        for thr in (1_000_000, 0):
+            got = {
+                r.node: r.component
+                for r in graph.connected_components(
+                    _edges(spark, edges), local_threshold=thr
+                ).collect()
+            }
+            assert got == want, f"trial {trial} thr={thr}"
 
 
 def test_dedup_by_clusters_transitive(spark):
@@ -401,3 +407,30 @@ def test_ivf_trainer_scales_to_many_lists(spark, catalog):
         embs, dim=64, centroids=cents, threshold=0.35
     )
     assert pairs.count() >= 0  # plan builds and executes
+
+
+def test_connected_components_local_path_stats_and_boundary(spark):
+    # round 11: edge lists at or under local_threshold are solved
+    # driver-side (stats marks it; rounds=0), above it the
+    # distributed propagation runs (rounds >= 1) — identical labels
+    e = _edges(spark, [(1, 2), (2, 3), (5, 6)])
+    # 6 directed distinct edges after the bidirectional explode
+    st_local: dict = {}
+    local = {
+        (r.node, r.component)
+        for r in graph.connected_components(
+            e, stats=st_local, local_threshold=6
+        ).collect()
+    }
+    assert st_local == {"rounds": 0, "local": True}
+    st_dist: dict = {}
+    dist = {
+        (r.node, r.component)
+        for r in graph.connected_components(
+            e, stats=st_dist, local_threshold=5
+        ).collect()
+    }
+    assert st_dist.get("rounds", 0) >= 1 and "local" not in st_dist
+    assert local == dist == {
+        (1, 1), (2, 1), (3, 1), (5, 5), (6, 5),
+    }

@@ -434,13 +434,20 @@ def test_span_dedup_single_key_exchange(catalog):
 
     plan = plan_of(dedup_paragraphs(catalog.load("documents")))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
-    # partial min before the paragraph-key exchange
-    assert "partial_min" in plan
+    # round 11: winner selection is a min() WINDOW over the hashed
+    # span key — the agg+re-join shape computed the explode/md5 chain
+    # twice and exchanged the corpus twice; now the span stream is
+    # exchanged ONCE (the window) plus the per-doc reassembly
+    assert "Window" in plan and "min(" in plan
+    # no join anywhere: the winner never meets the corpus a second time
+    assert "Join" not in plan
     # the exchange key is the 16-byte md5, never the span text
     assert "md5" in plan
-    # exchanges: paragraph-key (winner agg + join sides) and the
-    # final per-doc reassembly — bounded, no O(n^2) shape
-    assert plan.count("Exchange hashpartitioning") <= 4
+    # exchanges: span-key window + per-doc reassembly — bounded,
+    # single-pass, no O(n^2) shape
+    assert plan.count("Exchange hashpartitioning") <= 2
+    # the corpus is scanned exactly once (the old shape scanned twice)
+    assert plan.count("Scan parquet") == 1
 
 
 def test_window_removal_plan_shape(catalog):
@@ -455,19 +462,44 @@ def test_window_removal_plan_shape(catalog):
     )
 
     docs = catalog.load("documents")
-    # both ops carry +2 static exchanges for the clean-doc pruning
-    # split (affected-id distinct + the affected inner join, which
-    # AQE turns into a broadcast at runtime on real corpora)
+    # round 11: the mark phase (gram explode → ONE window count over
+    # the 16-byte gram key → coverage distinct) is pinned behind a
+    # lazy DISK_ONLY localCheckpoint, so the final plan consumes it
+    # as ExistingRDD scans instead of recomputing it once per
+    # consumer (the old plan held the counts subtree three times and
+    # scanned the corpus 8x). The final plan is the pruning split +
+    # word anti-join + reassembly only.
     for fn, max_ex in (
-        (remove_duplicated_windows, 8),
-        (remove_duplicated_sentences, 8),
+        (remove_duplicated_windows, 6),
+        (remove_duplicated_sentences, 6),
     ):
         plan = plan_of(fn(docs))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
         assert "EvalPython" not in plan
-        assert "md5" in plan
-        assert "partial_count" in plan
-        # count exchange + covered distinct + anti-join sides +
-        # reassembly (+ pruning split): bounded, linear
+        # the checkpointed mark phase feeds every consumer
+        assert "ExistingRDD" in plan, fn
+        # clean split + word anti-join + reassembly: bounded, linear
         assert plan.count("Exchange hashpartitioning") <= max_ex, fn
+        # the corpus text is scanned for the clean branch and the
+        # dirty word stream only — never once per covered consumer
+        assert plan.count("Scan parquet") <= 2, fn
+
+
+def test_window_mark_phase_plan_shape(catalog):
+    """The shared mark phase (visible un-checkpointed through
+    duplicated_window_fraction): gram occurrence counts come from ONE
+    window over the hashed gram key — single gram-explode pass,
+    single corpus-gram exchange, no agg+self-join (whose probe side
+    re-ran the explode and whose build side the local planner even
+    broadcast — a corpus-sized broadcast that cannot exist at
+    100 TB)."""
+    from prql_spark.operators.dedup import duplicated_window_fraction
+
+    plan = plan_of(duplicated_window_fraction(catalog.load("documents")))
+    assert "Window" in plan
+    assert "md5" in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    # gram-key window + per-doc aggregate
+    assert plan.count("Exchange hashpartitioning") <= 2
