@@ -479,21 +479,31 @@ def semdedup_pairs(
         cents_df = df.sparkSession.createDataFrame(
             [(i, c) for i, c in enumerate(cn)], "i int, c array<double>"
         )
-        corpus = (
+        # Argmax over a SLIM (id, 16-byte struct) stream, then join
+        # the winning list back to the vectors (round 11): max(struct)
+        # plans as a SortAggregate (struct buffers are not
+        # hash-aggregable), and carrying __vn through it via first()
+        # made the n×n_lists-row sort drag the full 64-double vector
+        # per row — measured as the op's hottest stage. The re-join is
+        # one slim exchange (or a broadcast of n id→list rows); the
+        # vector normalization re-derives off the scan (narrow, one
+        # extra column-pruned pass — cheaper than sorting vectors
+        # n_lists times).
+        assign = (
             base.join(F.broadcast(cents_df))
             .select(
                 F.col(id_col),
-                F.col("__vn"),
                 F.expr(
                     f"named_struct('cos', round({_dot('__vn', 'c')}, 9), "
                     f"'i', i)"
                 ).alias("__s"),
             )
             .groupBy(id_col)
-            .agg(
-                F.max("__s").alias("__m"), F.first("__vn").alias("__vn")
-            )
-            .select(id_col, "__vn", F.col("__m.i").alias("list_id"))
+            .agg(F.max("__s").alias("__m"))
+            .select(id_col, F.col("__m.i").alias("list_id"))
+        )
+        corpus = base.join(assign, id_col).select(
+            id_col, "__vn", "list_id"
         )
     # Bucket-combine (the minhash/simhash shape), not a self-join:
     # ONE more exchange groups each cluster's (id, vn) members, and
