@@ -175,21 +175,43 @@ def sessionize_streaming(
             last_ts, seq = None, 0
         for pdf in pdf_iter:
             pdf = pdf.sort_values("ts")
-            out_sessions = []
-            for ts in pdf["ts"]:
-                t = ts.timestamp()
-                if last_ts is None or t - last_ts > gap:
-                    seq += 1
-                last_ts = t
-                out_sessions.append(f"{user_id}#{seq}")
+            # vectorized gap detection (guide §4.2: batches through
+            # numpy, not a Python loop per event): a row opens a new
+            # session when its gap from the previous event exceeds
+            # the threshold; the previous event of row 0 is the
+            # carried state (+inf gap when no state yet). Session
+            # numbers are the carried seq + cumsum of the new-session
+            # flags — identical to the per-row fold.
+            import numpy as np
+
+            t = pdf["ts"].astype("int64").to_numpy() / 1e9
+            if not len(t):
+                yield pd.DataFrame(
+                    {
+                        "user_id": pdf["user_id"],
+                        "event_id": pdf["event_id"],
+                        "ts": pdf["ts"],
+                        "session_id": pd.Series([], dtype=object),
+                    }
+                )
+                continue
+            prev = np.empty_like(t)
+            prev[0] = last_ts if last_ts is not None else -np.inf
+            prev[1:] = t[:-1]
+            new_flags = (t - prev) > gap
+            seqs = seq + np.cumsum(new_flags)
             yield pd.DataFrame(
                 {
                     "user_id": pdf["user_id"],
                     "event_id": pdf["event_id"],
                     "ts": pdf["ts"],
-                    "session_id": out_sessions,
+                    "session_id": [
+                        f"{user_id}#{s}" for s in seqs
+                    ],
                 }
             )
+            if len(t):
+                last_ts, seq = float(t[-1]), int(seqs[-1])
         state.update((last_ts, seq))
 
     return events.withWatermark("ts", watermark).groupBy(
