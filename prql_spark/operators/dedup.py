@@ -561,8 +561,19 @@ def dedup_against_bloom(
         return pd.Series(hit)
 
     # no inline type hints: `from __future__ import annotations`
-    # stringifies them, which pandas_udf inference rejects
-    might_contain = F.pandas_udf(_might_contain_fn, BooleanType())
+    # stringifies them, which pandas_udf inference rejects.
+    # asNondeterministic (guide §4.4): the probe IS deterministic,
+    # but constraint propagation otherwise infers the filter onto
+    # the refinement anti-join's REFERENCE side (join-key equality ⟹
+    # equal probe result) and evaluates the UDF over every reference
+    # key — where it drops NOTHING (every reference key is in its
+    # own filter) and at the op's documented 10B-key scale would be
+    # 10B wasted Python probes. The round-11 before-plan shows the
+    # propagated ArrowEvalPython over the ref-keys checkpoint; the
+    # marker pins the probe to the incoming side only.
+    might_contain = F.pandas_udf(
+        _might_contain_fn, BooleanType()
+    ).asNondeterministic()
 
     probed = df.withColumn(
         "__key", F.expr(norm.format(t=text_col))
