@@ -69,10 +69,15 @@ def connected_components(
     group-by, a self-join, a checkpoint and a convergence aggregate
     (measured ~2.5 s of fixed per-round cost at local[32] on a
     2.5k-edge graph — pure scheduling/codegen, no data). The default
-    1M directed edges collects ≤ ~32 MB of slim pairs — the same
-    bounded-driver posture as merge_snapshot's 2M-key broadcast gate
-    — and a 100 TB dup graph above it takes the distributed path
-    unchanged. ``0`` forces the distributed path (tests pin it).
+    1M directed edges collects ≤ ~32 MB of slim NUMERIC pairs — the
+    same bounded-driver posture as merge_snapshot's 2M-key broadcast
+    gate — and a 100 TB dup graph above it takes the distributed
+    path unchanged. String-keyed graphs (doc ids / URLs) are
+    additionally gated on estimated driver BYTES (mean key width
+    measured by the same materializing job, 64 MB cap) — 1M
+    long-URL edges would otherwise materialize hundreds of MB of
+    Python objects. ``0`` forces the distributed path (tests pin
+    it).
 
     Raises ``RuntimeError`` if the labels have not converged after
     ``max_iter`` rounds (never observed on star-capped dup graphs;
@@ -120,8 +125,39 @@ def connected_components(
     # big the graph is — adapt the algorithm to the data the way AQE
     # adapts the plan. Under the threshold, a driver union-find
     # replaces rounds of join+agg+checkpoint+aggregate jobs.
-    n_edges = e.count()
-    if n_edges <= local_threshold:
+    #
+    # The gate is BYTES, not just edge count (round 12): 1M directed
+    # edges of numeric ids is ~32 MB of slim pairs, but 1M edges of
+    # STRING ids (doc ids / URLs — the normal dedup-pair input) can
+    # materialize hundreds of MB of Python objects on the driver. For
+    # string-keyed graphs the same materializing job also measures
+    # the mean key width, and the fast path only applies while the
+    # estimated driver footprint (per-edge key bytes + ~100 B of
+    # Python object/tuple overhead per edge) stays under
+    # ``local_threshold_bytes`` — above it, the distributed path runs
+    # exactly as before.
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(e.schema["u"].dataType, NumericType)
+    local_threshold_bytes = 64 << 20
+    if numeric_ids:
+        n_edges = e.count()
+        take_local = n_edges <= local_threshold
+    else:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(
+                F.length(F.col("u").cast("string"))
+                + F.length(F.col("v").cast("string"))
+            ).alias("w"),
+        ).first()
+        n_edges = row["n"]
+        est_bytes = n_edges * (2 * float(row["w"] or 0) + 100)
+        take_local = (
+            n_edges <= local_threshold
+            and est_bytes <= local_threshold_bytes
+        )
+    if take_local:
         utype = e.schema["u"].dataType.simpleString()
         rows = e.toPandas()
         parent: dict = {}
@@ -182,10 +218,6 @@ def connected_components(
     # convergence on round 1 — non-numeric graphs use the
     # changed-label count instead (one slim labels⋈labels join per
     # round; min-propagation itself is type-agnostic).
-    from pyspark.sql.types import NumericType
-
-    numeric_ids = isinstance(e.schema["u"].dataType, NumericType)
-
     def _sum(lab: DataFrame):
         return lab.agg(
             F.sum(F.col("component").cast("decimal(38,0)"))

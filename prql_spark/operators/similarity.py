@@ -419,6 +419,20 @@ def semdedup_pairs(
     minhash/simhash/ngram bucket-combines carry, equivalent for
     keep/drop pruning of homogeneous duplicate classes.
 
+    PRECONDITION: ``id_col`` must be unique per row (the contract of
+    every id-keyed operator here — embeddings tables are keyed by
+    vec_id). The round-11 slim-argmax shape re-joins the winning
+    list to the vectors by id, so a DUPLICATED id would contribute
+    one corpus row per duplicate (and with it ``id_a == id_b``
+    self-pairs at cosine 1.0) where the old ``groupBy(id)`` shape
+    collapsed duplicates to an arbitrary single vector. Neither
+    behavior is meaningful for non-unique ids — dedup of a corpus
+    whose KEYS are ambiguous is ill-posed — so the precondition is
+    documented rather than paid for with a corpus-wide
+    ``dropDuplicates`` exchange (which would undo the slim-argmax
+    optimization for every well-keyed caller). Run
+    ``df.dropDuplicates([id_col])`` first if your ids may repeat.
+
     Returns (id_a, id_b, list_id, cosine), id_a < id_b.
     """
     if centroids and len(centroids[0]) != dim:

@@ -476,57 +476,128 @@ def _staged_stats(
     return n_ok
 
 
+def _footer_local_dir(data_dir: str) -> str | None:
+    """The local-filesystem directory for ``data_dir`` when its
+    scheme allows DRIVER-side footer reads, else None (object-store
+    paths take the executor-side footer job). Separated out so tests
+    can force the executor path on a local directory."""
+    from urllib.parse import urlparse
+
+    u = urlparse(data_dir)
+    if u.scheme not in ("", "file"):
+        return None
+    return u.path if u.scheme == "file" else data_dir
+
+
 def _staged_stats_footers(
     data_dir: str, staged: list, cols: tuple, partition_by: tuple,
-    max_files: int = 256,
+    max_files: int = 256, spark=None,
 ) -> bool:
     """Write-time stats fast path (round 11): the files this commit
     just wrote already carry exact per-column min/max and row counts
-    in their parquet FOOTERS, so on a local filesystem the stats can
-    be read driver-side (metadata only, no data pages, no Spark job)
-    instead of re-scanning the staged files executor-side. Returns
-    True when every staged file yielded usable stats for every
-    requested data column (rows + stats attached in place) — the
-    caller then skips :func:`_staged_stats`; False falls back to the
-    distributed scan unchanged (object-store paths, a footer lacking
-    min/max, or a commit wider than ``max_files``, where one
-    distributed job beats thousands of serial driver reads).
+    in their parquet FOOTERS, so the stats can be read metadata-only
+    (no data pages) instead of re-scanning the staged files. On a
+    local filesystem the footers are read driver-side (zero Spark
+    jobs); on any other scheme (round 12) they are read
+    EXECUTOR-side — one tiny task per staged file resolving the
+    directory through ``pyarrow.fs.FileSystem.from_uri`` — so object
+    stores keep the no-data-pages win instead of falling back to the
+    full stats re-scan. Returns True when every staged file yielded
+    usable stats for every requested data column (rows + stats
+    attached in place) — the caller then skips
+    :func:`_staged_stats`; False falls back to the distributed scan
+    unchanged (a footer lacking min/max, a filesystem pyarrow cannot
+    resolve, or a commit wider than ``max_files``, where one
+    distributed scan beats per-file task scheduling).
     Partition columns never live in footers — their exact [v, v]
     stats are already parsed from the staged paths. Footer values
     feed the same :func:`_bound_stat` encoding `attach_stats` uses,
     so pruning semantics are identical."""
-    from urllib.parse import urlparse
-
     if len(staged) > max_files:
         return False
-    u = urlparse(data_dir)
-    if u.scheme not in ("", "file"):
-        return False
-    local_dir = u.path if u.scheme == "file" else data_dir
     try:
-        import pyarrow.parquet as pq
+        import pyarrow.parquet as pq  # noqa: F401
     except ImportError:
         return False
     data_cols = tuple(c for c in cols if c not in partition_by)
-    results = []
-    for f in staged:
-        rel = f["path"].split("/", 2)[2]  # after data/<commit>/
-        p = os.path.join(local_dir, rel)
-        try:
-            n_rows = pq.read_metadata(p).num_rows
-        except Exception:
+    rels = [f["path"].split("/", 2)[2] for f in staged]  # data/<c>/
+    local_dir = _footer_local_dir(data_dir)
+    if local_dir is not None:
+        per_file = [
+            _footer_rows_and_stats(os.path.join(local_dir, rel),
+                                   data_cols)
+            for rel in rels
+        ]
+    else:
+        if spark is None:
             return False
-        st: dict | None = {}
-        if data_cols and n_rows > 0:
-            st = _file_stats(p, data_cols)
-            if st is None:
-                return False  # a footer lacks min/max — exact scan
+        per_file = _footer_rows_and_stats_exec(
+            spark, data_dir, rels, data_cols
+        )
+    results = []
+    for f, (n_rows, st) in zip(staged, per_file):
+        if n_rows is None or st is None:
+            return False  # unreadable / footer lacks min/max
         results.append((f, n_rows, st))
     for f, n_rows, st in results:
         f["n_rows"] = int(n_rows)
         if st:
             f["stats"] = {**f.get("stats", {}), **st}
     return True
+
+
+def _footer_rows_and_stats(
+    path_or_file, data_cols: tuple
+) -> tuple[int | None, dict | None]:
+    """(n_rows, bounded stats) for one parquet footer; (None, None)
+    when unreadable, (n, None) when a requested column lacks usable
+    min/max. Empty/no-column files report ``{}`` (usable, no
+    ranges). Runs driver-side or inside an executor task."""
+    import pyarrow.parquet as pq
+
+    try:
+        meta = pq.read_metadata(path_or_file)
+    except Exception:
+        return None, None
+    n_rows = meta.num_rows
+    st: dict | None = {}
+    if data_cols and n_rows > 0:
+        st = _stats_from_footer_meta(meta, data_cols)
+    return n_rows, st
+
+
+def _footer_rows_and_stats_exec(
+    spark, data_dir: str, rels: list, data_cols: tuple
+) -> list:
+    """Executor-side footer reads: one task per staged file, each
+    opening only the parquet FOOTER through the pyarrow filesystem
+    for ``data_dir``'s scheme (s3/abfs/gcs/hdfs where pyarrow has a
+    binding). The per-task payload is a path string; the result rows
+    are JSON-safe (stats already encoded/bounded), so the collect is
+    bounded at one slim row per staged file. Any resolution or read
+    failure yields (None, None) for that file — the caller then
+    falls back to the distributed stats scan, preserving the
+    every-file-or-fallback contract."""
+    root = data_dir if "://" in data_dir else "file://" + data_dir
+
+    def one(rel: str):
+        from pyarrow import fs as pafs
+
+        try:
+            fsys, base = pafs.FileSystem.from_uri(root)
+            with fsys.open_input_file(f"{base}/{rel}") as f:
+                return _footer_rows_and_stats(f, data_cols)
+        except Exception:
+            return None, None
+
+    indexed = (
+        spark.sparkContext.parallelize(
+            list(enumerate(rels)), max(len(rels), 1)
+        )
+        .map(lambda ir: (ir[0], one(ir[1])))
+        .collect()
+    )
+    return [rs for _, rs in sorted(indexed)]
 
 
 def _stage_commit(
@@ -585,7 +656,7 @@ def _stage_commit(
         staged.append(entry)
 
     if stats_cols and not _staged_stats_footers(
-        data_dir, staged, tuple(stats_cols), partition_by
+        data_dir, staged, tuple(stats_cols), partition_by, spark=spark
     ):
         _staged_stats(
             spark,
@@ -2204,6 +2275,14 @@ def _file_stats(local_path: str, cols: tuple) -> dict | None:
         meta = pq.read_metadata(local_path)
     except Exception:
         return None
+    return _stats_from_footer_meta(meta, cols)
+
+
+def _stats_from_footer_meta(meta, cols: tuple) -> dict | None:
+    """Bounded per-column [min, max] from a pyarrow FileMetaData —
+    the shared core of the driver-side (:func:`_file_stats`) and
+    executor-side (:func:`_staged_stats_footers`) footer readers.
+    None when any requested column lacks usable statistics."""
     out: dict = {}
     want = set(cols)
     for rg in range(meta.num_row_groups):
@@ -2226,6 +2305,22 @@ def _file_stats(local_path: str, cols: tuple) -> dict | None:
 
     def enc(v):
         if hasattr(v, "isoformat"):
+            # tz-AWARE datetimes (TIMESTAMP_MICROS/MILLIS footers with
+            # isAdjustedToUTC) are UNUSABLE here: every other stats
+            # producer/consumer (_staged_stats via Spark collect,
+            # _norm_ts_path, snapshot_scan's query-bound encoding)
+            # compares NAIVE isoformat strings, and a '+00:00' suffix
+            # sorts GREATER than any naive bound with the same prefix
+            # — a file whose min equals the query hi bound would be
+            # wrongly pruned, and a non-UTC session timezone shifts
+            # the wall-clock value itself. Converting correctly needs
+            # the Spark session timezone, which this driver-side
+            # helper does not know — so signal "no usable stats" and
+            # let the exact distributed scan (or no-stats = always
+            # read) handle the file. Naive values (DATE,
+            # TIMESTAMP_NTZ, unadjusted footers) keep the fast path.
+            if getattr(v, "tzinfo", None) is not None:
+                return None
             return v.isoformat()
         if isinstance(v, bytes):
             return v.decode("utf-8", "replace")
@@ -2233,7 +2328,10 @@ def _file_stats(local_path: str, cols: tuple) -> dict | None:
 
     bounded = {}
     for k, (lo, hi) in out.items():
-        rng = _bound_stat(enc(lo), enc(hi))
+        lo_e, hi_e = enc(lo), enc(hi)
+        if lo_e is None or hi_e is None:
+            return None  # tz-aware bound: stats unusable for pruning
+        rng = _bound_stat(lo_e, hi_e)
         if rng is not None:
             bounded[k] = rng
     return bounded or None

@@ -2206,3 +2206,121 @@ def test_lockfile_protocol_crash_leaves_no_truncated_head(spark, tmp_path):
         assert open(os.path.join(mdir, "v0000000002.json")).read() == before
     finally:
         set_commit_protocol(RenameCommitProtocol())
+
+
+def test_file_stats_rejects_tz_aware_footer_bounds(tmp_path):
+    """r11 ADVICE #1: TIMESTAMP_MICROS/MILLIS footers carry tz-AWARE
+    min/max; every other stats producer/consumer compares NAIVE
+    isoformat strings, so a '+00:00' suffix would lexicographically
+    mis-prune (a file whose min equals the query hi bound sorts
+    greater) and a non-UTC session timezone shifts the wall-clock
+    value. The footer reader must treat tz-aware bounds as unusable
+    — the exact distributed scan then provides naive stats."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prql_spark.sources import manifest as mf
+
+    p = str(tmp_path / "tz.parquet")
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)],
+                type=pa.timestamp("us", tz="UTC"),
+            ),
+            "id": pa.array([1, 2], type=pa.int64()),
+        }
+    )
+    pq.write_table(t, p)
+    assert mf._file_stats(p, ("ts",)) is None  # tz-aware: unusable
+    assert mf._file_stats(p, ("ts", "id")) is None  # any col poisons
+    assert mf._file_stats(p, ("id",)) == {"id": [1, 2]}  # naive: fine
+
+
+def test_micros_timestamp_write_keeps_naive_stats(spark, tmp_path):
+    """End-to-end form of the tz-aware guard: with MICROS parquet
+    output (tz-aware footer stats) the write-time stats fast path
+    must fall back to the distributed scan, so the manifest carries
+    NAIVE encodings and a boundary snapshot_scan (query hi == file
+    min) keeps its matching rows."""
+    import datetime as dt
+
+    from prql_spark.sources.manifest import snapshot_scan
+
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        path = str(tmp_path / "tsmicros")
+        rows = [(i, dt.datetime(2024, 1, 1, i)) for i in range(6)]
+        snapshot_write(
+            spark.createDataFrame(rows, "id int, ts timestamp")
+            .repartitionByRange(3, "ts").sortWithinPartitions("ts"),
+            path, stats_cols=("ts",),
+        )
+        m = json.load(
+            open(os.path.join(path, "_manifests", "v0000000001.json"))
+        )
+        got_stats = 0
+        for f in m["files"]:
+            rng = (f.get("stats") or {}).get("ts")
+            if rng is None:
+                continue
+            got_stats += 1
+            assert "+" not in rng[0] and "+" not in rng[1], rng
+        assert got_stats >= 1  # distributed fallback attached stats
+        # boundary: a file whose min equals the hi bound must be read
+        out = snapshot_scan(
+            spark, path, "ts",
+            lo=dt.datetime(2024, 1, 1, 2),
+            hi=dt.datetime(2024, 1, 1, 2),
+        )
+        assert [r.id for r in out.collect()] == [2]
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+
+
+def test_staged_stats_footers_executor_path(spark, tmp_path, monkeypatch):
+    """r11 VERDICT next-round #4: on non-local schemes the footer
+    fast path reads footers EXECUTOR-side (one tiny task per staged
+    file through pyarrow's filesystem resolution) instead of giving
+    the win back to the distributed stats re-scan. Forced here by
+    mocking the local-scheme probe to 'not local' over a local dir:
+    the executor path must attach the same rows/stats the driver
+    path does."""
+    from prql_spark.sources import manifest as mf
+    from prql_spark.sources.manifest import snapshot_scan
+
+    monkeypatch.setattr(mf, "_footer_local_dir", lambda d: None)
+    path = str(tmp_path / "execstats")
+    df = spark.range(8000).withColumn("v", F.col("id") * 2)
+    snapshot_write(
+        df.repartitionByRange(8, "id").sortWithinPartitions("id"),
+        path, stats_cols=("id",),
+    )
+    m = json.load(
+        open(os.path.join(path, "_manifests", "v0000000001.json"))
+    )
+    assert len(m["files"]) == 8
+    for f in m["files"]:
+        assert isinstance(f["n_rows"], int) and f["n_rows"] > 0
+        lo, hi = f["stats"]["id"]
+        assert 0 <= lo <= hi < 8000
+    assert sum(f["n_rows"] for f in m["files"]) == 8000
+    out = snapshot_scan(spark, path, "id", lo=1000, hi=1999)
+    assert out.count() == 1000
+    n_input_files = out.select(
+        F.input_file_name().alias("f")
+    ).distinct().count()
+    # stats actually prune: exactly the files whose [lo, hi] range
+    # intersects the query bound are read (repartitionByRange samples
+    # boundaries, so the overlap count is data- not constant-valued)
+    n_overlap = sum(
+        1
+        for f in m["files"]
+        if f["stats"]["id"][0] <= 1999 and f["stats"]["id"][1] >= 1000
+    )
+    assert n_input_files == n_overlap < 8
