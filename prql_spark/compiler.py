@@ -141,6 +141,28 @@ _CMP_MAP = {"==": "=", "!=": "<>", "and": "AND", "or": "OR"}
 
 _NAME_SAFE = re.compile(r"[^A-Za-z0-9_]+")
 
+# Extended operators whose derived columns are LARGE expression trees
+# (regex chains / higher-order folds, hundreds of plan nodes). A later
+# `filter` on such a column triggers Catalyst's alias substitution
+# (predicate pushdown through the defining Project), leaving the full
+# expression in BOTH the pushed Filter and the Project that outputs
+# the column — every surviving row pays the chain twice (guide §4.4's
+# duplication, JVM-expression edition; measured on docs_clean_pipeline
+# at sf0.1). t_filter cost-gates a pushdown barrier on exactly these
+# columns: conjuncts referencing them are wrapped so the filter stays
+# ABOVE the defining projection and the chain evaluates once. Cheap
+# derived columns (arithmetic, casts) are NOT listed — their
+# substitution is harmless and blocking it would cost real pushdown.
+_HEAVY_SCORE_OPS = frozenset(
+    {
+        "quality_score",
+        "lang_id",
+        "gopher_quality_flags",
+        "repetition_flags",
+        "url_features",
+    }
+)
+
 
 def _q(name: str) -> str:
     """Backtick-quote a flat column name for Spark SQL."""
@@ -187,6 +209,9 @@ class Compiler:
         # past filters — sargable filter bounds re-plan its scan
         # through manifest file-skipping (see _manifest_pushdown)
         self._manifest_from: str | None = None
+        # columns produced by _HEAVY_SCORE_OPS in THIS pipeline —
+        # filters referencing them get the pushdown barrier
+        self._heavy_cols: set[str] = set()
 
     # -------------------------------------------------- dialect seam
     # (sql_backend.SqlCompiler overrides these to emit DuckDB/ANSI
@@ -363,7 +388,10 @@ class Compiler:
                     f"{name}: named arg {k} must be a literal, identifier,"
                     f" or list of literals/identifiers"
                 )
+        before_cols = set(self.df.columns)
         self.df = fn(self.df, **kwargs)
+        if name in _HEAVY_SCORE_OPS:
+            self._heavy_cols.update(set(self.df.columns) - before_cols)
         # operators may add/drop columns — rebuild the bare-name scope,
         # keeping qualified names that still resolve
         cols = set(self.df.columns)
@@ -510,7 +538,104 @@ class Compiler:
             return
         if manifest_from is not None:
             self._manifest_pushdown(manifest_from, step.args[0])
+        if self._barrier_heavy(step.args[0], ce):
+            return
         self.r_filter(ce.sql)
+
+    def _barrier_heavy(self, node, ce: CExpr) -> bool:
+        """Cost-gated Filter/Project barrier (round 12, guide §4.4):
+        when the filter references a column built by a
+        _HEAVY_SCORE_OPS operator (a giant regex/fold expression
+        tree), Catalyst's predicate pushdown would substitute the
+        defining expression into the pushed Filter, leaving it in
+        BOTH the Filter and the Project that outputs the column —
+        every surviving row pays the scoring chain twice (the
+        docs_clean_pipeline double-eval; §4.4's duplication, JVM
+        edition). Wrapping the CONDITION in a nondeterministic no-op
+        does not help: a Filter — even a nondeterministic one — may
+        be pushed through a 1-1 deterministic Project (same rows
+        either way), and the alias substitution still fires. What
+        stops the push is `fields.forall(_.deterministic)` on the
+        PROJECT — so the referenced heavy columns themselves are
+        re-projected through a value-identity NONDETERMINISTIC no-op
+        (see :meth:`_filter_barrier`). CollapseProject inlines the
+        scoring expression into the wrapper (used once), producing
+        ONE Project that computes the chain once; the filter then
+        tests the projected column. Values are identical
+        row-for-row; only evaluation placement changes. Heavy
+        columns NOT referenced by any later filter are never
+        wrapped, and pipelines that never filter on scored columns
+        keep fully-pushable plans — that is the cost gate.
+
+        Conjuncts that do NOT touch a heavy column are applied as a
+        separate filter BEFORE the barrier projection (AND is
+        commutative — identical surviving set), so a mixed
+        ``filter quality > 0.45 and ds == "2024-01-01"`` keeps its
+        sargable half pushing all the way to the scan.
+
+        Returns True when it handled the filter itself (the caller
+        skips the plain r_filter)."""
+        if not self._heavy_cols or ce.kind != "plain":
+            return False
+        live = self._heavy_cols & set(self.df.columns)
+
+        def refs_heavy(sql: str) -> list[str]:
+            return [
+                c
+                for c in sorted(live)
+                if re.search(
+                    r"(?<![A-Za-z0-9_])%s(?![A-Za-z0-9_])"
+                    % re.escape(c),
+                    sql,
+                )
+            ]
+
+        hit = refs_heavy(ce.sql)
+        if not hit:
+            return False
+
+        def conjuncts(n):
+            if isinstance(n, Binary) and n.op == "and":
+                return conjuncts(n.left) + conjuncts(n.right)
+            return [n]
+
+        parts = conjuncts(node)
+        cheap, heavy = [], []
+        if len(parts) > 1:
+            for p in parts:
+                pe = self.expr(p)
+                (heavy if refs_heavy(pe.sql) else cheap).append(pe.sql)
+        else:
+            heavy = [ce.sql]
+        if cheap:
+            self.r_filter(" AND ".join(cheap))
+        self.r_with_columns(
+            [(c, self._filter_barrier(self._qi(c))) for c in hit]
+        )
+        self.r_filter(" AND ".join(heavy))
+        return True
+
+    def _filter_barrier(self, sql: str) -> str:
+        """Dialect seam: the Spark engine wraps with the
+        nondeterministic no-op; SQL-text backends (the DuckDB oracle)
+        emit the plain expression — the barrier is a physical-plan
+        concern, not a semantic one.
+
+        ``IF(spark_partition_id() >= 0, c, NULL)``: partition ids
+        are non-negative, so the true branch ALWAYS returns ``c``
+        unchanged for any type, and both If and spark_partition_id
+        are codegen-able — the wrapped scoring chain stays in
+        whole-stage codegen. Two rejected forms, both measured on
+        docs_clean_pipeline: ``shuffle(array(c))[1]`` (the singleton
+        permutation) is CodegenFallback and dragged the entire chain
+        into interpreted eval — costing more than the double
+        evaluation it removed (1.46 → 1.75 s) — and
+        ``IF(rand(seed) < 2.0, ...)`` is folded away entirely by
+        Spark 4's rand-comparison simplification (the duplication
+        came straight back). The partition-id compare survives the
+        optimizer, costs one int compare per row, and keeps plan
+        dumps byte-stable (no seed)."""
+        return f"IF(spark_partition_id() >= 0, {sql}, NULL)"
 
     def _metadata_count_aggregate(self, step: FuncCall) -> bool:
         """The 100 TB ``SELECT count(*)`` that doesn't scan 100 TB:

@@ -1220,11 +1220,16 @@ def remove_duplicated_sentences(
             id_col, "__wi", F.expr("unhex(md5(__wk))").alias("__hk")
         )
     )
-    # window-count + checkpointed covered/affected — see
-    # remove_duplicated_windows (same shape, sentence granularity)
+    # window-count + array-domain reassembly — see
+    # remove_duplicated_windows (same round-12 shape, sentence
+    # granularity): covered sentence indices collect into ONE
+    # int-array per affected doc (single slim exchange, map-side
+    # partial dedup — replaces the (id, si) DISTINCT + affected-id
+    # DISTINCT + sentence-payload anti-join/collect_list exchanges),
+    # and the dirty branch rebuilds per-row in the array domain.
     from pyspark.storagelevel import StorageLevel
 
-    covered = (
+    cov = (
         wins.withColumn(
             "__c", F.expr("count(*) OVER (PARTITION BY __hk)")
         )
@@ -1235,21 +1240,13 @@ def remove_duplicated_sentences(
                 F.expr(f"sequence(__wi, __wi + {n} - 1)")
             ).alias("__si"),
         )
-        .distinct()
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    )
-    # clean-doc pruning (same shape as remove_duplicated_windows):
-    # only documents with a marked window pay the explode/anti-join/
-    # reassembly; clean docs take a narrow projection whose output
-    # is byte-identical (non-empty sentences joined by one space)
-    affected = (
-        covered.select(id_col)
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("__si").alias("__cov"))
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     staged = df.select(F.col(id_col), F.expr(sents).alias("__sa"))
     clean = (
-        staged.join(affected, id_col, "left_anti")
+        staged.join(cov.select(id_col), id_col, "left_anti")
         .select(
             F.col(id_col),
             F.expr(
@@ -1265,35 +1262,37 @@ def remove_duplicated_sentences(
             F.lit(0.0).alias("removed_fraction"),
         )
     )
-    sentences = (
-        staged.join(affected, id_col)
+    # dirty docs, array domain: cut covered indices out of the raw
+    # sentence array (indices align with posexplode's — the raw
+    # split INCLUDING empty boundary segments), then drop
+    # empty-trim segments exactly like the old stream's
+    # `trim(__s) != ''`; n_sentences counts REAL sentences (a
+    # trailing boundary's empty segment never counts as removed).
+    # Binding + nondeterministic wrapper: see
+    # remove_duplicated_windows.
+    reasm = (
+        "IF(spark_partition_id() >= 0, "
+        "element_at(transform(array(named_struct("
+        "'a', __sa, 'c', __cov)), b -> named_struct("
+        "'kept', filter(transform("
+        "array_except(sequence(0, size(b.a) - 1), b.c), "
+        "i -> element_at(b.a, i + 1)), x -> trim(x) != ''), "
+        "'m', size(filter(b.a, x -> trim(x) != '')))), 1), NULL)"
+    )
+    dirty = (
+        staged.join(cov, id_col)
+        .select(F.col(id_col), F.expr(reasm).alias("__t"))
+        .where(F.expr("size(__t.kept) > 0"))
         .select(
             F.col(id_col),
-            # count REAL sentences (a trailing boundary leaves an
-            # empty split segment; it must not count as "removed")
+            F.expr("concat_ws(' ', __t.kept)").alias("text_cleaned"),
+            F.expr("CAST(__t.m AS BIGINT)").alias("n_sentences"),
             F.expr(
-                "size(filter(__sa, x -> trim(x) != ''))"
-            ).alias("__m"),
-            F.posexplode("__sa").alias("__si", "__s"),
-        )
-        .where(F.expr("trim(__s) != ''"))
-    )
-    kept = sentences.join(covered, [id_col, "__si"], "left_anti")
-    dirty = (
-        kept.groupBy(id_col)
-        .agg(
-            F.expr(
-                "concat_ws(' ', transform(array_sort("
-                "collect_list(named_struct('i', __si, 's', __s))), "
-                "p -> p.s))"
-            ).alias("text_cleaned"),
-            F.first("__m").cast("long").alias("n_sentences"),
-            F.expr(
-                "CAST(first(__m) - count(*) AS BIGINT)"
+                "CAST(__t.m - size(__t.kept) AS BIGINT)"
             ).alias("n_removed_sentences"),
             F.expr(
-                "round((first(__m) - count(*)) "
-                "/ CAST(first(__m) AS DOUBLE), 6)"
+                "round((__t.m - size(__t.kept)) "
+                "/ CAST(__t.m AS DOUBLE), 6)"
             ).alias("removed_fraction"),
         )
     )
@@ -1373,19 +1372,33 @@ def remove_duplicated_windows(
     # duplicated_window_fraction trick, round 11): agg + join re-ran
     # the gram explode chain on both join sides and exchanged the
     # gram stream twice; the window exchanges the slim (id, wi, key)
-    # stream once and the explode runs once. `covered` and `affected`
-    # then feed THREE downstream consumers (the clean-branch
-    # anti-join, the dirty-branch inner join, and the word-level anti
-    # join) — each reference re-executed the whole mark subtree (the
-    # before-plan shows the counts subtree three times and 8 corpus
-    # scans), so both are pinned as lazy DISK_ONLY localCheckpoints:
-    # slim int pairs / ids, computed once, read back per consumer.
+    # stream once and the explode runs once.
+    #
+    # Round 12 — array-domain reassembly: the covered word indices
+    # are gathered into ONE int-array per affected doc
+    # (collect_set — map-side partial dedup, a single slim exchange
+    # on the id), and the dirty branch rebuilds each doc's text by
+    # array_except-ing the covered indices out of [0, n_words) and
+    # re-reading the surviving words by index — a linear, per-row
+    # JVM expression. This replaces the word-level posexplode +
+    # (id, word_index) anti-join + collect_list window that
+    # re-exchanged the full word payload of every affected doc, and
+    # it also deletes two whole exchanges the old shape paid
+    # ((id, j) DISTINCT + the affected-id DISTINCT: the id set now
+    # falls out of the same aggregate). The r11 run-merge/slice
+    # attempt lost to the exploded shape on interpreted fold
+    # machinery; this formulation has no folds — array_except is a
+    # native O(m) set op and the index transform is one
+    # element_at per surviving word. ``cov`` feeds two consumers
+    # (the clean-branch anti-join and the dirty-branch inner join),
+    # so it is pinned as a lazy DISK_ONLY localCheckpoint: slim
+    # (id, int-array) rows, computed once, read back per consumer.
     # (DISK_ONLY for the same reason as connected_components': the
     # blocks must not squat in storage memory. Not fault-tolerant —
     # acceptable for derived intermediates, as elsewhere.)
     from pyspark.storagelevel import StorageLevel
 
-    covered = (
+    cov = (
         grams.withColumn(
             "__c", F.expr("count(*) OVER (PARTITION BY __gk)")
         )
@@ -1396,18 +1409,14 @@ def remove_duplicated_windows(
                 F.expr(f"sequence(__wi, __wi + {n} - 1)")
             ).alias("__j"),
         )
-        .distinct()
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    )
-    affected = (
-        covered.select(id_col)
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("__j").alias("__cov"))
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     # clean docs: byte-identical output (words rejoined with single
     # spaces) from a narrow projection — no explode, no reassembly
     clean = (
-        df.join(affected, id_col, "left_anti")
+        df.join(cov.select(id_col), id_col, "left_anti")
         .where(F.expr(f"trim({text_col}) != ''"))
         .select(
             F.col(id_col),
@@ -1419,33 +1428,51 @@ def remove_duplicated_windows(
             F.lit(0.0).alias("removed_fraction"),
         )
     )
-    words = (
-        df.join(affected, id_col)  # only affected docs explode
+    # dirty docs: bind the word array ONCE via a one-element
+    # struct-array (lambda-variable references only — the
+    # substitution-safe idiom; a bare column ref inside the lambda
+    # body is one alias substitution away from re-evaluating the
+    # split per ELEMENT), drop covered indices with array_except
+    # (order-preserving over the ascending index sequence, ignores
+    # out-of-range covered indices from short-doc windows), and read
+    # the surviving words back by index. element_at is 1-based and
+    # every index is in [1, size] by construction (affected docs
+    # have >= 1 gram, hence >= 1 word), so ANSI mode never trips.
+    # Empty-string words are filtered AFTER the index cut, exactly
+    # like the old stream's `__w != ''` — they count as removed.
+    # The outer IF(spark_partition_id() >= 0, ..., NULL) is a
+    # value-identity NONDETERMINISTIC wrapper (partition ids are
+    # non-negative: the true branch always returns the struct
+    # unchanged): the where-filter below references __t, and without
+    # the wrapper Catalyst would substitute the whole reassembly
+    # into the pushed filter — re-running it per surviving row (the
+    # same Filter/Project double-eval the compiler's heavy-filter
+    # barrier prevents; same codegen-friendly wrapper form, see
+    # compiler._filter_barrier).
+    reasm = (
+        f"IF(spark_partition_id() >= 0, "
+        f"element_at(transform(array(named_struct("
+        f"'w', {ws}, 'c', __cov)), b -> named_struct("
+        f"'kept', filter(transform("
+        f"array_except(sequence(0, size(b.w) - 1), b.c), "
+        f"i -> element_at(b.w, i + 1)), x -> x != ''), "
+        f"'m', size(b.w))), 1), NULL)"
+    )
+    dirty = (
+        df.join(cov, id_col)
+        .select(F.col(id_col), F.expr(reasm).alias("__t"))
+        .where(F.expr("size(__t.kept) > 0"))
         .select(
             F.col(id_col),
-            F.expr(f"size({ws})").alias("__m"),
-            F.posexplode(F.expr(ws)).alias("__j", "__w"),
-        )
-        .where(F.expr("__w != ''"))
-    )
-    kept = words.join(covered, [id_col, "__j"], "left_anti")
-    dirty = (
-        kept.groupBy(id_col)
-        .agg(
+            F.expr("concat_ws(' ', __t.kept)").alias("text_cleaned"),
+            F.expr("CAST(__t.m AS BIGINT)").alias("n_words"),
             F.expr(
-                "concat_ws(' ', transform(array_sort("
-                "collect_list(named_struct('j', __j, 'w', __w))), "
-                "s -> s.w))"
-            ).alias("text_cleaned"),
-            F.first("__m").alias("n_words"),
-            F.expr(
-                "CAST(first(__m) - count(*) AS BIGINT)"
+                "CAST(__t.m - size(__t.kept) AS BIGINT)"
             ).alias("n_removed_words"),
             F.expr(
-                "round((first(__m) - count(*)) "
-                "/ CAST(first(__m) AS DOUBLE), 6)"
+                "round((__t.m - size(__t.kept)) "
+                "/ CAST(__t.m AS DOUBLE), 6)"
             ).alias("removed_fraction"),
         )
-        .withColumn("n_words", F.col("n_words").cast("long"))
     )
     return dirty.unionByName(clean)

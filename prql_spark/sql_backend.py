@@ -126,6 +126,12 @@ class SqlCompiler(Compiler):
             return _esc_str(s)  # the DataFrame path's escaping
         return "'" + s.replace("'", "''") + "'"
 
+    def _filter_barrier(self, sql: str) -> str:
+        # the Filter/Project pushdown barrier is a Catalyst
+        # physical-plan concern; emitted SQL text stays plain (the
+        # DuckDB oracle has no `shuffle` and needs none)
+        return sql
+
     # ------------------------------------------------ layer helpers
 
     def _top(self) -> _Layer:

@@ -234,6 +234,39 @@ def test_docs_clean_pipeline_plan_shape(catalog, spark):
     assert plan.count("hashpartitioning(__key") == 1
 
 
+def test_heavy_filter_barrier_single_eval(catalog, spark):
+    """r12 cost-gated Filter/Project barrier: a filter on a
+    quality_score/lang_id column must NOT be alias-substituted below
+    the defining Project (that leaves the full regex chain in both
+    the pushed Filter and the Project — every surviving row scores
+    twice). The barrier re-projects the referenced heavy columns
+    through a nondeterministic no-op, so the chain evaluates exactly
+    once; sargable conjuncts of the same filter still push to the
+    scan."""
+    from prql_spark.operators import entry_queries
+
+    df = entry_queries()["docs_clean_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = plan_of(df)
+    # quality's stopword regex + the four lang signatures: once each
+    # (the pre-barrier plan carried 10 — each chain in Filter AND
+    # Project)
+    assert plan.count("regexp_extract_all") == 5
+    # mixed filter: the cheap conjunct keeps pushing to the scan
+    # while the heavy conjunct stays above the scoring projection
+    df2 = compile_prql(
+        "from documents\nquality_score\n"
+        "filter quality > 0.3 and doc_id < 100\n"
+        "select [doc_id, quality]",
+        catalog,
+    )
+    p2 = plan_of(df2)
+    assert "LessThan(doc_id,100)" in p2  # pushed to parquet
+    assert p2.count("regexp_extract_all") == 1
+    assert df2.count() == 100
+
+
 def test_flag_filters_substitution_safe(catalog):
     """Filtering on a computed flag pushes the flag expression down
     through the defining projections, substituting every staged
