@@ -421,10 +421,10 @@ def semdedup_pairs(
 
     PRECONDITION: ``id_col`` must be unique per row (the contract of
     every id-keyed operator here — embeddings tables are keyed by
-    vec_id). The round-11 slim-argmax shape re-joins the winning
-    list to the vectors by id, so a DUPLICATED id would contribute
-    one corpus row per duplicate (and with it ``id_a == id_b``
-    self-pairs at cosine 1.0) where the old ``groupBy(id)`` shape
+    vec_id). The per-row argmax assignment keeps one corpus row per
+    input row, so a DUPLICATED id would contribute one corpus row
+    per duplicate (and with it ``id_a == id_b`` self-pairs at
+    cosine 1.0) where a pre-round-11 ``groupBy(id)`` shape
     collapsed duplicates to an arbitrary single vector. Neither
     behavior is meaningful for non-unique ids — dedup of a corpus
     whose KEYS are ambiguous is ill-posed — so the precondition is
@@ -472,15 +472,27 @@ def semdedup_pairs(
             ).alias("__vn"),
         )
     )
-    # Assignment = broadcast-join against a tiny centroid FRAME, then
-    # an argmax aggregate (max over (cos, i) structs → round-9 cos,
-    # ties to the larger index — the same cross-engine determinism
-    # contract as _nearest_expr). MEASURED: inlining all n_lists
-    # centroids as one array_max(array(named_struct(...))) literal
-    # expression blows past the codegen size limits and falls back to
-    # per-row interpretation of n_lists 64-element array literals —
-    # 108s steady at sf0.1 for 64 lists; this join+agg shape is 2s.
-    # Cost: one extra map-side-combined exchange on the id.
+    # Assignment = per-row argmax over ONE constant centroid-array
+    # literal: transform((c, i) -> (round(cos, 9), i)) + array_max —
+    # round-9 cos, ties to the larger index, the same cross-engine
+    # determinism contract as _nearest_expr. Round 12: this replaces
+    # the round-11 broadcast-join + max(struct) SortAggregate +
+    # corpus re-join — measured 1.74 s → 0.99 s for the corpus phase
+    # at sf0.1 (identical assignments), and it deletes BOTH corpus
+    # exchanges (the argmax group-by and the re-join): the
+    # assignment is now a narrow map, linear at 100 TB with zero
+    # shuffle. This is NOT the shape round 11 measured at 108 s —
+    # that one unrolled n_lists SEPARATE named_struct expressions,
+    # each embedding its own 64-literal array (n_lists × dim literal
+    # loads of generated code, past the codegen limits into per-row
+    # interpretation). Here the centroids fold into a single
+    # array<array<double>> literal OBJECT at optimization time and
+    # one interpreted transform loops over it; the dot fold runs
+    # exactly as often as the old join shape without materializing
+    # the n × n_lists joined rows (the 64-way vector copy was the
+    # measured cost, not the fold). __vn enters through a
+    # one-element binding, so no alias substitution can inline the
+    # normalize chain into the lambda body.
     if hier_assign:
         # corpus-sized quantizer: the two-level assignment (measured
         # 5.9× at 2000 lists, the only tractable path past ~8000);
@@ -490,34 +502,48 @@ def semdedup_pairs(
             base, cn, vec_col="__vn", id_col=id_col, out_col="list_id"
         )
     else:
-        cents_df = df.sparkSession.createDataFrame(
-            [(i, c) for i, c in enumerate(cn)], "i int, c array<double>"
+        # The centroid table enters the plan as ONE constant:
+        # from_json over a literal JSON string, which ConstantFolding
+        # collapses to a single array<array<double>> literal OBJECT
+        # before execution (verified in the optimized plan), and
+        # Jackson's double parse round-trips repr-exact values
+        # bit-for-bit. Measured alternatives for getting n_lists×dim
+        # doubles into the plan PER QUERY BUILD (driver-side, inside
+        # any caller's timed region): SQL-text literals ~1.4 s of
+        # parsing, F.lit per row / nested ~1.8-2.0 s of py4j
+        # element-wise conversion, this form ~10 ms (one string
+        # ships). unit_normalize guarantees finite values (no
+        # NaN/Infinity to trip JSON).
+        import json as _json
+
+        cents_lit = F.from_json(
+            F.lit(_json.dumps(cn)), "array<array<double>>"
         )
-        # Argmax over a SLIM (id, 16-byte struct) stream, then join
-        # the winning list back to the vectors (round 11): max(struct)
-        # plans as a SortAggregate (struct buffers are not
-        # hash-aggregable), and carrying __vn through it via first()
-        # made the n×n_lists-row sort drag the full 64-double vector
-        # per row — measured as the op's hottest stage. The re-join is
-        # one slim exchange (or a broadcast of n id→list rows); the
-        # vector normalization re-derives off the scan (narrow, one
-        # extra column-pruned pass — cheaper than sorting vectors
-        # n_lists times).
-        assign = (
-            base.join(F.broadcast(cents_df))
-            .select(
-                F.col(id_col),
-                F.expr(
-                    f"named_struct('cos', round({_dot('__vn', 'c')}, 9), "
-                    f"'i', i)"
-                ).alias("__s"),
+
+        def _dot_col(a, b):
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
             )
-            .groupBy(id_col)
-            .agg(F.max("__s").alias("__m"))
-            .select(id_col, F.col("__m.i").alias("list_id"))
-        )
-        corpus = base.join(assign, id_col).select(
-            id_col, "__vn", "list_id"
+
+        argmax = F.element_at(
+            F.transform(
+                F.array(F.col("__vn")),
+                lambda vn: F.array_max(
+                    F.transform(
+                        cents_lit,
+                        lambda c, i: F.struct(
+                            F.round(_dot_col(vn, c), 9).alias("cos"),
+                            i.alias("i"),
+                        ),
+                    )
+                ),
+            ),
+            1,
+        )["i"]
+        corpus = base.select(
+            F.col(id_col), F.col("__vn"), argmax.alias("list_id")
         )
     # Bucket-combine (the minhash/simhash shape), not a self-join:
     # ONE more exchange groups each cluster's (id, vn) members, and

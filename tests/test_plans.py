@@ -199,10 +199,11 @@ def test_dedup_against_broadcasts_reference_keys(catalog):
 
 
 def test_semdedup_bucket_combine_shape(catalog):
-    # ONE broadcast nested-loop against the tiny centroid frame (the
-    # 64-row scoring join — assignment computed exactly once), then
-    # bucket-combine: NO self-join re-exchanging the corpus, no
-    # cartesian product anywhere
+    # r12: the coarse assignment is a per-row argmax over one folded
+    # centroid-array LITERAL — no join of any kind before the
+    # bucket-combine (the r11 shape still paid a 64-way
+    # BroadcastNestedLoopJoin + argmax aggregate + corpus re-join),
+    # and the only exchange is the bucket-combine group-by
     from prql_spark.operators._ivf_centroids import SEMDEDUP_CENTROIDS
     from prql_spark.operators.similarity import semdedup_pairs
 
@@ -212,8 +213,9 @@ def test_semdedup_bucket_combine_shape(catalog):
     )
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 1
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Join" not in plan  # assignment is a narrow map now
+    assert plan.count("Exchange") == 1  # the bucket-combine only
+    assert plan.count("Scan parquet") == 1
 
 
 def test_docs_clean_pipeline_plan_shape(catalog, spark):
