@@ -38,6 +38,26 @@ def build_spark(app: str = "prql_spark", cpus: int | None = None) -> SparkSessio
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is BYTE-driven and blind to downstream
+        # compute: with parallelismFirst (default true) the coalesce
+        # floor is minPartitionSize = 1 MB, so any byte-light but
+        # CPU-heavy stage collapses to ~total_bytes/1MB tasks. The
+        # corpus scoring chains are exactly that shape (sf0.1: the
+        # 1.5 MB post-dedup-window corpus coalesced to ONE partition
+        # and the entire 4.5 s regex/fold scoring stage ran as a
+        # single task — also why those rows showed flat 8-vs-32-core
+        # scaling). Lowering the floor lets parallelismFirst reach
+        # the session's parallelism on such stages. Scale-adaptive
+        # by construction: the coalesce target is
+        # max(stage_bytes / parallelism, this floor), so on any
+        # stage with real bytes the ratio term dominates and the
+        # floor never binds — it only matters when stage_bytes <
+        # cores × 1 MB, which is precisely when per-row compute, not
+        # shuffle I/O, is the cost.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            "16k",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # runtime bloom-filter join pruning: at cluster scale a
         # selective dim-side predicate row-filters the fact scan

@@ -2324,3 +2324,53 @@ def test_staged_stats_footers_executor_path(spark, tmp_path, monkeypatch):
         if f["stats"]["id"][0] <= 1999 and f["stats"]["id"][1] >= 1000
     )
     assert n_input_files == n_overlap < 8
+
+
+def test_process_increment_raced_append_lands_next_run(
+    spark, tmp_path, monkeypatch
+):
+    """r10-prescribed injected-race evidence for the end_version pin:
+    an appender landing a NEW source version between
+    process_increment's version listing and its increment read must
+    not be swallowed under the already-captured bookmark (the
+    pre-r11 bug: the read saw the raced rows but the bookmark did
+    not cover their version, so the next run duplicated them). With
+    the read pinned to the captured ``latest``, the raced append is
+    simply the NEXT run's increment — zero duplicates, zero
+    losses."""
+    from prql_spark.sources import manifest as mf
+    from prql_spark.sources.incremental import process_increment
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    snapshot_write(spark.range(50), src, stats_cols=("id",))
+    double = lambda df: df.withColumn("v", F.col("id") * 2)  # noqa: E731
+    r0 = process_increment(spark, src, dst, double, stats_cols=("id",))
+    assert r0["processed"] and r0["n_rows_out"] == 50
+
+    snapshot_write(spark.range(50, 80), src, mode="append",
+                   stats_cols=("id",))
+
+    real_changes = mf.snapshot_changes
+
+    def changes_after_race(spark_, path, since_version, end_version=None,
+                           **kw):
+        # plant the racing append AFTER the caller listed versions
+        # and captured `latest`, but BEFORE the increment read runs
+        monkeypatch.setattr(mf, "snapshot_changes", real_changes)
+        snapshot_write(spark.range(80, 95), src, mode="append",
+                       stats_cols=("id",))
+        return real_changes(spark_, path, since_version=since_version,
+                            end_version=end_version, **kw)
+
+    monkeypatch.setattr(mf, "snapshot_changes", changes_after_race)
+    r1 = process_increment(spark, src, dst, double, stats_cols=("id",))
+    # the raced rows are NOT in this run (read pinned to end_version)
+    assert r1["processed"] and r1["n_rows_out"] == 30
+
+    # ... and arrive in the NEXT run, exactly once
+    r2 = process_increment(spark, src, dst, double, stats_cols=("id",))
+    assert r2["processed"] and r2["n_rows_out"] == 15
+    got = sorted(r.id for r in snapshot_read(spark, dst).collect())
+    assert got == list(range(95))  # every source row exactly once
+    assert process_increment(spark, src, dst, double)["processed"] is False
