@@ -214,21 +214,28 @@ def unigram_vocab(
     this is the classic "collect tiny model, score wide" pattern —
     the same shape as IVF's pretrained centroids.
     """
+    from pyspark.sql import Observation
+
     words = _words(text_col)
     counts = (
         df.select(F.explode(F.expr(words)).alias("tok"))
         .where(F.expr("tok != ''"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        # two actions follow (scalar total + top-V); cache the counts
-        # so the corpus-wide explode+agg scan runs ONCE, not twice
-        .persist()
     )
-    try:
-        total = counts.agg(F.sum("c")).first()[0] or 0
-        top = counts.orderBy(F.desc("c"), "tok").limit(top_v).collect()
-    finally:
-        counts.unpersist()
+    # ONE job for both results (round 12): the top-V TakeOrdered
+    # scans every counts row anyway, so the scalar total rides the
+    # same pass as an observed metric — replacing the previous
+    # persist + two actions (a second full pass over the cached
+    # counts, plus storage-memory residency until unpersist).
+    obs = Observation()
+    top = (
+        counts.observe(obs, F.sum("c").alias("total"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(top_v)
+        .collect()
+    )
+    total = obs.get["total"] or 0
     return [(r["tok"], r["c"]) for r in top], int(total)
 
 
