@@ -999,6 +999,10 @@ def _dedup_spans(
     kept_col: str,
     max_spans: int | None = None,
 ) -> DataFrame:
+    # NO input spread, deliberately (round-12 A/B): the span map is
+    # one split + normalize + md5 per span — the spread exchange
+    # measured 0.79 s → 1.2 s on dedup_paragraphs (3 reps each); the
+    # gram-chain ops are the ones that win from spreading.
     span_split = f"split({text_col}, '{split_pattern}')"
     norm = "lower(trim(regexp_replace(__para, '\\\\s+', ' ')))"
     if max_spans is not None:
@@ -1100,6 +1104,9 @@ def duplicated_window_fraction(
     """
     from prql_spark.operators.text import _words, ngram_expr
 
+    # single-scan-partition inputs serialize the gram chain — spread
+    # once (no-op on parallel inputs)
+    df = _spread(df, id_col)
     grams = (
         df.select(F.col(id_col), F.expr(_words(text_col)).alias("__ws"))
         .select(
@@ -1198,6 +1205,11 @@ def remove_duplicated_sentences(
     """
     from prql_spark.operators.text import ngram_expr
 
+    # NO input spread here, deliberately (round-12 A/B): the
+    # sentence op's per-doc map is one boundary split + a few md5s —
+    # light enough that the spread exchange LOSES locally (0.71 s
+    # no-spread vs 1.1 s spread, 3 reps each); contrast
+    # remove_duplicated_windows, whose 8-gram chains win 2.3→1.3 s.
     sents = sentence_split_expr(text_col)
     # per-sentence 32-char md5 of the normalized text; the lambda
     # body references only its own variable — substitution-safe
@@ -1355,6 +1367,13 @@ def remove_duplicated_windows(
     """
     from prql_spark.operators.text import ngram_expr
 
+    # spread the compute-heavy gram/reassembly maps across all cores
+    # when the input is a single scan partition (round 12: the gram
+    # explode alone measured 2.5 s single-task on the local
+    # single-file scan — a 1.5 MB single-row-group parquet file
+    # cannot split at scan level); no-op on already-parallel inputs,
+    # and branches below share the one exchange (ReuseExchange)
+    df = _spread(df, id_col)
     # case-preserving stream for the rebuilt text; matching runs on
     # the lowercased stream (same tokenization: lower() commutes with
     # the whitespace split)

@@ -478,9 +478,12 @@ def test_span_dedup_single_key_exchange(catalog):
     assert "Join" not in plan
     # the exchange key is the 16-byte md5, never the span text
     assert "md5" in plan
-    # exchanges: span-key window + per-doc reassembly — bounded,
-    # single-pass, no O(n^2) shape
-    assert plan.count("Exchange hashpartitioning") <= 2
+    # exchanges: span-key window + per-doc reassembly, plus (r12)
+    # the conditional single-scan-partition spread — which fires only
+    # on local under-parallel inputs (at scale _spread no-ops and the
+    # span-key window stays the one corpus exchange)
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert plan.count("REPARTITION_BY_NUM") <= 1  # the spread only
     # the corpus is scanned exactly once (the old shape scanned twice)
     assert plan.count("Scan parquet") == 1
 
@@ -536,5 +539,7 @@ def test_window_mark_phase_plan_shape(catalog):
     assert "md5" in plan
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
-    # gram-key window + per-doc aggregate
-    assert plan.count("Exchange hashpartitioning") <= 2
+    # gram-key window + per-doc aggregate, plus (r12) the conditional
+    # single-scan-partition spread (no-op at scale)
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert plan.count("REPARTITION_BY_NUM") <= 1  # the spread only
