@@ -187,8 +187,17 @@ def connected_components(
         if stats is not None:
             stats["rounds"] = 0
             stats["local"] = True
+        # ship the labels back through ONE Arrow batch: a
+        # list-of-tuples createDataFrame pickles and type-checks per
+        # row over py4j (measured 0.31-0.34 s warm / 3.8 s first call
+        # at 2k rows vs 0.12-0.14 s / 0.48 s for the pandas+Arrow
+        # path — round 12); the explicit schema keeps the exact
+        # node/component type the distributed path would return
+        import pandas as pd
+
+        pdf = pd.DataFrame(out, columns=["node", "component"])
         return edges.sparkSession.createDataFrame(
-            out, f"node {utype}, component {utype}"
+            pdf, schema=f"node {utype}, component {utype}"
         )
 
     # Fused first round: initial label = min(self, neighbors), which
