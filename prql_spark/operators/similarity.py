@@ -76,6 +76,13 @@ def brute_force_topk(
     shuffles whole vectors; only (query_id, id, cosine) triples enter
     the two-stage top-k.
     """
+    from prql_spark.operators.dedup import _spread
+
+    # the per-row work is |queries| cosine folds — heavy enough that
+    # a single-scan-partition input serializes the op (measured
+    # 0.42-0.62 s -> 0.32-0.36 s at sf0.1 with the spread, 3 reps);
+    # no-op on already-parallel inputs
+    df = _spread(df, id_col)
     j = df.alias("d").join(F.broadcast(queries.alias("q")))
     scored = j.select(
         F.col(f"q.{query_id_col}").alias(query_id_col),
@@ -128,10 +135,15 @@ def lsh_topk(
     one bucket and probe buckets are distinct, so each (query, vec)
     candidate appears at most once — no dedup pass needed.
     """
+    from prql_spark.operators.dedup import _spread
+
     planes = hyperplanes(dim, n_planes, seed)
     b = _bucket_expr(vec_col, planes)
     bq = _bucket_expr("qvec", planes)
-    corpus = df.withColumn("__bucket", F.expr(b))
+    # n_planes sign-dot folds per corpus row: spread a
+    # single-scan-partition input (no-op on parallel inputs — see
+    # brute_force_topk's measured A/B)
+    corpus = _spread(df, id_col).withColumn("__bucket", F.expr(b))
     if multiprobe:
         probes = ", ".join(
             f"(__b0 ^ {1 << j})" for j in range(n_planes)
@@ -283,9 +295,14 @@ def ivf_topk(
             n_lists = occupancy_lists(df.count())
         centroids = ivf_train_centroids(df, dim, n_lists, vec_col=vec_col,
                                         id_col=id_col)
+    from prql_spark.operators.dedup import _spread
+
     small_quantizer = len(centroids) <= 64
     if small_quantizer:
-        corpus = df.withColumn(
+        # n_lists cosine folds per row: spread a single-scan-
+        # partition input (no-op on parallel inputs — see
+        # brute_force_topk's A/B)
+        corpus = _spread(df, id_col).withColumn(
             "__list", F.expr(_nearest_expr(vec_col, centroids))
         )
     else:
@@ -446,8 +463,13 @@ def semdedup_pairs(
     # divide by 1 instead of erroring the job under ANSI mode; their
     # all-zero unit vector dots to 0 with everything, so they never
     # pair — mirroring unit_normalize's `or 1.0` guard.
+    from prql_spark.operators.dedup import _spread
+
+    # the normalize + n_lists-fold argmax below are narrow maps — a
+    # single-scan-partition input would run them as ONE task (no-op
+    # on parallel inputs; see brute_force_topk's measured A/B)
     base = (
-        df.select(
+        _spread(df, id_col).select(
             F.col(id_col),
             F.expr(_norm(vec_col)).alias("__n0"),
             F.col(vec_col),
@@ -834,11 +856,15 @@ def embedding_near_dups(
     volume is (n_planes+1)× the exact-collision count, not
     (n_planes+1)².
     """
+    from prql_spark.operators.dedup import _spread
+
     if n_planes is None:
         n_planes = occupancy_planes(df.count())
     planes = hyperplanes(dim, n_planes, seed)
     b = _bucket_expr(vec_col, planes)
-    base = df.select(
+    # n_planes sign-dot folds per row: spread a single-scan-partition
+    # input (no-op on parallel inputs — see brute_force_topk's A/B)
+    base = _spread(df, id_col).select(
         F.col(id_col), F.col(vec_col), F.expr(b).alias("__bucket")
     )
     masks = [0] + ([1 << j for j in range(n_planes)] if multiprobe else [])
