@@ -54,9 +54,18 @@ def build_spark(app: str = "prql_spark", cpus: int | None = None) -> SparkSessio
         # floor never binds — it only matters when stage_bytes <
         # cores × 1 MB, which is precisely when per-row compute, not
         # shuffle I/O, is the cost.
+        # 64k, not lower: fresh-JVM per-query A/B (3 reps each)
+        # showed 16k taxes every tiny exchange ~5-10% in extra tasks
+        # (dedup_lines 0.88→0.81 s, q13 0.95→0.87, docs_clean
+        # 1.28→1.15 steady at 64k) while 64k keeps the full scoring
+        # parallelism (1.5 MB stage / 64k ≈ 24 tasks; prepare corpus
+        # 3.67-3.75 s steady at 64k vs 3.25-4.53 s at 16k — same
+        # mean, half the variance). Parameterized (env) like the
+        # core count so deployments with a different compute/byte
+        # balance can retune without a code edit.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            "16k",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # runtime bloom-filter join pruning: at cluster scale a
