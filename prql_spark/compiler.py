@@ -175,6 +175,77 @@ def _esc_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
+def _iter_calls(node):
+    """Yield every FuncCall in an AST subtree (iterative walk)."""
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, FuncCall):
+            yield n
+            stack.extend(n.args)
+            stack.extend(n.named.values())
+        elif isinstance(n, ExprPipeline):
+            stack.extend(n.steps)
+        elif isinstance(n, ListExpr):
+            stack.extend(n.items)
+        elif isinstance(n, Assign):
+            stack.append(n.expr)
+        elif isinstance(n, Unary):
+            stack.append(n.expr)
+        elif isinstance(n, Binary):
+            stack.extend((n.left, n.right))
+        elif isinstance(n, (SString, FString)):
+            stack.extend(p for p in n.parts if not isinstance(p, str))
+        elif isinstance(n, RangeLit):
+            stack.extend(x for x in (n.start, n.end) if x is not None)
+        elif isinstance(n, (list, tuple)):
+            stack.extend(n)
+
+
+def _call_table_name(fc: FuncCall) -> str | None:
+    """The table name a from/join step references (mirrors
+    Compiler._table_ref, but total — returns None on shapes that
+    _table_ref would reject, leaving the error to compilation)."""
+    assigns = fc.named.get("_assigns") or []
+    if assigns and isinstance(assigns[0], Assign):
+        e = assigns[0].expr
+        return e.name if isinstance(e, Ident) else None
+    if fc.args and isinstance(fc.args[0], Ident):
+        return fc.args[0].name
+    return None
+
+
+def _table_ref_counts(q: Query) -> dict:
+    """How many from/join sites reference each name, across every
+    table pipeline and the main pipeline (func bodies excluded: a
+    reference that only exists post-inlining is merely uncounted —
+    the CTE then stays inline, never the reverse)."""
+    refs: dict = {}
+    for node in [t.pipeline for t in q.tables] + [q.pipeline]:
+        for fc in _iter_calls(node):
+            if fc.name in ("from", "join"):
+                nm = _call_table_name(fc)
+                if nm:
+                    refs[nm] = refs.get(nm, 0) + 1
+    return refs
+
+
+def _has_shuffle_step(pipe: ExprPipeline) -> bool:
+    """True when the pipeline contains a transform whose re-execution
+    pays a shuffle (group/aggregate/sort/take top-k): the gate for
+    materializing a multi-referenced CTE."""
+    return any(
+        fc.name in ("group", "aggregate", "sort", "take")
+        for fc in _iter_calls(pipe)
+    )
+
+
+def _cte_checkpoint_enabled() -> bool:
+    import os
+
+    return os.environ.get("PRQL_SPARK_CTE_CHECKPOINT", "1") != "0"
+
+
 class CExpr:
     """A compiled expression: Spark SQL text + aggregation kind."""
 
@@ -312,11 +383,40 @@ class Compiler:
 
     def compile_query(self, q: Query) -> DataFrame:
         self.funcs = dict(q.func_defs)
+        refs = _table_ref_counts(q)
         for t in q.tables:
             sub = self._sub()
             sub.funcs = dict(self.funcs)
             sub.local_tables = dict(self.local_tables)
-            self.local_tables[t.name] = sub.compile_pipeline(t.pipeline)
+            df = sub.compile_pipeline(t.pipeline)
+            # A `table` CTE referenced from TWO OR MORE downstream
+            # from/join sites is re-EXECUTED per reference by Spark
+            # (DataFrame reuse shares the plan, not the work): q21's
+            # order_supp ran its lineitem⋈orders aggregate twice —
+            # two scans of the largest table, two broadcast builds,
+            # two shuffles. Materialize such a CTE once via the
+            # repo's lazy DISK_ONLY localCheckpoint pattern (same
+            # trade as prepare_training_corpus's scored frame: the
+            # intermediate is not fault-tolerant to executor loss,
+            # so lineage-replay clusters can disable via env).
+            # Gated on the CTE being shuffle-bearing (group/
+            # aggregate/sort/take): a narrow filter-CTE is CHEAPER
+            # re-executed inline, where each consumer keeps its own
+            # column pruning and predicate pushdown.
+            if (
+                isinstance(df, DataFrame)  # the SQL backend compiles
+                # through here with _SqlRel stand-ins: CTE text needs
+                # no materialization (the dialect emits WITH)
+                and refs.get(t.name, 0) >= 2
+                and _has_shuffle_step(t.pipeline)
+                and _cte_checkpoint_enabled()
+            ):
+                from pyspark.storagelevel import StorageLevel
+
+                df = df.localCheckpoint(
+                    eager=False, storageLevel=StorageLevel.DISK_ONLY
+                )
+            self.local_tables[t.name] = df
         return self.compile_pipeline(q.pipeline)
 
     def compile_pipeline(self, pipe: ExprPipeline) -> DataFrame:

@@ -546,3 +546,59 @@ def test_window_mark_phase_plan_shape(catalog):
     # single-scan-partition spread (no-op at scale)
     assert plan.count("Exchange hashpartitioning") <= 3
     assert plan.count("REPARTITION_BY_NUM") <= 1  # the spread only
+
+
+def test_multi_ref_cte_materializes_once(catalog):
+    """A `table` CTE referenced by TWO downstream from/join sites is
+    re-executed per reference when left inline (Spark shares the
+    DataFrame, not the work): q21's order_supp aggregate ran its
+    lineitem scan + orders broadcast + shuffle twice. The compiler
+    now binds such shuffle-bearing CTEs through a lazy DISK_ONLY
+    localCheckpoint, so the final plan reads ONE materialized RDD
+    from both sites instead of duplicating the subtree."""
+    prql = (
+        "table pairs = (\n"
+        "  from lineitem\n"
+        "  group [l_orderkey, l_suppkey] (aggregate [n = count])\n"
+        ")\n"
+        "table per_order = (\n"
+        "  from pairs\n"
+        "  group [l_orderkey] (aggregate [n_supp = count])\n"
+        ")\n"
+        "from p=pairs\n"
+        "join o=per_order [l_orderkey]\n"
+        "filter n_supp >= 2\n"
+        "aggregate [total = sum n]"
+    )
+    plan = plan_of(compile_prql(prql, catalog))
+    # both consumers read the checkpointed RDD; lineitem is scanned
+    # only inside the (shared) checkpoint materialization
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "Scan parquet" not in plan
+
+
+def test_single_ref_cte_stays_inline(catalog):
+    """A CTE referenced once keeps its inline plan (no RDD barrier:
+    each consumer keeps column pruning and predicate pushdown), and
+    a multi-referenced narrow filter-CTE does too — re-running a
+    scan filter is cheaper than materializing its full width."""
+    single = (
+        "table agg = (\n"
+        "  from lineitem\n"
+        "  group [l_orderkey] (aggregate [n = count])\n"
+        ")\n"
+        "from agg\nfilter n > 2"
+    )
+    plan = plan_of(compile_prql(single, catalog))
+    assert "ExistingRDD" not in plan and "Scan parquet" in plan
+    narrow = (
+        "table cheap = (\n"
+        "  from lineitem\n"
+        "  filter l_quantity < 10\n"
+        ")\n"
+        "from a=cheap\n"
+        "join b=cheap [l_orderkey]\n"
+        "aggregate [n = count]"
+    )
+    plan = plan_of(compile_prql(narrow, catalog))
+    assert "ExistingRDD" not in plan
